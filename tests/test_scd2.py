@@ -1,0 +1,92 @@
+"""SCD-2 window composition vs hand-computed reference semantics
+(ref csvprocessor/processor.go:237-307)."""
+
+from pyspark.sql import functions as F
+
+from substreams_sink_graph_load_spark.operators import scd2_versions, immutable_rows
+
+SCHEMA = "id string, block_num long, seq long, operation int, name string, balance string"
+
+EVENTS = [
+    # id a: create, two same-block updates (zero-width range), delete, re-create
+    ("a", 1, 1, 1, "x", "1"),
+    ("a", 5, 10, 2, None, "2"),
+    ("a", 5, 11, 2, "y", None),
+    ("a", 9, 20, 3, None, None),
+    ("a", 12, 30, 1, "z", "9"),
+    # id b: create then FINAL (fields of FINAL ignored, range stays open)
+    ("b", 2, 2, 1, "p", "5"),
+    ("b", 7, 15, 4, "IGNORED", "666"),
+    # id c: create, end-of-log flush
+    ("c", 3, 3, 1, "q", "7"),
+]
+
+
+def rows_set(df):
+    return {
+        (r["id"], r["block_range_start"], r["block_range_end"], r["name"], r["balance"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_versions(spark):
+    changes = spark.createDataFrame(EVENTS, SCHEMA)
+    out = scd2_versions(changes)
+    assert rows_set(out) == {
+        ("a", 1, 5, "x", "1"),     # closed by first update
+        ("a", 5, 5, "x", "2"),     # zero-width [5,5): same-block second update
+        ("a", 5, 9, "y", "2"),     # overlay: name from seq11, balance from seq10
+        ("a", 12, None, "z", "9"),  # new lifetime after DELETE; open at end-of-log
+        ("b", 2, None, "p", "5"),   # FINAL leaves range open, ignores own fields
+        ("c", 3, None, "q", "7"),   # end-of-log flush
+    }
+    # DELETE and FINAL events emit no row of their own
+    assert out.count() == 6
+
+
+def test_scd2_no_leak_across_lifetimes(spark):
+    # after DELETE, a re-created id must NOT inherit old field values
+    events = [
+        ("a", 1, 1, 1, "x", "1"),
+        ("a", 2, 2, 3, None, None),           # delete
+        ("a", 3, 3, 2, None, "42"),           # update-unseen == create; name unset
+    ]
+    changes = spark.createDataFrame(events, SCHEMA)
+    out = scd2_versions(changes)
+    assert rows_set(out) == {
+        ("a", 1, 2, "x", "1"),
+        ("a", 3, None, None, "42"),  # name must be NULL, not "x"
+    }
+
+
+def test_scd2_emit_block(spark):
+    changes = spark.createDataFrame(EVENTS, SCHEMA)
+    out = scd2_versions(changes)
+    emit = {
+        (r["id"], r["block_range_start"], r["emit_block"]) for r in out.collect()
+    }
+    # closed rows emit at the closing event's block; FINAL rows at the FINAL
+    # block; end-of-log flush rows have NULL (caller routes to last bundle)
+    assert ("a", 1, 5) in emit
+    assert ("a", 5, 9) in emit
+    assert ("b", 2, 7) in emit
+    assert ("c", 3, None) in emit
+
+
+def test_immutable_rows(spark):
+    events = [
+        ("t1", 100, 1, 1, "m", "1"),
+        ("t2", 150, 2, 2, "n", "2"),   # tolerated UPDATE on immutable -> emit
+        ("t3", 200, 3, 4, "o", "3"),   # FINAL ignored for immutable
+    ]
+    changes = spark.createDataFrame(events, SCHEMA)
+    out = immutable_rows(changes)
+    got = {(r["id"], r["block$"], r["name"]) for r in out.collect()}
+    assert got == {("t1", 100, "m"), ("t2", 150, "n")}
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Scale guard: the whole operator must cost exactly ONE exchange."""
+    changes = spark.createDataFrame(EVENTS, SCHEMA)
+    plan = scd2_versions(changes)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
