@@ -1,0 +1,900 @@
+"""Named query registry — the engine's operator contract (SURVEY §2.12).
+
+Every entry is a deterministic DataFrame transform over the driver testdata
+tables, paired with an ANSI-SQL oracle (DuckDB) producing identical rows.
+
+Determinism rules (the driver hash-compares values order-insensitively):
+
+- Money/measure aggregates run in **integer cents** (``round(x*100)`` cast
+  to bigint) so the sum is exact and order-independent, then divide by a
+  power of ten at the end — float summation order can never skew a result.
+- Timestamps cross engines as ``unix_micros`` bigints or formatted strings,
+  never as raw timestamp columns (dtype parity).
+- Every count/size is cast to bigint, every DuckDB ``sum`` wrapped in
+  ``cast(... as bigint)`` (DuckDB sums to hugeint, Spark to long).
+- Window ranks always carry full tie-breakers.
+
+Scale notes are inline per query; the common themes: dimension joins are
+broadcast, aggregations are partial-before-shuffle by construction, filters
+sit directly on the parquet scan so pushdown/pruning applies, and nothing
+ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects
+    outright; read the nanos as int64 and truncate to a microsecond timestamp
+    (identical to DuckDB's ns->us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal double (order-independent sums)."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Relational contract: aggregations
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint)/100.0 AS sum_qty,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS bigint)/100.0 AS sum_base_price,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint) * (100 - cast(round(l_discount*100) AS bigint))) AS bigint)/10000.0 AS sum_disc_price,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint) * (100 - cast(round(l_discount*100) AS bigint)) * (100 + cast(round(l_tax*100) AS bigint))) AS bigint)/1000000.0 AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy hash aggregation with map-side combine.
+
+    Scale: filter + 6-column projection push down to the parquet scan; the
+    shuffle carries only 4 grouping values x partial sums.
+    """
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    ep, disc, tax = _cents(F.col("l_extendedprice")), _cents(F.col("l_discount")), _cents(F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(ep) / 100.0).alias("sum_base_price"),
+            (F.sum(ep * (100 - disc)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ep * (100 - disc) * (100 + tax)) / 1000000.0).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT cast(sum(cast(round(l_extendedprice*100) AS bigint) * cast(round(l_discount*100) AS bigint)) AS bigint)/10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND round(l_discount*100) BETWEEN 4 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure predicate-pushdown scan -> single global sum."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100).between(4, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))) / 10000.0).alias("revenue"))
+    )
+
+
+@_q(
+    "agg_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           cast(sum(cast(round(o_totalprice*100) AS bigint)) AS bigint)/100.0 AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total"),
+    )
+
+
+@_q(
+    "agg_cube_part",
+    """
+    SELECT p_brand, p_size, count(*) AS cnt,
+           cast(sum(cast(round(p_retailprice*100) AS bigint)) AS bigint)/100.0 AS retail
+    FROM part GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def agg_cube_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.cube("p_brand", "p_size").agg(
+        F.count("*").alias("cnt"),
+        (F.sum(_cents(F.col("p_retailprice"))) / 100.0).alias("retail"),
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational contract: joins
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint) * (100 - cast(round(l_discount*100) AS bigint))) AS bigint)/10000.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    QUALIFY row_number() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg -> top-k.
+
+    Scale: customer (filtered) broadcasts; lineitem never shuffles before the
+    join; top-k is a single-partition window over only the aggregated rows.
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    joined = l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+            / 10000.0
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint) * (100 - cast(round(l_discount*100) AS bigint))) AS bigint)/10000.0 AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN supplier ON s_nationkey = n_nationkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey  = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join, every dimension broadcast, one shuffle for
+    the final group-by on n_name."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    dims = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    co = c.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+    oc = o.join(F.broadcast(co), F.col("o_custkey") == F.col("c_custkey"))
+    joined = (
+        l.join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("n_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+            / 10000.0
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "join_semi_nations",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                         AND o_totalprice > 300000)
+    GROUP BY n_name
+    """,
+)
+def join_semi_nations(spark, sf_dir):
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    big = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    return (
+        big.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_broadcast_segments",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           cast(sum(cast(round(o_totalprice*100) AS bigint)) AS bigint)/100.0 AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_broadcast_segments(spark, sf_dir):
+    """Fact-to-dim broadcast hash join: the orders side never shuffles for
+    the join, only for the tiny 5-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational contract: windows / sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_topk_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, rank FROM (
+      SELECT c_mktsegment, o_orderkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= 3
+    """,
+)
+def window_topk_per_segment(spark, sf_dir):
+    """Top-k per group via ranked window (k=3 biggest orders a segment)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", "rank")
+    )
+
+
+@_q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           cast(sum(cast(round(o_totalprice*100) AS bigint))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS running_cents
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Running per-customer order total (frame-spec window aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+@_q(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id,
+           cast(round(value*100) AS bigint)
+             - lag(cast(round(value*100) AS bigint))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+    FROM events
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = _cents(F.col("value"))
+    return e.select(
+        "user_id", "event_id", (v - F.lag(v).over(w)).alias("delta_cents")
+    )
+
+
+@_q(
+    "sort_limit_top10",
+    """
+    SELECT l_orderkey, l_linenumber, cast(round(l_extendedprice*100) AS bigint) AS price_cents
+    FROM lineitem
+    ORDER BY price_cents DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def sort_limit_top10(spark, sf_dir):
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition heap +
+    driver merge of N rows, never a full sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+        .orderBy(F.desc("price_cents"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+_RICH = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+_BUILD = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@_q("set_union", f"{_RICH} UNION {_BUILD}")
+def set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.union(bld).distinct()
+
+
+@_q("set_intersect", f"{_RICH} INTERSECT {_BUILD}")
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.intersect(bld)
+
+
+@_q("set_except", f"{_RICH} EXCEPT {_BUILD}")
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.exceptAll(bld).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Relational contract: scalar functions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           cast(length(p_name) AS bigint) AS name_len,
+           substr(p_type, 1, 6) AS type_prefix,
+           replace(p_brand, '#', '-') AS brand_norm,
+           concat(p_brand, ':', p_type) AS brand_type,
+           cast(len(string_split(p_name, ' ')) AS bigint) AS name_words
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.regexp_replace("p_brand", "#", "-").alias("brand_norm"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+    )
+
+
+@_q(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           cast(year(o_orderdate) AS int) AS order_year,
+           cast(month(o_orderdate) AS int) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           cast(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS bigint) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@_q(
+    "scalar_json_extract",
+    """
+    SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k_val
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scalar_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch equivalents of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_tumbling_hour",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS cnt,
+           cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark, sf_dir):
+    """Tumbling event-time window aggregation (streaming T2 batch shape)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+
+
+@_q(
+    "events_sliding_window",
+    """
+    SELECT ws_epoch, count(*) AS cnt FROM (
+      SELECT cast(floor(epoch(ts)/1800)*1800 - off.o*1800 AS bigint) AS ws_epoch
+      FROM events, (VALUES (0),(1)) off(o)
+    ) GROUP BY ws_epoch
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws_epoch"), "cnt")
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us,
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess_id
+      FROM g
+    )
+    SELECT user_id, sess_id, count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows with a 30-minute inactivity gap (streaming T4 batch
+    shape) — lag + cumulative-sum session ids, one shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag(ts_us).over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy(ts_us).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.withColumn("ts_us", ts_us)
+        .withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(run))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parity ops: SCD-2 / bundling / Postgres CSV over a synthesized change-log
+# ---------------------------------------------------------------------------
+
+_SYNTH_LOG_SQL = """
+      SELECT cast(user_id AS varchar) AS id,
+             event_id AS seq,
+             event_id // 10 AS block_num,
+             CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1 THEN 1
+                  WHEN event_type = 'error' THEN 3
+                  WHEN event_type = 'churn' THEN 4
+                  ELSE 2 END AS operation,
+             value AS f_value,
+             event_type AS f_type
+      FROM events
+"""
+
+
+def _synth_log(spark, sf_dir):
+    """Deterministic entity-change log derived from the events table: the
+    first event per user CREATEs it, 'error' DELETEs, the rest UPDATE."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("event_id").alias("seq"),
+        F.expr("event_id div 10").alias("block_num"),
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(F.col("event_type") == "error", F.lit(3))
+        .when(F.col("event_type") == "churn", F.lit(4))
+        .otherwise(F.lit(2))
+        .alias("operation"),
+        F.col("value").alias("f_value"),
+        F.col("event_type").alias("f_type"),
+    )
+
+
+@_q(
+    "scd2_versions",
+    f"""
+    WITH log AS ({_SYNTH_LOG_SQL}),
+    lf AS (
+      SELECT *,
+        coalesce(sum(CASE WHEN operation IN (3,4) THEN 1 END)
+                 OVER (PARTITION BY id ORDER BY block_num, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lifetime,
+        lead(operation) OVER (PARTITION BY id ORDER BY block_num, seq) AS next_op,
+        lead(block_num) OVER (PARTITION BY id ORDER BY block_num, seq) AS next_block
+      FROM log
+    ),
+    ver AS (
+      SELECT id, operation, block_num AS block_range_start,
+        CASE WHEN next_op IN (2,3) THEN next_block END AS block_range_end,
+        last_value(CASE WHEN operation IN (1,2) THEN f_value END IGNORE NULLS)
+          OVER (PARTITION BY id, lifetime ORDER BY block_num, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_value,
+        last_value(CASE WHEN operation IN (1,2) THEN f_type END IGNORE NULLS)
+          OVER (PARTITION BY id, lifetime ORDER BY block_num, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_type
+      FROM lf
+    )
+    SELECT id, block_range_start, block_range_end, f_value, f_type
+    FROM ver WHERE operation IN (1,2)
+    """,
+)
+def scd2_versions_q(spark, sf_dir):
+    """The core reference operator (§2.3) over a synthesized change-log.
+
+    The oracle re-implements the semantics with standard window SQL; the
+    engine runs the production single-shuffle operator.
+    """
+    from ..operators.scd2 import scd2_versions
+
+    log = _synth_log(spark, sf_dir)
+    return scd2_versions(log, field_cols=["f_value", "f_type"]).drop("emit_block")
+
+
+@_q(
+    "scd2_immutable_rows",
+    f"""
+    WITH log AS ({_SYNTH_LOG_SQL})
+    SELECT id, block_num AS "block$", f_value, f_type
+    FROM log WHERE operation IN (1, 2)
+    """,
+)
+def scd2_immutable_rows_q(spark, sf_dir):
+    """Immutable-entity layout (§2.3 CREATE-immutable): emit-on-arrival."""
+    from ..operators.scd2 import immutable_rows
+
+    log = _synth_log(spark, sf_dir)
+    return immutable_rows(log, field_cols=["f_value", "f_type"])
+
+
+@_q(
+    "bundle_assign",
+    """
+    SELECT event_id, b - b % 1000 AS bundle_start,
+           printf('%010d-%010d', b - b % 1000, b - b % 1000 + 999) AS bundle_file
+    FROM (SELECT event_id, event_id // 10 AS b FROM events)
+    """,
+)
+def bundle_assign_q(spark, sf_dir):
+    """Tumbling block-count bundles + reference file naming (§2.10 T2)."""
+    from ..operators.bundles import bundle_start_col
+
+    e = _events(spark, sf_dir).select(
+        "event_id", F.expr("event_id div 10").alias("b")
+    )
+    bs = bundle_start_col(F.col("b"), 1000)
+    return e.select(
+        "event_id",
+        bs.alias("bundle_start"),
+        F.format_string("%010d-%010d", bs, bs + 999).alias("bundle_file"),
+    )
+
+
+@_q(
+    "pg_csv_format",
+    r"""
+    SELECT doc_id,
+           '\x' || lower(hex(encode(substr(text, 1, 8)))) AS bytea_lit,
+           '{' || array_to_string(
+                    list_transform(string_split(substr(text, 1, 40), ' '),
+                                   w -> replace(replace(w, '\', '\\'), ',', '\,')),
+                    ',') || '}' AS arr_lit,
+           printf('[%d,%d)', doc_id, doc_id + 10) AS range_lit,
+           CASE WHEN lang = 'en' THEN lang ELSE 'NULL' END AS null_rendered
+    FROM documents
+    """,
+)
+def pg_csv_format_q(spark, sf_dir):
+    """Postgres rendering expression bundle (§2.9 F2-F8) exercised as data:
+    bytea hex, escaped array literal, int4range, NULL defaulting."""
+    from ..operators.pg_csv import bytea_hex, pg_array, pg_block_range
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bytea_hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("bytea_lit"),
+        pg_array(F.split(F.substring("text", 1, 40), " "), lambda e: e).alias("arr_lit"),
+        pg_block_range(F.col("doc_id"), F.col("doc_id") + 10).alias("range_lit"),
+        F.coalesce(
+            F.when(F.col("lang") == "en", F.col("lang")), F.lit("NULL")
+        ).alias("null_rendered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension ops: text stats / dedup / similarity
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           cast(length(text) AS bigint) AS n_chars_computed,
+           cast(len(string_split(text, ' ')) AS bigint) AS n_words,
+           cast(len(list_distinct(string_split(text, ' '))) AS bigint) AS n_distinct_words,
+           cast(len(list_filter(string_split(text, ' '),
+                                w -> w IN ('the', 'a', 'data', 'row'))) AS bigint) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document quality stats: char/word/distinct/stopword counts —
+    all built-in array expressions, zero Python in the row path."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "data", "row")])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast("long").alias("n_stopwords"),
+    )
+
+
+@_q(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang,
+           cast(floor((1000000.0 * len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))) / len(string_split(text, ' '))) AS bigint) AS en_score_ppm
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-ratio language scoring (n-gram-heuristic stand-in) — the
+    score is exact integer ppm so engines hash identically."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.floor((1000000.0 * hits) / F.size(words)).cast("long").alias("en_score_ppm"),
+    )
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash group-by: one shuffle on the hash, the
+    canonical survivor is min(doc_id).  At 100 TB the hash (not the text)
+    is the shuffle key — constant width per row."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@_q(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % 100 = 0),
+    p AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+                 list_inner_product(cast(e.embedding AS DOUBLE[]),
+                                    cast(q.q_emb AS DOUBLE[])) AS dot
+          FROM embeddings e, q WHERE e.vec_id != q.q_id)
+    SELECT q_id, neighbor_id, rank FROM (
+      SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM p
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine/dot top-k neighbors for a 1% query sample.
+
+    Scale path: the query set broadcasts (tiny), the corpus streams through
+    once — no corpus self-shuffle.  Output is ids+rank only, so float
+    accumulation differences can never flip a hash, and both engines fold
+    the dot product left-to-right in double.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_emb").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), dot.alias("dot")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q5_region_revenue(spark, sf_dir)

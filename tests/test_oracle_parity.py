@@ -1,0 +1,60 @@
+"""Every registry query vs its DuckDB oracle — the same comparison the
+driver runs (row count + column names + order-insensitive values), executed
+locally at sf0.001 so mismatches surface before the driver's sf0.01 gate."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from substreams_sink_graph_load_spark.plans import QUERIES, ORACLES
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = ddb.execute(ORACLES[name]).df()
+
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r}"
+            else:
+                assert str(a) == str(b), f"{name}.{c}[{i}]: {a!r} != {b!r}"
+
+
+def test_all_queries_have_callable():
+    assert len(QUERIES) >= 25
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
