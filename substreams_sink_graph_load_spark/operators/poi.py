@@ -1,0 +1,89 @@
+"""Distributed proof-of-indexing (ref sinker/sinker.go:232-269 + poi/).
+
+Spark decomposition: the POI digest is a 32-byte state in a commutative
+monoid (24-byte fld mixer + event count).  Per-block states are independent
+— each block folds its own events at addresses derived from
+``(block_num, event_index)`` — so they compute in parallel with
+``applyInPandas`` over block groups (one shuffle on block_num).  The
+cross-block chain ``digest_b = state_b (+) digest_{b-1}`` is a prefix fold
+over one tiny row per block, done driver-side (a million blocks is ~32 MB).
+
+Events feed per operation exactly like the reference sinker
+(sinker.go:279-291): CREATE/UPDATE/FINAL -> SetEntity, DELETE ->
+RemoveEntity; entity and field names stay UN-normalized for hashing.
+A ``poi2$`` row is emitted only when the digest changes
+(sinker.go:260-269); empty blocks keep the digest fixed because the mixer
+constant I is the monoid identity.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..stablehash.poi import ProofOfIndexing, chain_block_states
+
+OP_DELETE = 3
+
+_STATE_SCHEMA = "block_num long, state binary, n_events long"
+
+
+def _fold_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("seq")
+    block = int(pdf["block_num"].iloc[0])
+    poi = ProofOfIndexing(block)
+    for line in pdf["value"]:
+        obj = json.loads(line)
+        ch = obj["entity_change"]
+        op = ch.get("operation")
+        if op == OP_DELETE or op == "OPERATION_DELETE":
+            poi.remove_entity(ch["entity"], ch["id"])
+        else:
+            poi.set_entity(ch["entity"], ch["id"], ch.get("fields") or [])
+    return pd.DataFrame(
+        [{"block_num": block, "state": poi.pause(None), "n_events": len(pdf)}]
+    )
+
+
+def poi_block_states(raw: DataFrame) -> DataFrame:
+    """Per-block paused POI states from raw change rows.
+
+    ``raw`` needs columns ``block_num`` (long), ``seq`` (long) and ``value``
+    (the raw JSONL line).  Returns (block_num, state binary, n_events).
+    """
+    return (
+        raw.select("block_num", "seq", "value")
+        .groupBy("block_num")
+        .applyInPandas(_fold_block, _STATE_SCHEMA)
+    )
+
+
+def poi_chain(
+    spark: SparkSession,
+    raw: DataFrame,
+    chain_id: str,
+    start_poi: bytes | None = None,
+) -> DataFrame:
+    """Full digest chain with change-suppression: one row per block whose
+    digest differs from the previous block's (the ``poi2$`` stream).
+
+    Returns (block_num long, id string, digest string hex).
+    """
+    states = [
+        (r["block_num"], bytes(r["state"]))
+        for r in poi_block_states(raw).collect()
+    ]
+    chained = chain_block_states(states, start=start_poi)
+    rows = []
+    prev = start_poi
+    for block, digest in chained:
+        if digest != prev:
+            rows.append((block, chain_id, digest.hex()))
+        prev = digest
+    return spark.createDataFrame(
+        rows or [], "block_num long, id string, digest string"
+    )

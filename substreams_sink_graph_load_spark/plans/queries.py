@@ -892,6 +892,61 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+@_q("poi_chain")  # no SQL oracle: custom hash chain -> driver rows-only check
+def poi_chain_q(spark, sf_dir):
+    """Proof-of-indexing digest chain (§2.5 A2-A4) over a change log
+    synthesized from events.  Golden-vector validated (poi_test.go digest);
+    per-block states fold in parallel, the chain is a driver-side prefix
+    fold over one 32-byte row per block."""
+    from ..operators.poi import poi_chain
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    op = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(F.col("event_type") == "error", F.lit(3))
+        .when(F.col("event_type") == "churn", F.lit(4))
+        .otherwise(F.lit(2))
+    )
+    # both array elements must share one Spark struct type; to_json drops the
+    # null member, so the wire layout keeps the reference's single-key Typed
+    def _typed(name, string_col, bigint_col):
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.struct(
+                F.struct(
+                    string_col.alias("String_"), bigint_col.alias("Bigint")
+                ).alias("Typed")
+            ).alias("new_value"),
+        )
+
+    typed_fields = F.array(
+        _typed("etype", F.col("event_type"), F.lit(None).cast("string")),
+        _typed(
+            "amount",
+            F.lit(None).cast("string"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ),
+    )
+    staged = e.withColumn("_op", op)  # window fn must resolve before to_json
+    raw = staged.select(
+        F.expr("event_id div 10").alias("block_num"),
+        F.col("event_id").alias("seq"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("UserState").alias("entity"),
+                    F.col("user_id").cast("string").alias("id"),
+                    F.col("_op").alias("operation"),
+                    typed_fields.alias("fields"),
+                ).alias("entity_change"),
+                F.expr("event_id div 10").alias("block_num"),
+            )
+        ).alias("value"),
+    )
+    return poi_chain(spark, raw, chain_id="spark-graft")
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------

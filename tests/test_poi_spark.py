@@ -1,0 +1,92 @@
+"""Distributed POI: parallel per-block states must chain to the exact same
+digests as the reference's sequential per-block fold."""
+
+import json
+
+from substreams_sink_graph_load_spark.operators.poi import poi_block_states, poi_chain
+from substreams_sink_graph_load_spark.stablehash.core import FastHasher, fldmix_combine, _I
+from substreams_sink_graph_load_spark.stablehash.poi import ProofOfIndexing
+
+
+def _line(block, entity, id_, op, fields):
+    return json.dumps(
+        {
+            "entity_change": {
+                "entity": entity,
+                "id": id_,
+                "operation": op,
+                "fields": [
+                    {"name": n, "new_value": {"Typed": tv}} for n, tv in fields
+                ],
+            },
+            "block_num": block,
+        }
+    )
+
+
+EVENTS = [
+    (1, 1, _line(1, "Account", "a", 1, [("name", {"String_": "x"}), ("bal", {"Bigint": "5"})])),
+    (1, 2, _line(1, "Account", "b", 1, [("name", {"String_": "y"})])),
+    (3, 3, _line(3, "Account", "a", 2, [("bal", {"Bigint": "6"})])),
+    (3, 4, _line(3, "Account", "b", 3, [])),  # delete
+    (7, 5, _line(7, "Account", "a", 4, [("name", {"String_": "x"})])),  # final
+]
+
+
+def _sequential_chain():
+    """Reference-shaped sequential fold: one ProofOfIndexing per block,
+    Pause(prev) chaining."""
+    by_block = {}
+    for b, s, line in EVENTS:
+        by_block.setdefault(b, []).append((s, line))
+    prev = None
+    out = []
+    for b in sorted(by_block):
+        poi = ProofOfIndexing(b)
+        for _, line in sorted(by_block[b]):
+            ch = json.loads(line)["entity_change"]
+            if ch["operation"] == 3:
+                poi.remove_entity(ch["entity"], ch["id"])
+            else:
+                poi.set_entity(ch["entity"], ch["id"], ch["fields"])
+        digest = poi.pause(prev)
+        out.append((b, digest))
+        prev = digest
+    return out
+
+
+def test_identity_constant():
+    # I is the fld monoid identity: empty blocks leave the chain unchanged
+    import random
+
+    rng = random.Random(7)
+    for _ in range(20):
+        x = rng.getrandbits(192)
+        assert fldmix_combine(_I, x) == x
+
+
+def test_empty_block_preserves_digest():
+    prev = ProofOfIndexing(5)
+    prev_digest = prev.pause(None)
+    empty = ProofOfIndexing(6)
+    assert empty.pause(prev_digest) == prev_digest
+
+
+def test_parallel_states_match_sequential_chain(spark):
+    raw = spark.createDataFrame(EVENTS, "block_num long, seq long, value string")
+    df = poi_chain(spark, raw, chain_id="test-chain")
+    got = {(r["block_num"], r["digest"]) for r in df.collect()}
+    want = {(b, d.hex()) for b, d in _sequential_chain()}
+    assert got == want
+    assert len(got) == 3  # every block here changes the digest
+
+
+def test_block_states_are_independent(spark):
+    raw = spark.createDataFrame(EVENTS, "block_num long, seq long, value string")
+    states = {r["block_num"]: bytes(r["state"]) for r in poi_block_states(raw).collect()}
+    assert set(states) == {1, 3, 7}
+    # each state is 32 bytes: mixer + count
+    for b, s in states.items():
+        assert len(s) == 32
+        h = FastHasher.from_bytes(s)
+        assert h.count > 0
