@@ -1,0 +1,67 @@
+"""Side-by-side Spark vs DuckDB oracle parity harness (the driver's t2 check,
+runnable locally while iterating).
+
+Usage: python scripts/oracle_check.py [query ...]   (default: all with oracles)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from substreams_sink_graph_load_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(names: list[str]) -> int:
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = names or [n for n in qs if n in oracles]
+    failed = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+            if name not in oracles:
+                print(f"  {name}: rows-only ({len(sdf)} rows) OK")
+                continue
+            odf = con.execute(oracles[name]).df()
+            s, o = canon(sdf), canon(odf)
+            if list(s.columns) != list(o.columns):
+                raise AssertionError(f"columns {list(s.columns)} vs {list(o.columns)}")
+            if len(s) != len(o):
+                raise AssertionError(f"rows {len(s)} vs {len(o)}")
+            pd.testing.assert_frame_equal(
+                s, o, check_dtype=False, check_exact=False, rtol=1e-6
+            )
+            print(f"  {name}: MATCH ({len(s)} rows)")
+        except Exception as ex:
+            failed.append(name)
+            msg = str(ex).split("\n")
+            print(f"  {name}: FAIL — {' / '.join(msg[:3])}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} matched")
+    if failed:
+        print("failed:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

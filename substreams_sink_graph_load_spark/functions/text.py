@@ -1,0 +1,76 @@
+"""Text-analysis expressions for the LLM-pipeline surface (SURVEY §2.12).
+
+All pure Column builders — tokenization, shingling, fingerprinting and
+quality scoring run inside whole-stage codegen; outputs are exact integers
+(counts / ppm / modular hashes) so cross-engine value-hash comparison can
+never be skewed by float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import h60, PRIME31
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (array<string>); whole text when < k words.
+
+    Built from ``sequence`` + ``transform`` + 0-based ``get`` — no explode,
+    so shingling never multiplies row count before hashing.
+    """
+    words = F.split(text, " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n < k, F.array(text)).otherwise(grams))
+
+
+def token_split(text: Column) -> Column:
+    """BPE-ish tokens: ``regexp_extract_all`` with :data:`TOKEN_REGEX`
+    (letter runs / digit runs / single punctuation marks)."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))
+
+
+def rolling_fingerprint(text: Column, base: int = 31) -> Column:
+    """Order-sensitive document fingerprint: left fold of
+    ``acc*base + h60(word) mod P`` over the word sequence (a Rabin-Karp-style
+    polynomial hash).  Two docs with the same words in different order get
+    different fingerprints — the complement of the order-insensitive MinHash.
+
+    Operand bound: acc < 2^31, *31 < 2^36, + 2^31 — no int64 wrap.
+    """
+    words = F.split(text, " ")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * base + h60(w) % PRIME31) % PRIME31,
+    )
+
+
+def quality_score_ppm(text: Column, stopwords: list[str]) -> Column:
+    """Composite doc-quality score in exact ppm: mean of three ratio signals
+    (stopword density, alpha-token share, distinct-word share), each capped
+    to [0, 1e6].  Mirrors the length/punct/stopword heuristics used for
+    pretraining-corpus filtering."""
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    stop = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    tokens = F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))
+    n_alpha = F.size(F.filter(tokens, lambda t: t.rlike("^[a-z]+$")))
+    n_tok = F.size(tokens)
+    stop_ppm = F.least(F.lit(1000000), F.floor(5000000.0 * n_stop / n_words))
+    alpha_ppm = F.floor(1000000.0 * n_alpha / F.greatest(n_tok, F.lit(1)))
+    distinct_ppm = F.floor(
+        1000000.0 * F.size(F.array_distinct(words)) / n_words
+    )
+    return (
+        F.floor((stop_ppm + alpha_ppm + distinct_ppm) / 3).cast("long")
+    )

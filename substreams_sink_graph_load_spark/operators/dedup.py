@@ -1,0 +1,292 @@
+"""Deduplication operators for the LLM-pipeline surface (SURVEY §2.12).
+
+Four families, each shuffle-bounded for 100 TB:
+
+- **exact**   — hash group-by (in plans/queries.py: ``dedup_exact``).
+- **MinHash+LSH** — shingle → signature → band → bucket self-join.  The
+  self-join shuffles on *band keys* (16 bytes/row), never on text; candidate
+  volume is bounded by bucket membership, not corpus².
+- **SimHash** — 60-bit bit-majority hash; near-dups land in the same value
+  or differ in few bits.  One projection, zero shuffle.
+- **embedding cosine** — sign-LSH bucket (deterministic hyperplanes) +
+  in-bucket cosine threshold; the bucket join replaces the O(n²) pair
+  enumeration.
+
+All hashes are md5-derived (functions/hashing.py) so a DuckDB oracle can
+replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import PRIME31, h60, minhash_signature
+from ..functions.text import word_shingles
+
+
+def minhash_sketch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 2,
+) -> DataFrame:
+    """Per-doc MinHash signature + LSH band keys.
+
+    Output: (id, sig array<long>, band_0..band_{bands-1} string md5 keys).
+    Narrow (no shuffle); the expensive md5-per-shingle runs once.
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), k), num_perm)
+    out = df.select(F.col(id_col), sig.alias("sig"))
+    for b in range(bands):
+        # slice is 1-based; band key hashes the R signature values as text
+        # (explicit cast to string: concat_ws/array_join want array<string>)
+        band = F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        )
+        out = out.withColumn(f"band_{b}", band)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 band bucket, with the exact
+    signature agreement count (estimated Jaccard = n_agree / num_perm).
+
+    Scale: the join key is (band_idx, band_key) — a skewed bucket (e.g. a
+    boilerplate page repeated millions of times) is the classic hazard;
+    ``max_bucket`` drops buckets above the cap (those docs are by definition
+    duplicates of each other — handle them with dedup_exact at a fraction of
+    the cost).
+    """
+    sk = minhash_sketch(df, id_col, text_col, num_perm, bands, k)
+    # keep the band index explicit so identical R-slices in different bands
+    # don't cross-match
+    sk2 = sk.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("band_idx", "band_key")
+        sk2 = sk2.withColumn("_n", F.count("*").over(cnt)).where(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    a = sk2.alias("a")
+    b = sk2.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_bands"),
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda e: e,
+        )
+    ).cast("long")
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared_bands", agree.alias("n_sig_agree")
+    )
+
+
+def simhash60(text: Column) -> Column:
+    """60-bit SimHash over frequency-weighted word hashes.
+
+    bit j of the output is set when the majority of word occurrences have
+    bit j set in their h60 hash (ties -> set, i.e. 2*cnt >= n).  Pure array
+    expressions — one pass, no shuffle, no UDF.
+    """
+    words = F.split(text, " ")
+    hs = F.transform(words, lambda w: h60(w))
+    n = F.size(hs)
+    one = F.lit(1).cast("long")
+    # call_function: the PySpark shiftleft/shiftright wrappers only take int
+    # literals, but the SQL expressions accept a column shift amount
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.when(
+            2
+            * F.size(
+                F.filter(
+                    hs,
+                    lambda h: F.call_function("shiftright", h, j).bitwiseAND(one)
+                    == 1,
+                )
+            )
+            >= n,
+            F.call_function("shiftleft", one, j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cols: tuple[str, ...] = ("source",),
+    k: int = 2,
+    min_jaccard_ppm: int = 200_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs inside blocking buckets.
+
+    Blocking (``bucket_cols``) bounds the pair count: the self-join shuffles
+    on the bucket key and only materializes in-bucket pairs.  Jaccard is
+    exact set arithmetic reported in integer ppm.
+    """
+    g = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bucket_cols],
+        word_shingles(F.col(text_col), k).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.floor(1000000.0 * inter / union).cast("long")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+
+
+def hyperplane_bucket(emb: Column, dim: int, planes: list[int]) -> Column:
+    """Deterministic sign-LSH bucket id for an array<float> embedding.
+
+    Hyperplane p has integer weights ``((i*2654435761 + p*40503) % 2001)
+    - 1000`` (Knuth multiplicative constants — fixed, engine-agnostic, no
+    RNG).  Bucket = len(planes) sign bits packed into a long.
+    """
+    bits = []
+    for j, p in enumerate(planes):
+        w = [((i * 2654435761 + p * 40503) % 2001) - 1000 for i in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                emb.cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in w]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    min_cos_ppm: int = 400_000,
+) -> DataFrame:
+    """Embedding cosine near-duplicates via *banded* sign-LSH + exact
+    in-bucket cosine threshold.
+
+    A single wide sign bucket has vanishing recall (p^k for per-plane
+    agreement p), so — exactly like MinHash LSH — the planes split into
+    ``n_bands`` independent bands of ``planes_per_band`` bits: a pair is a
+    candidate if it collides in ANY band (recall 1-(1-p^r)^b), then the
+    exact cosine filters false positives.  Pair enumeration stays
+    per-bucket; the band explode multiplies rows by n_bands (cheap: id +
+    16-byte key), never the corpus by itself.
+    """
+    bucket_cols = [
+        hyperplane_bucket(
+            F.col(emb_col),
+            dim,
+            list(range(b * planes_per_band, (b + 1) * planes_per_band)),
+        ).alias(f"bucket_{b}")
+        for b in range(n_bands)
+    ]
+    g = df.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        *bucket_cols,
+    ).select(
+        F.col(id_col),
+        "e",
+        F.posexplode(
+            F.array(*[F.col(f"bucket_{b}") for b in range(n_bands)])
+        ).alias("band_idx", "bucket"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.e"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    cos_ppm = F.floor(1000000.0 * dot / (norm("a") * norm("b"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos_ppm.alias("cos_ppm"),
+        )
+        .where(F.col("cos_ppm") >= min_cos_ppm)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cos_ppm").alias("cos_ppm"))
+    )

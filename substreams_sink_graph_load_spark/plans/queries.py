@@ -948,8 +948,486 @@ def poi_chain_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Flagship
+# LLM-pipeline extension ops: MinHash / SimHash / Jaccard / embedding dedup,
+# token counting, fingerprinting, quality scoring, ANN, multimodal
 # ---------------------------------------------------------------------------
+# Oracle-SQL building blocks.  Every hash is md5-derived so DuckDB replays it
+# bit-for-bit (functions/hashing.py); the permutation constants are embedded
+# from the SAME perm_params() call the Spark operators use.
+
+from ..functions.hashing import PRIME31 as _P, perm_params as _perm_params
+
+_PERMS16 = _perm_params(16)
+
+
+def _h60_sql(x: str) -> str:
+    return f"cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
+
+
+# distinct word 2-grams per doc (matches functions.text.word_shingles k=2)
+_GRAMS2_SQL = """
+  (SELECT doc_id, source,
+          list_distinct(CASE WHEN len(ws) < 2 THEN [text]
+               ELSE list_transform(range(len(ws) - 1),
+                                   i -> ws[i+1] || ' ' || ws[i+2]) END) AS grams
+   FROM (SELECT doc_id, text, source, string_split(text, ' ') AS ws
+         FROM documents))
+"""
+
+_SIG16_SQL = (
+    "[ "
+    + ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in _PERMS16
+    )
+    + " ]"
+)
+
+_SIG_CTE_SQL = f"""
+  grams AS {_GRAMS2_SQL},
+  h AS (SELECT doc_id,
+               list_transform(grams, g -> {_h60_sql('g')} % {_P}) AS hs
+        FROM grams),
+  sig AS (SELECT doc_id, {_SIG16_SQL} AS sig FROM h)
+"""
+
+
+@_q(
+    "dedup_minhash",
+    f"""
+    WITH {_SIG_CTE_SQL}
+    SELECT doc_id,
+           md5(array_to_string(sig[1:4], ','))   AS band_0,
+           md5(array_to_string(sig[5:8], ','))   AS band_1,
+           md5(array_to_string(sig[9:12], ','))  AS band_2,
+           md5(array_to_string(sig[13:16], ',')) AS band_3,
+           cast(list_sum(sig) AS bigint) AS sig_sum,
+           cast(list_min(sig) AS bigint) AS sig_min
+    FROM sig
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash sketch (16 perms, 4 LSH bands) per document — SURVEY §2.12.
+
+    Scale: narrow projection, zero shuffle; md5-per-shingle runs once and
+    feeds all 16 permutations as codegen'd modular arithmetic."""
+    from ..operators.dedup import minhash_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    sk = minhash_sketch(d, "doc_id", "text", num_perm=16, bands=4, k=2)
+    return sk.select(
+        "doc_id",
+        "band_0",
+        "band_1",
+        "band_2",
+        "band_3",
+        F.aggregate(
+            "sig", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sig_sum"),
+        F.array_min("sig").alias("sig_min"),
+    )
+
+
+@_q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_SIG_CTE_SQL},
+    bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands,
+             first(a.sig) AS sig_a, first(b.sig) AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, cast(n_shared_bands AS bigint) AS n_shared_bands,
+           cast(len(list_filter(range(16), i -> sig_a[i+1] = sig_b[i+1])) AS bigint) AS n_sig_agree
+    FROM pairs
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing >= 1 of 4 signature bands, with the
+    exact signature-agreement count (est. Jaccard = n_sig_agree/16).
+
+    Scale: the self-join shuffles on 16-byte band keys, never text; skewed
+    buckets are capped via max_bucket in the operator (off here for oracle
+    exactness)."""
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, k=2
+    )
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id,
+           cast(list_sum(list_transform(range(60),
+                j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1))
+                          >= len(hs)
+                     THEN (cast(1 AS bigint) << j) ELSE 0 END)) AS bigint) AS simhash,
+           cast(list_sum(list_transform(range(60),
+                j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1))
+                          >= len(hs)
+                     THEN (cast(1 AS bigint) << j) ELSE 0 END)) // 17592186044416 AS bigint) AS band16
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '), w -> {_h60_sql('w')}) AS hs
+          FROM documents)
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash per doc + top-16-bit blocking band (2^44 divisor).
+    Near-identical docs agree on the full hash; near-dups share the band."""
+    from ..operators.dedup import simhash60
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        simhash60(F.col("text")).alias("simhash"),
+    ).select(
+        "doc_id",
+        "simhash",
+        # integer shift, not float division: 60-bit values exceed double's
+        # 53-bit mantissa
+        F.shiftright("simhash", 44).cast("long").alias("band16"),
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH g AS {_GRAMS2_SQL}
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(floor(1000000.0 * len(list_intersect(a.grams, b.grams))
+                  / len(list_distinct(list_concat(a.grams, b.grams)))) AS bigint) AS jaccard_ppm
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard_ppm >= 100000
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 2-gram Jaccard for pairs blocked by source: set arithmetic in
+    integer ppm.  Blocking bounds the pair count — the join shuffles on the
+    bucket key, in-bucket pairs only."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", bucket_cols=("source",), k=2,
+        min_jaccard_ppm=100_000,
+    )
+
+
+@_q("dedup_embedding")  # float-threshold membership: rows-only check
+def dedup_embedding(spark, sf_dir):
+    """Embedding cosine near-dup: banded sign-LSH (4 bands x 4 hyperplanes)
+    + exact in-bucket cosine >= 0.4.  No SQL oracle: the floor(cos*1e6)
+    boundary is float-sensitive across engines; the driver's rows-only check
+    applies.  Scale: pair enumeration is per-(band,bucket), never
+    corpus-wide."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        e, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
+        min_cos_ppm=400_000,
+    )
+
+
+@_q(
+    "token_count",
+    """
+    SELECT doc_id,
+           cast(len(toks) AS bigint) AS n_tokens,
+           cast(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) AS bigint) AS n_alpha,
+           cast(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS bigint) AS n_digit,
+           cast(len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z0-9]'))) AS bigint) AS n_punct
+    FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+          FROM documents)
+    """,
+)
+def token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / punctuation
+    marks) — all regexp_extract_all + array filters, zero Python."""
+    from ..functions.text import token_split
+
+    d = _t(spark, sf_dir, "documents")
+    toks = token_split(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("long").alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long").alias("n_digit"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]"))).cast("long").alias("n_punct"),
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           cast(list_reduce(list_prepend(0, hs),
+                            (acc, x) -> (acc * 31 + x) % {_P}) AS bigint) AS fingerprint,
+           cast(len(hs) AS bigint) AS n_words
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                                w -> {_h60_sql('w')} % {_P}) AS hs
+          FROM documents)
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling document fingerprint (Rabin-Karp-style
+    polynomial fold) — complements order-insensitive MinHash; reordered
+    near-dups diverge here."""
+    from ..functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+
+_QUALITY_STOPWORDS = ("data", "row", "table", "key", "scan", "join", "agg", "value")
+
+
+@_q(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           cast(floor((
+             least(1000000, floor(5000000.0 * len(list_filter(ws, w -> w IN
+                 ({", ".join("'" + w + "'" for w in _QUALITY_STOPWORDS)}))) / len(ws)))
+             + floor(1000000.0 * len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                     / greatest(len(toks), 1))
+             + floor(1000000.0 * len(list_distinct(ws)) / len(ws))
+           ) / 3) AS bigint) AS quality_ppm
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                 regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+          FROM documents)
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Composite pretraining-quality score in exact ppm: stopword density,
+    alpha-token share, distinct-word share, averaged."""
+    from ..functions.text import quality_score_ppm
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score_ppm(F.col("text"), list(_QUALITY_STOPWORDS)).alias(
+            "quality_ppm"
+        ),
+    )
+
+
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(cast(e.embedding AS DOUBLE[]), c.ce) DESC, c.cid) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS q_cid
+          FROM assign WHERE vec_id % 100 = 0)
+    SELECT q_id, neighbor_id, rank FROM (
+      SELECT q.q_id, a.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY list_inner_product(cast(a.embedding AS DOUBLE[]),
+                                           cast(q.q_emb AS DOUBLE[])) DESC, a.vec_id) AS rank
+      FROM assign a JOIN q ON a.cid = q.q_cid AND a.vec_id != q.q_id
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of ~n/50 seed
+    centroids (broadcast), then search only the query's cell (nprobe=1).
+
+    Scale path vs brute force: per-query work drops from |corpus| to
+    |cell|; the centroid table broadcasts, the corpus streams once for
+    assignment and once for in-cell scoring — no corpus self-shuffle.
+    Output is ids+rank only so float accumulation can't flip the hash."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    c = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("dot"), F.asc("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "e", "cid", dot_c.alias("dot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    q = assign.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_emb"),
+        F.col("cid").alias("q_cid"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("e"), F.col("q_emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("q_cid"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), dot_q.alias("dot")
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
+@_q(
+    "join_asof",
+    """
+    SELECT event_id, user_id, ts_us, prior_click_id FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, kind,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
+      FROM (
+        SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_id
+        FROM events WHERE event_type = 'error'
+      )
+    ) WHERE kind = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join via union + ordered window (the shuffle-minimal idiom):
+    for each error event, the same user's latest click at-or-before it.
+
+    Scale: ONE shuffle on user_id; the inequality never becomes a join
+    predicate (no range-join explosion), and state is a single value per
+    partition scan.  Ties: clicks sort before errors at equal ts (kind), and
+    the latest click event_id wins."""
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("kind"), F.col("event_id").alias("click_id"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("kind"), F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(errors)
+        .withColumn(
+            "prior_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "prior_click_id",
+        )
+    )
+
+
+@_q(
+    "join_range",
+    """
+    SELECT band_id,
+           cast(count(*) AS bigint) AS n_parts,
+           cast(sum(cast(round(p_retailprice * 100) AS bigint)) AS bigint) AS sum_price_cents
+    FROM part
+    JOIN (SELECT range AS band_id, 900 + range * 10.0 AS lo, 900 + (range + 1) * 10.0 AS hi
+          FROM range(0, 10)) bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range (non-equi) join: parts bucketed into broadcast price bands.
+
+    Scale: the band table is tiny and broadcast — Spark plans a
+    BroadcastNestedLoopJoin whose inner side is 25 rows, so the scan streams
+    once; the aggregation is an ordinary hash agg on band_id."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (900 + F.col("id") * 10.0).alias("lo"),
+        (900 + (F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(_cents(F.col("p_retailprice"))).alias("sum_price_cents"),
+        )
+    )
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id, 'text/plain' AS mime,
+           cast(strlen(text) AS bigint) AS n_bytes,
+           cast(ascii(substr(text, 1, 1)) AS bigint) AS first_byte,
+           cast(list_sum(list_transform(range(least(16, strlen(text))),
+                                        i -> ascii(substr(text, i+1, 1)))) AS bigint) AS head_sum
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text -> opaque binary payload +
+    metadata struct -> Arrow-batched mapInPandas feature extraction
+    (deterministic fake decode; codec stubbed per environment).
+
+    The oracle recomputes the byte-level features in SQL — possible only
+    because the fake decode is the identity on ASCII payloads; the Spark
+    side genuinely round-trips binary through pandas batches."""
+    from ..operators.multimodal import attach_binary, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(attach_binary(d, "doc_id", "text"), fake=True)
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q5_region_revenue(spark, sf_dir)

@@ -1,0 +1,114 @@
+"""Dedup operator semantics: MinHash/LSH, SimHash, Jaccard, embedding LSH.
+
+Property-style checks on tiny literal corpora (exact expectations, no
+oracle round-trip — scripts/oracle_check.py covers engine parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from substreams_sink_graph_load_spark.functions.hashing import (
+    PRIME31,
+    perm_params,
+)
+from substreams_sink_graph_load_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_candidate_pairs,
+    minhash_sketch,
+    ngram_jaccard_pairs,
+    simhash60,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup
+    (3, "the quick brown fox leaps over the lazy dog", "a"),  # near dup
+    (4, "completely different words entirely unrelated text here", "a"),
+    (5, "the quick brown fox jumps over the lazy dog", "b"),  # dup, other bucket
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_perm_params_deterministic():
+    assert perm_params(4) == perm_params(4)
+    assert all(a != 0 and 0 <= b < PRIME31 for a, b in perm_params(16))
+
+
+def test_minhash_identical_docs_identical_sketch(docs, spark):
+    sk = minhash_sketch(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in sk}
+    assert by_id[1]["sig"] == by_id[2]["sig"] == by_id[5]["sig"]
+    for b in range(4):
+        assert by_id[1][f"band_{b}"] == by_id[2][f"band_{b}"]
+    # near-dup shares most signature positions, disjoint doc shares few
+    agree = lambda x, y: sum(a == b for a, b in zip(by_id[x]["sig"], by_id[y]["sig"]))
+    assert agree(1, 3) > agree(1, 4)
+
+
+def test_minhash_pairs_find_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)]["n_sig_agree"] == 16
+    assert pairs[(1, 2)]["n_shared_bands"] == 4
+    assert (1, 4) not in pairs  # unrelated docs never collide on a band
+
+
+def test_minhash_max_bucket_caps_skew(spark):
+    # 30 copies of one doc: bucket cap excludes the hot bucket entirely
+    rows = [(i, "same text repeated everywhere", "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    assert capped.count() == 0
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text")
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_simhash_properties(docs, spark):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash60(F.col("text")).alias("sh")).collect()
+    }
+    assert out[1] == out[2]  # identical text -> identical simhash
+    assert 0 <= out[1] < (1 << 60)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])  # near-dup closer
+
+
+def test_ngram_jaccard_blocking(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in ngram_jaccard_pairs(
+            docs, bucket_cols=("source",), min_jaccard_ppm=0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1_000_000  # identical -> jaccard 1.0
+    assert (1, 5) not in pairs  # different source bucket: never compared
+    assert 0 < pairs[(1, 3)] < 1_000_000
+
+
+def test_embedding_neardup(spark):
+    import math
+
+    base = [math.sin(i * 0.7) for i in range(16)]
+    near = [x + 0.01 for x in base]
+    anti = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, anti)], "vec_id long, embedding array<double>"
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_ppm"]
+        for r in embedding_neardup_pairs(
+            df, dim=16, min_cos_ppm=900_000
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 990_000
+    assert (1, 3) not in pairs  # antipodal: opposite signs, no band collision
