@@ -103,16 +103,24 @@ def read_change_jsonl(spark: SparkSession, path: str | list[str]) -> DataFrame:
     is used (not ``spark.read.json``) so we can carry the per-file byte
     offset as the intra-file order — JSON inference is avoided entirely.
     """
-    raw = (
-        spark.read.text(path)
-        .select(
-            F.col("value"),
-            F.col("_metadata.file_path").alias("_file"),
-            # generated during the scan in row order per partition; the text
-            # source emits each file's lines in byte order, so ordering by it
-            # *within a file* recovers the exact line number.
-            F.monotonically_increasing_id().alias("_mid"),
-        )
+    raw = spark.read.text(path).select(
+        F.col("value"), F.col("_metadata.file_path").alias("_file")
+    )
+    return parse_change_lines(raw)
+
+
+def parse_change_lines(raw: DataFrame) -> DataFrame:
+    """Parse (value, _file) text rows into typed change rows with a stable
+    per-file line order.  Shared by the batch scan and the streaming
+    ``foreachBatch`` path (each microbatch is a plain batch DataFrame here).
+    """
+    raw = raw.select(
+        "value",
+        "_file",
+        # generated during the scan in row order per partition; the text
+        # source emits each file's lines in byte order, so ordering by it
+        # *within a file* recovers the exact line number.
+        F.monotonically_increasing_id().alias("_mid"),
     )
     w = Window.partitionBy("_file").orderBy("_mid")
     parsed = raw.select(

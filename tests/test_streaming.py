@@ -1,0 +1,88 @@
+"""Streaming pipeline equivalence: run_stream (microbatched, stateful) must
+produce byte-identical bundled CSV to the batch tocsv path.
+
+The file stream delivers bundles in modification-time order; fixtures get
+explicit increasing mtimes (the reference's source contract is strictly
+block-ordered input, SURVEY §2.10 T1).
+"""
+
+import os
+import time
+
+import pytest
+
+from test_pipeline_e2e import ACCOUNT_EVENTS, TRANSFER_EVENTS, SDL, read_csv
+import json
+
+from substreams_sink_graph_load_spark.streaming import run_stream
+from substreams_sink_graph_load_spark.tocsv import tocsv
+
+
+@pytest.fixture()
+def fixture_dirs(tmp_path):
+    src = tmp_path / "jsonl"
+    schema_file = tmp_path / "schema.graphql"
+    schema_file.write_text(SDL)
+    now = time.time()
+    for entity, files in (("account", ACCOUNT_EVENTS), ("transfer", TRANSFER_EVENTS)):
+        d = src / entity
+        d.mkdir(parents=True)
+        for i, (fname, events) in enumerate(sorted(files.items())):
+            p = d / fname
+            with open(p, "w") as fh:
+                for e in events:
+                    fh.write(json.dumps(e) + "\n")
+            os.utime(p, (now + i, now + i))  # force block-ordered delivery
+    return str(src), str(tmp_path)
+
+
+def _run_both(spark, src, base, entity, schema_file, stop_block):
+    batch_dest = os.path.join(base, "batch_csv")
+    stream_dest = os.path.join(base, "stream_csv")
+    tocsv(spark, src, batch_dest, entity, schema_file, stop_block=stop_block, bundle_size=1000)
+    files = run_stream(
+        spark, src, stream_dest, entity, schema_file,
+        stop_block=stop_block, bundle_size=1000,
+    )
+    return batch_dest, stream_dest, files
+
+
+def test_stream_equals_batch_mutable(spark, fixture_dirs):
+    src, base = fixture_dirs
+    schema_file = os.path.join(base, "schema.graphql")
+    batch_dest, stream_dest, files = _run_both(
+        spark, src, base, "account", schema_file, 3000
+    )
+    names = [os.path.basename(f) for f in files]
+    assert names == [
+        "0000000000-0000000999.csv",
+        "0000001000-0000001999.csv",
+        "0000002000-0000002999.csv",
+    ]
+    for n in names:
+        assert read_csv(stream_dest, "account", n) == read_csv(batch_dest, "account", n)
+    # cross-batch state: version closed by a DELETE two bundles later
+    assert 'a1,"[500,2100)"' in read_csv(stream_dest, "account", names[2])
+    with open(os.path.join(stream_dest, "last_block.txt")) as fh:
+        assert fh.read() == "2200:\n"
+
+
+def test_stream_equals_batch_immutable(spark, fixture_dirs):
+    src, base = fixture_dirs
+    schema_file = os.path.join(base, "schema.graphql")
+    batch_dest, stream_dest, files = _run_both(
+        spark, src, base, "transfer", schema_file, 3000
+    )
+    for f in files:
+        n = os.path.basename(f)
+        assert read_csv(stream_dest, "transfer", n) == read_csv(batch_dest, "transfer", n)
+
+
+def test_stream_stop_block(spark, fixture_dirs):
+    src, base = fixture_dirs
+    schema_file = os.path.join(base, "schema.graphql")
+    _, stream_dest, files = _run_both(
+        spark, src, base, "account", schema_file, 2500
+    )
+    assert os.path.basename(files[-1]) == "0000002000-0000002499.csv"
+    assert 'a2,"[2200,)"' in read_csv(stream_dest, "account", "0000002000-0000002499.csv")
