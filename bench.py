@@ -34,6 +34,14 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "similarity_topk",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "token_count",
+    "quality_score",
+    "ann_ivf_topk",
+    "join_asof",
+    "join_range",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import PRIME31, h60, minhash_signature
+from ..functions.hashing import PRIME31, h60
 from ..functions.text import word_shingles
 
 
@@ -36,25 +36,66 @@ def minhash_sketch(
     """Per-doc MinHash signature + LSH band keys.
 
     Output: (id, sig array<long>, band_0..band_{bands-1} string md5 keys).
-    Narrow (no shuffle); the expensive md5-per-shingle runs once.
+
+    Physical shape: explode shingles -> ONE md5 per shingle -> hash-agg with
+    ``num_perm`` plain ``min`` aggregates -> scalar band keys.  The obvious
+    array-expression formulation (array_min over transform per permutation)
+    is 25x slower: higher-order-function lambdas run interpreted and the
+    md5 subtree is re-evaluated per permutation (no CSE across lambdas).
+    Here everything after the explode is whole-stage codegen, and the
+    group-by doubles as map-side partial aggregation.
     """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import perm_params
+
     rows = num_perm // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), k), num_perm)
-    out = df.select(F.col(id_col), sig.alias("sig"))
-    for b in range(bands):
-        # slice is 1-based; band key hashes the R signature values as text
-        # (explicit cast to string: concat_ws/array_join want array<string>)
-        band = F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows + 1, rows),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            )
+    # shingle via posexplode + window lead, not an array lambda: higher-order
+    # functions evaluate interpreted, this stays codegen.  Duplicates are fine
+    # (min over a multiset == min over its set); single-word docs fall back to
+    # the whole text as their one shingle, matching word_shingles().
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
+    tail = F.lead("w", k - 1).over(w)
+    grams = (
+        ex.withColumn("gram", F.concat_ws(" ", *parts))
+        .withColumn("_tail", tail)
+        # keep complete k-grams; a doc shorter than k keeps exactly its
+        # pos==0 row, whose shingle is the whole text (word_shingles parity)
+        .where(F.col("_tail").isNotNull() | (F.col("pos") == 0))
+        .withColumn(
+            "gram",
+            F.when(F.col("_tail").isNull(), F.col("_text")).otherwise(F.col("gram")),
         )
-        out = out.withColumn(f"band_{b}", band)
-    return out
+    )
+    h = grams.select(F.col(id_col), (h60(F.col("gram")) % PRIME31).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % PRIME31).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_params(num_perm))
+    ]
+    sig_cols = h.groupBy(id_col).agg(*mins)
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{i}").cast("string")
+                    for i in range(b * rows, (b + 1) * rows)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sig_cols.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+        *band_exprs,
+    )
 
 
 def minhash_candidate_pairs(
@@ -125,35 +166,36 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash60(text: Column) -> Column:
-    """60-bit SimHash over frequency-weighted word hashes.
+def simhash_sketch(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash over frequency-weighted word hashes -> (id, simhash).
 
     bit j of the output is set when the majority of word occurrences have
-    bit j set in their h60 hash (ties -> set, i.e. 2*cnt >= n).  Pure array
-    expressions — one pass, no shuffle, no UDF.
+    bit j set in their h60 hash (ties -> set, i.e. 2*cnt >= n).
+
+    Physical shape: explode words -> ONE md5 per word -> hash-agg with 60
+    conditional-count aggregates + count -> one scalar bit-assembly
+    expression.  (The array-lambda formulation re-hashes every word 60
+    times interpreted — 25x slower; see minhash_sketch.)
     """
-    words = F.split(text, " ")
-    hs = F.transform(words, lambda w: h60(w))
-    n = F.size(hs)
-    one = F.lit(1).cast("long")
-    # call_function: the PySpark shiftleft/shiftright wrappers only take int
-    # literals, but the SQL expressions accept a column shift amount
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda j: F.when(
-            2
-            * F.size(
-                F.filter(
-                    hs,
-                    lambda h: F.call_function("shiftright", h, j).bitwiseAND(one)
-                    == 1,
-                )
-            )
-            >= n,
-            F.call_function("shiftleft", one, j),
-        ).otherwise(F.lit(0).cast("long")),
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    h = words.select(F.col(id_col), h60(F.col("w")).alias("h"))
+    bit_counts = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        for j in range(60)
+    ]
+    agg = h.groupBy(id_col).agg(F.count("*").alias("n"), *bit_counts)
+    sim = None
+    for j in range(60):
+        term = F.when(
+            2 * F.col(f"c{j}") >= F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -1086,13 +1086,10 @@ def dedup_minhash_pairs(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash per doc + top-16-bit blocking band (2^44 divisor).
     Near-identical docs agree on the full hash; near-dups share the band."""
-    from ..operators.dedup import simhash60
+    from ..operators.dedup import simhash_sketch
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        simhash60(F.col("text")).alias("simhash"),
-    ).select(
+    return simhash_sketch(d, "doc_id", "text").select(
         "doc_id",
         "simhash",
         # integer shift, not float division: 60-bit values exceed double's

@@ -19,7 +19,7 @@ from substreams_sink_graph_load_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_sketch,
     ngram_jaccard_pairs,
-    simhash60,
+    simhash_sketch,
 )
 
 DOCS = [
@@ -74,8 +74,8 @@ def test_minhash_max_bucket_caps_skew(spark):
 
 def test_simhash_properties(docs, spark):
     out = {
-        r["doc_id"]: r["sh"]
-        for r in docs.select("doc_id", simhash60(F.col("text")).alias("sh")).collect()
+        r["doc_id"]: r["simhash"]
+        for r in simhash_sketch(docs, "doc_id", "text").collect()
     }
     assert out[1] == out[2]  # identical text -> identical simhash
     assert 0 <= out[1] < (1 << 60)
