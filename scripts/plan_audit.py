@@ -1,0 +1,45 @@
+"""Physical-plan audit: shuffle/broadcast/pushdown counts per headline query
+(feeds PLANS.md).  Formatted-mode explain lists each node twice (tree +
+details), so raw counts are halved."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from substreams_sink_graph_load_spark.session import get_spark
+from substreams_sink_graph_load_spark.plans import QUERIES
+
+AUDIT = [
+    "q1_pricing_summary", "q5_region_revenue", "q3_shipping_priority",
+    "scd2_versions", "join_asof", "join_range", "similarity_topk",
+    "ann_ivf_topk", "dedup_minhash", "dedup_minhash_pairs",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in sys.argv[1:] or AUDIT:
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        s = buf.getvalue()
+        exch = len(re.findall(r"\bExchange\b", s)) // 2
+        bc = len(re.findall(r"\bBroadcastExchange\b", s)) // 2
+        bnlj = len(re.findall(r"BroadcastNestedLoopJoin", s)) // 2
+        pushed = sorted({p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if p})
+        print(f"{name}: shuffles={exch} broadcasts={bc} bnlj={bnlj} pushed_filters={len(pushed)}")
+        for p in pushed[:3]:
+            print(f"    {p[:110]}")
+
+
+if __name__ == "__main__":
+    main()

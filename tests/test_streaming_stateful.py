@@ -1,0 +1,142 @@
+"""Continuous-mode streaming ops: applyInPandasWithState SCD-2 and
+watermarked windows, driven with availableNow over file streams and
+compared against their batch twins."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from substreams_sink_graph_load_spark.streaming.stateful import (
+    stateful_versions,
+)
+from substreams_sink_graph_load_spark.streaming.windows import (
+    windowed_event_counts,
+)
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("block_num", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("operation", T.IntegerType()),
+        T.StructField("fields_json", T.StringType()),
+    ]
+)
+
+EVENTS = [
+    # (id, block, seq, op, fields)
+    ("a1", 1, 0, 1, {"name": "alice", "balance": "100"}),
+    ("a1", 500, 1, 2, {"balance": "250"}),          # closes [1,500)
+    ("b1", 600, 2, 1, {"name": "bob"}),
+    ("a1", 2100, 3, 3, {}),                          # delete: closes [500,2100)
+    ("b1", 2200, 4, 4, {}),                          # final: [600,) open, evicted
+    ("c1", 2300, 5, 1, {"name": "carol"}),           # stays open in state
+]
+
+
+@pytest.fixture()
+def change_files(tmp_path):
+    """Two jsonl batches split mid-history to force cross-trigger state."""
+    d = tmp_path / "changes"
+    d.mkdir()
+    import time
+
+    now = time.time()
+    for i, chunk in enumerate([EVENTS[:3], EVENTS[3:]]):
+        p = d / f"part-{i}.jsonl"
+        with open(p, "w") as fh:
+            for id_, block, seq, op, fields in chunk:
+                fh.write(
+                    json.dumps(
+                        {
+                            "id": id_,
+                            "block_num": block,
+                            "seq": seq,
+                            "operation": op,
+                            "fields_json": json.dumps(
+                                fields, sort_keys=True, separators=(",", ":")
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_stateful_versions_stream(spark, change_files, tmp_path):
+    stream = (
+        spark.readStream.format("json")
+        .schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(change_files)
+    )
+    out = stateful_versions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("versions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["id"], r["block_range_start"], r["block_range_end"]): r["fields_json"]
+        for r in spark.sql("select * from versions_out").collect()
+    }
+    # a1's first version closed across triggers? no - same trigger; the
+    # cross-trigger case is a1 [500,2100): opened in trigger 0, deleted in 1
+    assert rows[("a1", 1, 500)] == '{"balance":"100","name":"alice"}'
+    assert rows[("a1", 500, 2100)] == '{"balance":"250","name":"alice"}'
+    assert rows[("b1", 600, None)] == '{"name":"bob"}'      # FINAL: open
+    assert ("c1", 2300, None) not in rows                    # still in state
+    assert len(rows) == 3
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    # micro-timestamped events parquet as a file stream
+    batch = spark.createDataFrame(
+        [(i, f"t{i % 2}", float(i % 7)) for i in range(500)],
+        "n long, event_type string, value double",
+    ).select(
+        F.timestamp_micros((F.lit(1_700_000_000_000_000) + F.col("n") * 60_000_000)).alias("ts"),
+        "event_type",
+        "value",
+    )
+    src = str(tmp_path / "events_src")
+    batch.write.parquet(src)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match batch, and most windows must have closed
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    # 2h watermark holds the last ~3 hourly windows open per event type
+    assert len(got) >= len(expected) - 6
