@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves stringized hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1425,6 +1427,199 @@ def multimodal_features(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return extract_features(attach_binary(d, "doc_id", "text"), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "typed_extract",
+    """
+    SELECT cast(o_orderkey AS varchar) AS id,
+           o_orderstatus AS status,
+           cast(cast(round(o_totalprice*100) AS bigint) AS varchar) AS total_cents,
+           cast(day(o_orderdate) AS integer) AS ship_priority
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def typed_extract_q(spark, sf_dir):
+    """Typed-value extraction differential (§2.2 P2): rows are ENCODED into
+    the reference's JSONL wire layout (entity_change/fields/new_value/Typed)
+    with to_json, decoded with the engine's from_json schema + typed
+    extraction, and must round-trip exactly to what the oracle computes
+    directly from the source columns."""
+    from ..schema.entities import parse_schema
+    from ..sources.jsonl import CHANGE_JSON_SCHEMA, typed_extract
+
+    sdl = """
+    type Order @entity {
+      id: ID!
+      status: String!
+      totalCents: BigInt!
+      shipPriority: Int!
+    }
+    """
+    desc = parse_schema(sdl)["order"]
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+
+    # one shared Typed struct type; to_json drops the null members so the
+    # wire layout keeps the reference's single-key Typed objects
+    def typed(name, s=None, b=None, i=None):
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.struct(
+                F.struct(
+                    (s if s is not None else F.lit(None).cast("string")).alias("String_"),
+                    (b if b is not None else F.lit(None).cast("string")).alias("Bigint"),
+                    (i if i is not None else F.lit(None).cast("int")).alias("Int32"),
+                ).alias("Typed")
+            ).alias("new_value"),
+        )
+
+    wire = o.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("Order").alias("entity"),
+                    F.col("o_orderkey").cast("string").alias("id"),
+                    F.lit(1).alias("operation"),
+                    F.array(
+                        typed("status", s=F.col("o_orderstatus")),
+                        typed("totalCents", b=_cents(F.col("o_totalprice")).cast("string")),
+                        typed("shipPriority", i=F.dayofmonth("o_orderdate").cast("int")),
+                    ).alias("fields"),
+                ).alias("entity_change"),
+                F.col("o_orderkey").alias("block_num"),
+            )
+        ).alias("value")
+    )
+    parsed = wire.select(F.from_json("value", CHANGE_JSON_SCHEMA).alias("j")).select(
+        F.col("j.block_num").alias("block_num"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("j.entity_change.id").alias("id"),
+        F.col("j.entity_change.operation").alias("operation"),
+        F.col("j.entity_change.fields").alias("fields"),
+    )
+    out = typed_extract(parsed, desc, originals=list(desc.fields))
+    return out.select("id", "status", "total_cents", "ship_priority")
+
+
+@_q(
+    "normalize_names",
+    r"""
+    SELECT part_name,
+           lower(regexp_replace(part_name, '([a-z])([A-Z])', '\1_\2', 'g')) AS snake
+    FROM (SELECT DISTINCT
+            concat(upper(substr(w1,1,1)), substr(w1,2),
+                   upper(substr(w2,1,1)), substr(w2,2)) AS part_name
+          FROM (SELECT string_split(p_name, ' ')[1] AS w1,
+                       string_split(p_name, ' ')[2] AS w2
+                FROM part))
+    """,
+)
+def normalize_names_q(spark, sf_dir):
+    """camelCase -> snake_case normalization (§2.2 P1, schema/normalize.go).
+    The engine runs its full caser (acronym/digit rules, unit-tested against
+    the reference's cases) via a scalar UDF; the oracle replays the
+    letters-only subset these inputs exercise with a regex.  Schema-time op:
+    the UDF cost is per distinct NAME, never per data row."""
+    from pyspark.sql.functions import udf
+
+    from ..schema.normalize import normalize_field
+
+    norm = udf(normalize_field, "string")
+    p = _t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    camel = F.concat(F.initcap(F.get(words, 0)), F.initcap(F.get(words, 1)))
+    return (
+        p.select(camel.alias("part_name"))
+        .distinct()
+        .select("part_name", norm("part_name").alias("snake"))
+    )
+
+
+@_q(
+    "validate_notnull",
+    """
+    SELECT event_id, 'value' AS missing_field
+    FROM events WHERE event_type = 'purchase' AND value < 1.0
+    """,
+)
+def validate_notnull_q(spark, sf_dir):
+    """Non-null validation report (§2.2 P7): purchase events with a
+    synthesized-absent required field surface as (row id, field name) —
+    the report the engine raises on in strict mode."""
+    e = _events(spark, sf_dir)
+    required = F.when(F.col("value") >= 1.0, F.col("value"))  # synth nulls
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("req", required)
+        .where(F.col("req").isNull())
+        .select("event_id", F.lit("value").alias("missing_field"))
+    )
+
+
+@_q(
+    "filter_range",
+    """
+    SELECT (event_id // 10) - ((event_id // 10) % 100) AS bundle_start,
+           cast(count(*) AS bigint) AS n_events
+    FROM events
+    WHERE event_id // 10 >= 150 AND event_id // 10 < 750
+    GROUP BY 1
+    """,
+)
+def filter_range_q(spark, sf_dir):
+    """Block/bundle range pruning (§2.2 P4-P5): start/stop predicates sit
+    directly on the scan (pushdown-eligible), bundle assignment is pure
+    arithmetic."""
+    e = _events(spark, sf_dir)
+    block = F.expr("event_id div 10")
+    return (
+        e.where((block >= 150) & (block < 750))
+        .groupBy((block - (block % 100)).alias("bundle_start"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
+@_q("bigdecimal_normalize")  # graph-node rounding semantics: rows-only check
+def bigdecimal_normalize_q(spark, sf_dir):
+    """BigDecimal normalization (§2.9 F9): parse sci-notation, cut to 34
+    significant digits rounding toward +inf, strip trailing zeros.  Golden-
+    vector validated against stablehash/big_decimal_test.go; no SQL oracle
+    (DecimalType rounds half-up — provably different on the goldens), so the
+    driver records the rows-only check.  Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..stablehash.big_decimal import BigDecimal
+
+    @pandas_udf("string")
+    def norm_int(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: str(BigDecimal.from_string(v).int_val))
+
+    @pandas_udf("long")
+    def norm_scale(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: BigDecimal.from_string(v).scale)
+
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    raw = F.format_string(
+        "%.4fe%d", F.col("l_extendedprice"), (F.col("l_linenumber") - 3)
+    )
+    return l.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        raw.alias("raw"),
+    ).select(
+        "l_orderkey", "l_linenumber", "raw",
+        norm_int("raw").alias("int_val"),
+        norm_scale("raw").alias("scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q5_region_revenue(spark, sf_dir)
