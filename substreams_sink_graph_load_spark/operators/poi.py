@@ -22,7 +22,7 @@ import json
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..stablehash.poi import ProofOfIndexing, chain_block_states
@@ -86,4 +86,79 @@ def poi_chain(
         prev = digest
     return spark.createDataFrame(
         rows or [], "block_num long, id string, digest string"
+    )
+
+
+def poi_entity_versions(chain: DataFrame) -> DataFrame:
+    """``poi2$`` entity rows from the digest chain: each digest change is an
+    UPDATE at its block, so version i spans ``[block_i, block_{i+1})`` and
+    the newest digest stays open (the reference routes poi2$ through the
+    same bundler/tocsv pipeline as any mutable entity; sinker.go:255-269 +
+    schema/entities.go:108-124 poi2$ = {id: chain-id, digest: Bytes}).
+    """
+    w = Window.partitionBy("id").orderBy("block_num")
+    return chain.select(
+        "id",
+        F.col("block_num").alias("block_range_start"),
+        F.lead("block_num").over(w).alias("block_range_end"),
+        "digest",
+    )
+
+
+def render_poi_csv(versions: DataFrame, bundle_size: int) -> DataFrame:
+    """CSV rows for the poi2$ table: ``id,block_range,digest`` with the
+    digest as a Postgres hex bytea literal (the chain already carries hex).
+    Rows route to the bundle of their *closing* block, open rows to their
+    start block — same rule as every mutable entity."""
+    from .bundles import bundle_start_col
+    from .pg_csv import csv_quote, pg_block_range
+
+    rng = pg_block_range(F.col("block_range_start"), F.col("block_range_end"))
+    line = F.concat_ws(
+        ",",
+        csv_quote(F.col("id")),
+        csv_quote(rng),
+        csv_quote(F.concat(F.lit("\\x"), F.col("digest"))),
+    )
+    emit = F.coalesce(F.col("block_range_end"), F.col("block_range_start"))
+    return versions.select(
+        line.alias("line"),
+        bundle_start_col(emit, bundle_size).alias("bundle_start"),
+        emit.alias("_order_block"),
+        F.col("block_range_start").alias("_order_seq"),
+    )
+
+
+def poi_tocsv(
+    spark: SparkSession,
+    raw: DataFrame,
+    dest_dir: str,
+    chain_id: str,
+    stop_block: int,
+    bundle_size: int = 1000,
+    start_poi: bytes | None = None,
+) -> list[str]:
+    """End-to-end poi2$ pipeline: interleaved change stream -> digest chain
+    -> SCD-2 versions -> bundled ``poi2$`` CSV files (header
+    ``id,block_range,digest``).  ``raw`` must be the PRE-demux stream
+    (block_num, seq, value): the per-block event index that addresses the
+    hash is global across entities (sinker.go:232-253)."""
+    import os
+
+    from .bundles import write_bundled_csv
+
+    chain = poi_chain(spark, raw, chain_id, start_poi=start_poi)
+    versions = poi_entity_versions(chain)
+    rendered = render_poi_csv(versions, bundle_size)
+    dest = os.path.join(dest_dir, "poi2$")
+    os.makedirs(dest, exist_ok=True)
+    return write_bundled_csv(
+        spark,
+        rendered,
+        dest,
+        header="id,block_range,digest",
+        first_block=0,
+        stop_block=stop_block,
+        bundle_size=bundle_size,
+        order_cols=["_order_block", "_order_seq"],
     )

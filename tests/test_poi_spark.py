@@ -90,3 +90,32 @@ def test_block_states_are_independent(spark):
         assert len(s) == 32
         h = FastHasher.from_bytes(s)
         assert h.count > 0
+
+
+def test_poi_tocsv_bundles(spark, tmp_path):
+    """poi2$ CSV parity: version rows span digest-change blocks, digests
+    match the sequential reference fold, files bundle like any entity."""
+    from substreams_sink_graph_load_spark.operators.poi import poi_tocsv
+
+    raw = spark.createDataFrame(EVENTS, "block_num long, seq long, value string")
+    files = poi_tocsv(
+        spark, raw, str(tmp_path), "chain-1", stop_block=10, bundle_size=5
+    )
+    import os
+
+    assert [os.path.basename(f) for f in files] == [
+        "0000000000-0000000004.csv",
+        "0000000005-0000000009.csv",
+    ]
+    expected = _sequential_chain()  # [(1, d1), (3, d3), (7, d7)]
+    with open(files[0]) as fh:
+        b0 = fh.read().splitlines()
+    with open(files[1]) as fh:
+        b1 = fh.read().splitlines()
+    assert b0[0] == b1[0] == "id,block_range,digest"
+    # [1,3) closes at block 3 (bundle 0); [3,7) closes at 7 (bundle 5);
+    # [7,) open, flushed into its start block's bundle
+    assert b0[1] == f'chain-1,"[1,3)",\\x{expected[0][1].hex()}'
+    assert b1[1] == f'chain-1,"[3,7)",\\x{expected[1][1].hex()}'
+    assert b1[2] == f'chain-1,"[7,)",\\x{expected[2][1].hex()}'
+    assert len(b0) == 2 and len(b1) == 3
