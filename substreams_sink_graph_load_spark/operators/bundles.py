@@ -54,37 +54,42 @@ def expected_bundles(first_block: int, stop_block: int, bundle_size: int) -> lis
     return [bundle_filename(s, e) for s, e in boundaries(first_block, stop_block, bundle_size)]
 
 
-def write_bundled_csv(
+def write_bundled_lines(
     spark: SparkSession,
     lines: DataFrame,
     dest_dir: str,
-    header: str,
+    header: str | None,
     first_block: int,
     stop_block: int,
     bundle_size: int,
     order_cols: list[str] | None = None,
+    ext: str = "csv",
 ) -> list[str]:
-    """Write a ``line``-column DataFrame as bundled CSV files.
+    """Write a ``line``-column DataFrame as bundled text files.
 
     ``lines`` must carry ``bundle_start`` (long) and ``line`` (string); any
-    ``order_cols`` define deterministic row order within a bundle.  Returns
-    the list of files written (every expected bundle, including empty ones).
+    ``order_cols`` define deterministic row order within a bundle.  With a
+    ``header`` (CSV mode) every expected bundle gets a header row; without
+    one (JSONL mode) empty bundles materialize as empty files.  Returns the
+    list of files written (every expected bundle, including empty ones).
     """
     bounds = boundaries(first_block, stop_block, bundle_size)
     order_cols = order_cols or []
 
-    # Header sorts before data via the _hdr flag; one header row per expected
-    # bundle also materializes empty bundles.
-    hdr_rows = spark.createDataFrame(
-        [(int(s), header) for s, _ in bounds], "bundle_start long, line string"
-    ).select("bundle_start", F.lit(0).alias("_hdr"), *[F.lit(0).cast("long").alias(c) for c in order_cols], "line")
     data_rows = lines.select(
         "bundle_start", F.lit(1).alias("_hdr"), *[F.col(c).cast("long") for c in order_cols], "line"
     )
+    if header is not None:
+        # Header sorts before data via the _hdr flag; one header row per
+        # expected bundle also materializes empty bundles.
+        hdr_rows = spark.createDataFrame(
+            [(int(s), header) for s, _ in bounds], "bundle_start long, line string"
+        ).select("bundle_start", F.lit(0).alias("_hdr"), *[F.lit(0).cast("long").alias(c) for c in order_cols], "line")
+        data_rows = hdr_rows.unionByName(data_rows)
 
     staged = os.path.join(dest_dir, "_staged")
     (
-        hdr_rows.unionByName(data_rows)
+        data_rows
         .repartition("bundle_start")
         .sortWithinPartitions("bundle_start", "_hdr", *order_cols)
         # text sink accepts exactly one string column; the projection after
@@ -100,9 +105,11 @@ def write_bundled_csv(
     for s, e in bounds:
         part_dir = os.path.join(staged, f"bundle_start={s}")
         parts = sorted(glob.glob(os.path.join(part_dir, "part-*")))
-        target = os.path.join(dest_dir, bundle_filename(s, e))
+        target = os.path.join(dest_dir, bundle_filename(s, e, ext))
         if len(parts) == 1:
             shutil.move(parts[0], target)
+        elif not parts:  # empty bundle, headerless mode: empty file
+            open(target, "wb").close()
         else:  # defensive: concatenate (shouldn't happen post-repartition)
             with open(target, "wb") as out:
                 for p in parts:
@@ -111,3 +118,20 @@ def write_bundled_csv(
         written.append(target)
     shutil.rmtree(staged, ignore_errors=True)
     return written
+
+
+def write_bundled_csv(
+    spark: SparkSession,
+    lines: DataFrame,
+    dest_dir: str,
+    header: str,
+    first_block: int,
+    stop_block: int,
+    bundle_size: int,
+    order_cols: list[str] | None = None,
+) -> list[str]:
+    """Bundled CSV files (header per bundle) — see write_bundled_lines."""
+    return write_bundled_lines(
+        spark, lines, dest_dir, header, first_block, stop_block,
+        bundle_size, order_cols, ext="csv",
+    )

@@ -1,0 +1,126 @@
+"""Custom Structured Streaming source — the gRPC substreams role
+(SURVEY §2.1 S1) as a Spark 4 Python ``DataSourceStreamReader``.
+
+The reference's source is a remote cursor-tracked stream of per-block
+entity-change payloads (ref sinker/sinker.go:203-274; the substreams sink
+library keeps the cursor).  The transport here is a growing local JSONL
+"wire" file standing in for the gRPC channel — the *contract* is identical:
+
+- offsets are line positions (the cursor); Spark checkpoints them and
+  resumes exactly where it stopped (T5),
+- each microbatch is the half-open line range [start, end),
+- the source is replayable from any committed offset (gRPC reconnect +
+  cursor replay in the reference).
+
+A production deployment swaps ``_read_lines`` for a gRPC client; nothing
+else changes.
+
+Register + use::
+
+    spark.dataSource.register(EntityChangesDataSource)
+    df = (spark.readStream.format("entity_changes")
+          .option("path", wire_file).load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WIRE_SCHEMA = StructType(
+    [
+        StructField("block_num", LongType()),
+        StructField("seq", LongType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+class _LineRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class EntityChangesStreamReader(DataSourceStreamReader):
+    """Line-cursor stream reader over the wire file."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("option 'path' (wire JSONL file) is required")
+        self.batch_lines = int(options.get("maxlinesperbatch", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _count_lines(self) -> int:
+        if not os.path.exists(self.path):
+            return 0
+        with open(self.path, "rb") as fh:
+            return sum(1 for _ in fh)
+
+    def latestOffset(self) -> dict:
+        return {"line": self._count_lines()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        s, e = start["line"], end["line"]
+        out = []
+        while s < e:
+            nxt = min(s + self.batch_lines, e)
+            out.append(_LineRange(self.path, s, nxt))
+            s = nxt
+        return out or [_LineRange(self.path, start["line"], start["line"])]
+
+    def read(self, partition: _LineRange) -> Iterator[tuple]:
+        if partition.end <= partition.start:
+            return
+        with open(partition.path) as fh:
+            for i, line in enumerate(fh):
+                if i < partition.start:
+                    continue
+                if i >= partition.end:
+                    break
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                try:
+                    block = int(json.loads(line).get("block_num", -1))
+                except (json.JSONDecodeError, TypeError, ValueError):
+                    block = -1
+                yield (block, i, line)
+
+    def commit(self, end: dict) -> None:
+        # cursor durability is Spark's checkpoint; the reference's sink
+        # library does the same with the substreams cursor
+        pass
+
+
+class EntityChangesDataSource(DataSource):
+    """``format("entity_changes")`` — streaming source of raw change lines
+    with (block_num, seq) extracted, seq = global line cursor (the stable
+    per-stream order SURVEY §2.3 requires)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "entity_changes"
+
+    def schema(self) -> StructType:
+        return WIRE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> EntityChangesStreamReader:
+        return EntityChangesStreamReader(self.options)

@@ -1,0 +1,130 @@
+"""Full `run` parity: interleaved wire stream -> custom DataSource ->
+demuxed per-entity JSONL bundles (+ poi2$ chain + last_block.txt) ->
+tocsv -> CSVs identical to the batch pipeline over hand-laid JSONL."""
+
+import json
+import os
+
+import pytest
+
+from test_pipeline_e2e import ACCOUNT_EVENTS, TRANSFER_EVENTS, SDL, read_csv
+
+from substreams_sink_graph_load_spark.streaming.ingest import run_ingest
+from substreams_sink_graph_load_spark.tocsv import tocsv
+
+
+@pytest.fixture()
+def wire(tmp_path):
+    """One interleaved wire file: all entities' events in block order —
+    exactly what the gRPC stream would carry."""
+    events = []
+    for files in (ACCOUNT_EVENTS, TRANSFER_EVENTS):
+        for evs in files.values():
+            events.extend(evs)
+    events.sort(key=lambda e: e["block_num"])
+    p = tmp_path / "wire.jsonl"
+    with open(p, "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+    schema_file = tmp_path / "schema.graphql"
+    schema_file.write_text(SDL)
+    return str(p), str(schema_file)
+
+
+def test_run_ingest_end_to_end(spark, wire, tmp_path):
+    wire_path, schema_file = wire
+    jsonl_dir = str(tmp_path / "jsonl")
+    files = run_ingest(
+        spark,
+        jsonl_dir,
+        entities=["account", "transfer"],
+        stop_block=3000,
+        wire_path=wire_path,
+        bundle_size=1000,
+        chain_id="chain-e2e",
+    )
+    # demux: every entity materializes every bundle, incl. empty ones
+    for ent in ("account", "transfer"):
+        names = [os.path.basename(f) for f in files[ent]]
+        assert names == [
+            "0000000000-0000000999.jsonl",
+            "0000001000-0000001999.jsonl",
+            "0000002000-0000002999.jsonl",
+        ]
+        assert os.path.getsize(files[ent][1]) == 0  # empty bundle
+    # ingested JSONL drives the SAME tocsv as hand-laid fixtures
+    batch_src = str(tmp_path / "manual")
+    for entity, evmap in (("account", ACCOUNT_EVENTS), ("transfer", TRANSFER_EVENTS)):
+        d = os.path.join(batch_src, entity)
+        os.makedirs(d)
+        for fname, evs in evmap.items():
+            with open(os.path.join(d, fname), "w") as fh:
+                for e in evs:
+                    fh.write(json.dumps(e) + "\n")
+    for entity in ("account", "transfer"):
+        got = tocsv(spark, jsonl_dir, str(tmp_path / "csv_a"), entity, schema_file,
+                    stop_block=3000, bundle_size=1000)
+        want = tocsv(spark, batch_src, str(tmp_path / "csv_b"), entity, schema_file,
+                     stop_block=3000, bundle_size=1000)
+        for g, w in zip(got, want):
+            with open(g) as fh_g, open(w) as fh_w:
+                assert fh_g.read() == fh_w.read()
+    # poi2$ chain written over the interleaved order
+    poi_files = files["poi2$"]
+    assert [os.path.basename(f) for f in poi_files] == [
+        "0000000000-0000000999.csv",
+        "0000001000-0000001999.csv",
+        "0000002000-0000002999.csv",
+    ]
+    body = open(poi_files[0]).read().splitlines()
+    assert body[0] == "id,block_range,digest"
+    assert body[1].startswith('chain-e2e,"[1,')
+    with open(os.path.join(jsonl_dir, "last_block.txt")) as fh:
+        assert fh.read() == "2500:\n"
+
+
+def test_wire_datasource_resume(spark, wire, tmp_path):
+    """Cursor semantics: a second run with the same checkpoint consumes only
+    appended lines (gRPC reconnect-with-cursor behavior)."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_graph_load_spark.sources.stream_source import (
+        EntityChangesDataSource,
+    )
+
+    wire_path, _ = wire
+    spark.dataSource.register(EntityChangesDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("entity_changes")
+            .option("path", wire_path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out_dir).count()
+    with open(wire_path) as fh:
+        total = sum(1 for _ in fh)
+    assert n1 == total
+    # append two lines; only those arrive on resume
+    with open(wire_path, "a") as fh:
+        for b in (2600, 2700):
+            fh.write(json.dumps({"entity_change": {"entity": "Account", "id": "zz",
+                                                   "operation": 2, "fields": []},
+                                 "block_num": b}) + "\n")
+    drain()
+    df = spark.read.parquet(out_dir)
+    assert df.count() == total + 2
+    assert df.where(F.col("block_num") == 2700).count() == 1
+    # seq equals the global line cursor: strictly increasing, gap-free
+    seqs = sorted(r["seq"] for r in df.select("seq").collect())
+    assert seqs == list(range(total + 2))
