@@ -162,6 +162,55 @@ def agg_cube_part(spark, sf_dir):
 
 
 @_q(
+    "agg_grouping_sets",
+    """
+    SELECT n_regionkey, n_name, cast(count(*) AS bigint) AS cnt
+    FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-region, per-name,
+    and grand-total groups in one pass — Catalyst expands to a single
+    Expand + hash agg, still one shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_gs")
+    return spark.sql(
+        """
+        SELECT n_regionkey, n_name, cast(count(*) AS long) AS cnt
+        FROM nation_gs GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+        """
+    )
+
+
+@_q(
+    "scalar_array_funcs",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS first_word,
+           cast(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS bigint) AS n_long_words,
+           array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), '|') AS top3_words,
+           cast(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS bigint) AS total_chars
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array function surface: sort/distinct/filter/slice/transform/
+    aggregate — all JVM built-ins over the split word array."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    distinct_sorted = F.array_sort(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        F.get(distinct_sorted, 0).alias("first_word"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).cast("long").alias("n_long_words"),
+        F.array_join(F.slice(distinct_sorted, 1, 3), "|").alias("top3_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+
+
+@_q(
     "agg_count_distinct",
     """
     SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
