@@ -154,6 +154,22 @@ def immutable_rows(
     )
 
 
+def state_at_block(
+    versions: DataFrame,
+    block: int,
+    start_col: str = "block_range_start",
+    end_col: str = "block_range_end",
+) -> DataFrame:
+    """graph-node's primary read: entity state as-of a block —
+    ``block_range @> B`` i.e. ``start <= B < end`` with NULL end open.
+    On bundle-partitioned storage the start predicate prunes files; at most
+    one version per id matches (the ranges partition each lifetime)."""
+    return versions.where(
+        (F.col(start_col) <= F.lit(block))
+        & (F.col(end_col).isNull() | (F.col(end_col) > F.lit(block)))
+    )
+
+
 def validate_changes(
     changes: DataFrame,
     not_null_fields: Sequence[str],

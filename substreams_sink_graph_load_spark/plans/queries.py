@@ -752,6 +752,48 @@ def scd2_versions_q(spark, sf_dir):
 
 
 @_q(
+    "scd2_state_at_block",
+    f"""
+    WITH log AS ({_SYNTH_LOG_SQL}),
+    lf AS (
+      SELECT *,
+        coalesce(sum(CASE WHEN operation IN (3,4) THEN 1 END)
+                 OVER (PARTITION BY id ORDER BY block_num, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lifetime,
+        lead(operation) OVER (PARTITION BY id ORDER BY block_num, seq) AS next_op,
+        lead(block_num) OVER (PARTITION BY id ORDER BY block_num, seq) AS next_block
+      FROM log
+    ),
+    ver AS (
+      SELECT id, operation, block_num AS block_range_start,
+        CASE WHEN next_op IN (2,3) THEN next_block END AS block_range_end,
+        last_value(CASE WHEN operation IN (1,2) THEN f_value END IGNORE NULLS)
+          OVER (PARTITION BY id, lifetime ORDER BY block_num, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_value
+      FROM lf
+    )
+    SELECT id, block_range_start, block_range_end, f_value
+    FROM ver
+    WHERE operation IN (1,2)
+      AND block_range_start <= 500
+      AND (block_range_end IS NULL OR block_range_end > 500)
+    """,
+)
+def scd2_state_at_block_q(spark, sf_dir):
+    """graph-node's primary READ pattern: entity state as-of block 500
+    (``block_range @> 500``).  The containment predicate sits on the
+    version output — on bundle-partitioned storage the start bound prunes
+    partitions; at most one version per id survives."""
+    from ..operators.scd2 import scd2_versions, state_at_block
+
+    log = _synth_log(spark, sf_dir)
+    versions = scd2_versions(log, field_cols=["f_value", "f_type"])
+    return state_at_block(versions, 500).select(
+        "id", "block_range_start", "block_range_end", "f_value"
+    )
+
+
+@_q(
     "scd2_immutable_rows",
     f"""
     WITH log AS ({_SYNTH_LOG_SQL})

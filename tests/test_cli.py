@@ -1,0 +1,98 @@
+"""CLI command surface: every graphload command has a working equivalent."""
+
+import io
+import json
+import os
+import contextlib
+
+import pytest
+
+from substreams_sink_graph_load_spark.cli import main
+
+SDL = """
+type Account @entity { id: ID! name: String! }
+type Transfer @entity(immutable: true) { id: ID! value: BigInt! }
+"""
+
+
+@pytest.fixture()
+def schema_file(tmp_path):
+    f = tmp_path / "schema.graphql"
+    f.write_text(SDL)
+    return str(f)
+
+
+def run_cli(*argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(list(argv))
+    return rc, buf.getvalue()
+
+
+def test_list_entities(schema_file):
+    rc, out = run_cli("list-entities", schema_file)
+    assert rc == 0
+    assert out.split() == ["account", "transfer"]
+
+
+def test_handoff_sql():
+    rc, out = run_cli("handoff", "QmX", "0xABC", "123")
+    assert rc == 0
+    assert "latest_ethereum_block_hash='abc'" in out
+    assert "firehose_cursor=''" in out
+
+
+def test_index_commands(schema_file, tmp_path):
+    rc, out = run_cli("extract-index", "sgd9")
+    assert rc == 0 and "pg_indexes" in out and "sgd9" in out
+
+    rc, out = run_cli(
+        "drop-index", "sgd9", schema_file,
+        "account:account_pkey,account:attr_0_x,unknown_tbl:some_idx",
+    )
+    assert rc == 0
+    assert out.strip() == 'DROP INDEX IF EXISTS "sgd9"."attr_0_x";'
+
+    ddl = tmp_path / "idx.sql"
+    ddl.write_text("CREATE INDEX a ON t(x);\nCREATE INDEX b ON t(y);\n")
+    rc, out = run_cli("create-index", str(ddl), "--connections", "2")
+    assert rc == 0 and out.count("CREATE INDEX") == 2
+
+
+def test_inject_csv_print_sql(schema_file, tmp_path):
+    d = tmp_path / "csv" / "account"
+    d.mkdir(parents=True)
+    f = d / "0000000000-0000000999.csv"
+    f.write_text("id,block_range,name\na,\"[1,)\",x\n")
+    rc, out = run_cli(
+        "inject-csv", "sgd1", str(tmp_path / "csv"), "account", schema_file,
+        "postgres://x", "0", "1000", "--print-sql",
+    )
+    assert rc == 0
+    assert 'COPY "sgd1"."account" ("id", "block_range", "name")' in out
+    assert 'FORCE_NOT_NULL ("id", "block_range", "name")' in out
+
+
+def test_run_and_tocsv_commands(spark, schema_file, tmp_path):
+    wire = tmp_path / "wire.jsonl"
+    with open(wire, "w") as fh:
+        for block, ent, id_, op, fields in [
+            (1, "Account", "a", 1, [("name", {"String_": "x"})]),
+            (2, "Transfer", "t", 1, [("value", {"Bigint": "5"})]),
+            (900, "Account", "a", 2, [("name", {"String_": "y"})]),
+        ]:
+            fh.write(json.dumps({
+                "entity_change": {"entity": ent, "id": id_, "operation": op,
+                                  "fields": [{"name": n, "new_value": {"Typed": tv}}
+                                             for n, tv in fields]},
+                "block_num": block}) + "\n")
+    dest = str(tmp_path / "jsonl")
+    rc, out = run_cli("run", str(wire), dest, schema_file, "1000",
+                      "--chain-id", "c1")
+    assert rc == 0
+    assert "account: 1 bundles" in out and "poi2$: 1 bundles" in out
+    rc, out = run_cli("tocsv", dest, str(tmp_path / "csv"), "account",
+                      schema_file, "1000")
+    assert rc == 0
+    body = open(out.strip().splitlines()[-1]).read()
+    assert 'a,"[1,900)",x' in body and 'a,"[900,)",y' in body

@@ -90,3 +90,32 @@ def test_scd2_single_shuffle_plan(spark):
     changes = spark.createDataFrame(EVENTS, SCHEMA)
     plan = scd2_versions(changes)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_state_at_block_unique_per_id(spark):
+    """Containment read: at most one version per id; values as-of block."""
+    from substreams_sink_graph_load_spark.operators.scd2 import (
+        scd2_versions,
+        state_at_block,
+    )
+
+    events = [
+        ("a", 1, 0, 1, "v1"), ("a", 5, 1, 2, "v2"), ("a", 9, 2, 3, None),
+        ("b", 2, 3, 1, "w1"),
+    ]
+    df = spark.createDataFrame(
+        events, "id string, block_num long, seq long, operation int, f string"
+    )
+    versions = scd2_versions(df, field_cols=["f"])
+    at7 = {r["id"]: r for r in state_at_block(versions, 7).collect()}
+    assert at7["a"]["f"] == "v2" and at7["b"]["f"] == "w1"
+    at1 = {r["id"]: r for r in state_at_block(versions, 1).collect()}
+    assert at1["a"]["f"] == "v1" and "b" not in at1
+    # after a's delete at block 9: only b remains
+    at9 = {r["id"]: r for r in state_at_block(versions, 9).collect()}
+    assert set(at9) == {"b"}
+    for b in (1, 7, 9):
+        counts = (
+            state_at_block(versions, b).groupBy("id").count().collect()
+        )
+        assert all(r["count"] == 1 for r in counts)
