@@ -40,6 +40,7 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "ann_ivf_topk",
+    "ann_topk_matmul",
     "join_asof",
     "join_range",
 ]

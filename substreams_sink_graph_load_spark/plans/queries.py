@@ -985,6 +985,20 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+@_q("ann_topk_matmul")  # equals similarity_topk rows; driver rows-only check
+def ann_topk_matmul_q(spark, sf_dir):
+    """The 100 TB ANN shape: Arrow batches -> numpy corpus @ queries.T (one
+    BLAS call per batch) -> per-batch partial top-k -> tiny global window
+    merge.  Shuffle volume O(batches*k*queries), never |corpus|*|queries|.
+    Unit-tested equal to the brute-force baseline (same tie-breaks); driver
+    runs the rows-only check because per-batch float association differs
+    from a SQL fold at the ulp level."""
+    from ..operators.ann import sample_queries, topk_matmul
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_matmul(e, sample_queries(e, 100), k=5)
+
+
 @_q("poi_chain")  # no SQL oracle: custom hash chain -> driver rows-only check
 def poi_chain_q(spark, sf_dir):
     """Proof-of-indexing digest chain (§2.5 A2-A4) over a change log
