@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "token_count",
     "quality_score",
+    "dedup_embedding",
     "ann_ivf_topk",
     "ann_topk_matmul",
     "join_asof",

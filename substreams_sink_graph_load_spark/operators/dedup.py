@@ -235,34 +235,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def hyperplane_bucket(emb: Column, dim: int, planes: list[int]) -> Column:
-    """Deterministic sign-LSH bucket id for an array<float> embedding.
+def hyperplane_weights(dim: int, n_planes: int):
+    """Deterministic hyperplane matrix (dim x n_planes): plane p, component
+    i has integer weight ``((i*2654435761 + p*40503) % 2001) - 1000`` —
+    Knuth multiplicative constants, fixed, engine-agnostic, no RNG."""
+    import numpy as np
 
-    Hyperplane p has integer weights ``((i*2654435761 + p*40503) % 2001)
-    - 1000`` (Knuth multiplicative constants — fixed, engine-agnostic, no
-    RNG).  Bucket = len(planes) sign bits packed into a long.
-    """
-    bits = []
-    for j, p in enumerate(planes):
-        w = [((i * 2654435761 + p * 40503) % 2001) - 1000 for i in range(dim)]
-        dot = F.aggregate(
-            F.zip_with(
-                emb.cast("array<double>"),
-                F.array(*[F.lit(float(x)) for x in w]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return np.array(
+        [
+            [((i * 2654435761 + p * 40503) % 2001) - 1000 for p in range(n_planes)]
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
 
 
 def embedding_neardup_pairs(
@@ -283,52 +268,70 @@ def embedding_neardup_pairs(
     candidate if it collides in ANY band (recall 1-(1-p^r)^b), then the
     exact cosine filters false positives.  Pair enumeration stays
     per-bucket; the band explode multiplies rows by n_bands (cheap: id +
-    16-byte key), never the corpus by itself.
+    bucket int), never the corpus by itself.
+
+    Physical shape: both the sign buckets (batch @ planes, one BLAS call
+    per Arrow batch) and the per-pair cosine (row-wise einsum) run in
+    numpy via mapInPandas — the expression-lambda formulation evaluated
+    interpreted per element and was ~20x slower.
     """
-    bucket_cols = [
-        hyperplane_bucket(
-            F.col(emb_col),
-            dim,
-            list(range(b * planes_per_band, (b + 1) * planes_per_band)),
-        ).alias(f"bucket_{b}")
-        for b in range(n_bands)
-    ]
-    g = df.select(
-        F.col(id_col),
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    n_planes = n_bands * planes_per_band
+    planes = hyperplane_weights(dim, n_planes)
+    band_bits = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["e"].to_numpy())  # B x D
+            signs = (mat @ planes) >= 0  # B x n_planes
+            out = []
+            for b in range(n_bands):
+                sl = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
+                buckets = (sl * band_bits).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "e": pdf["e"],
+                            "band_idx": b,
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs cosine inside one (band, bucket) group: a single
+        G @ G.T BLAS call; only above-threshold pairs leave the task, so
+        candidate volume never crosses the shuffle."""
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["e"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ppm = np.floor(1_000_000.0 * cos[ia, ib]).astype(np.int64)
+        keep = ppm >= min_cos_ppm
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_ppm": ppm[keep]}
+        )
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("e"),
-        *bucket_cols,
-    ).select(
-        F.col(id_col),
-        "e",
-        F.posexplode(
-            F.array(*[F.col(f"bucket_{b}") for b in range(n_bands)])
-        ).alias("band_idx", "bucket"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    g = base.mapInPandas(
+        bucketize, "vec_id long, e array<double>, band_idx int, bucket long"
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.col(f"{side}.e"), F.lit(0.0), lambda acc, v: acc + v * v
-        )
+    scored = g.groupBy("band_idx", "bucket").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cos_ppm long"
     )
-    cos_ppm = F.floor(1000000.0 * dot / (norm("a") * norm("b"))).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            cos_ppm.alias("cos_ppm"),
-        )
-        .where(F.col("cos_ppm") >= min_cos_ppm)
-        .groupBy("vec_a", "vec_b")
-        .agg(F.first("cos_ppm").alias("cos_ppm"))
+    # collapse multi-band collisions (same cos from any band)
+    return scored.groupBy("vec_a", "vec_b").agg(
+        F.first("cos_ppm").alias("cos_ppm")
     )
