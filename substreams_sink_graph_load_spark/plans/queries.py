@@ -985,6 +985,20 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+@_q("agg_approx_distinct")  # HLL sketches differ across engines: rows-only
+def agg_approx_distinct_q(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the sketch-based cardinality
+    path for 100 TB group-bys where exact count-distinct's per-key dedup
+    shuffle is prohibitive.  No SQL oracle — DuckDB's approx sketch differs
+    by construction; exactness is bounded in the unit check below (rsd 1%)
+    and the exact twin is Q: agg_count_distinct."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @_q("ann_topk_matmul")  # equals similarity_topk rows; driver rows-only check
 def ann_topk_matmul_q(spark, sf_dir):
     """The 100 TB ANN shape: Arrow batches -> numpy corpus @ queries.T (one

@@ -39,3 +39,26 @@ def windowed_event_counts(
         "n_events",
         "sum_value_cents",
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity.  ``F.session_window`` keeps per-key open-session state;
+    the watermark bounds it — sessions whose end passed the watermark
+    finalize and evict (streaming merge semantics are Spark-native)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -58,3 +58,24 @@ def test_all_queries_have_callable():
     assert len(QUERIES) >= 25
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct stays within its configured 1% rsd of exact."""
+    from substreams_sink_graph_load_spark.plans import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)

@@ -140,3 +140,52 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         assert expected[k] == v
     # 2h watermark holds the last ~3 hourly windows open per event type
     assert len(got) >= len(expected) - 6
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from substreams_sink_graph_load_spark.streaming.windows import (
+        sessionized_event_counts,
+    )
+
+    # bursts separated by > gap per user
+    batch = spark.createDataFrame(
+        [(i % 3, (i // 3) * 3600 + (i % 3) * 60) for i in range(60)],
+        "user_id long, offset_s long",
+    ).select(
+        "user_id",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("offset_s") * 1_000_000
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "sess_src")
+    batch.write.parquet(src)
+    expected = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in sessionized_event_counts(spark.read.parquet(src)).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    # 2h watermark holds the trailing ~3 one-event sessions per user open
+    assert len(got) >= len(expected) - 9
