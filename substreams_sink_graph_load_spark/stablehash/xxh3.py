@@ -104,9 +104,7 @@ def _mix32b(acc_lo, acc_hi, inp, off1, off2, secret, soff, seed):
     return acc_lo, acc_hi
 
 
-def xxh3_128_seed(data: bytes, seed: int = 0) -> tuple[int, int]:
-    """Return (low64, high64) of XXH3-128(data, seed)."""
-    seed &= M64
+def _xxh3_128_seed_uncached(data: bytes, seed: int) -> tuple[int, int]:
     n = len(data)
     if n <= 16:
         if n > 8:
@@ -121,6 +119,43 @@ def xxh3_128_seed(data: bytes, seed: int = 0) -> tuple[int, int]:
     if n <= 240:
         return _len_129to240(data, n, seed)
     return _hash_long(data, n, seed)
+
+
+def _make_c_accelerated():
+    """Use the C ``xxhash`` library when present (standard on real
+    clusters; absent in this container) — but only after it reproduces
+    three pure-Python golden vectors, so a semantic mismatch can never
+    ship silently.  Returns the accelerated fn or None.
+    """
+    try:
+        import xxhash
+    except ImportError:
+        return None
+
+    def fast(data: bytes, seed: int) -> tuple[int, int]:
+        d = xxhash.xxh3_128(data, seed=seed).intdigest()
+        return d & M64, d >> 64
+
+    for probe, seed in ((b"", 0), (b"spark", 42), (b"x" * 200, 7)):
+        if fast(probe, seed) != _xxh3_128_seed_uncached(probe, seed):
+            return None  # pragma: no cover - foreign xxhash variant
+    return fast
+
+
+_C_FAST = _make_c_accelerated()
+
+
+def xxh3_128_seed(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Return (low64, high64) of XXH3-128(data, seed).
+
+    Every call carries a distinct seed (the field address incorporates
+    block and event index), so memoization cannot help; the C xxhash
+    accelerator (when installed and golden-verified) is the fast path,
+    pure Python the always-available fallback."""
+    seed &= M64
+    if _C_FAST is not None:
+        return _C_FAST(data, seed)
+    return _xxh3_128_seed_uncached(data, seed)
 
 
 def xxh3_128_seed_int(data: bytes, seed: int = 0) -> int:
