@@ -112,3 +112,28 @@ def test_embedding_neardup(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 990_000
     assert (1, 3) not in pairs  # antipodal: opposite signs, no band collision
+
+
+def test_minhash_signature_expression_matches_sketch(spark, docs):
+    """The library array-expression formulation (functions.hashing.
+    minhash_signature — correct but interpreted; kept for column-level
+    composition) must produce the identical signature the production
+    explode+agg sketch computes."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_graph_load_spark.functions.hashing import (
+        minhash_signature,
+    )
+    from substreams_sink_graph_load_spark.functions.text import word_shingles
+
+    expr = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"), 2), 16).alias("sig"),
+        ).collect()
+    }
+    sketch = {
+        r["doc_id"]: r["sig"] for r in minhash_sketch(docs, "doc_id", "text").collect()
+    }
+    assert expr == sketch
