@@ -32,33 +32,56 @@ OP_DELETE = 3
 _STATE_SCHEMA = "block_num long, state binary, n_events long"
 
 
-def _fold_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("seq")
-    block = int(pdf["block_num"].iloc[0])
+def _fold_events(block: int, events: list[tuple[int, str]]) -> bytes:
+    events.sort()
     poi = ProofOfIndexing(block)
-    for line in pdf["value"]:
-        obj = json.loads(line)
-        ch = obj["entity_change"]
+    for _, line in events:
+        ch = json.loads(line)["entity_change"]
         op = ch.get("operation")
         if op == OP_DELETE or op == "OPERATION_DELETE":
             poi.remove_entity(ch["entity"], ch["id"])
         else:
             poi.set_entity(ch["entity"], ch["id"], ch.get("fields") or [])
-    return pd.DataFrame(
-        [{"block_num": block, "state": poi.pause(None), "n_events": len(pdf)}]
-    )
+    return poi.pause(None)
 
 
-def poi_block_states(raw: DataFrame) -> DataFrame:
+def poi_block_states(raw: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Per-block paused POI states from raw change rows.
 
     ``raw`` needs columns ``block_num`` (long), ``seq`` (long) and ``value``
     (the raw JSONL line).  Returns (block_num, state binary, n_events).
+
+    Physical shape: EXPLICIT ``repartition(n, block_num)`` + mapInPandas
+    accumulating blocks per partition.  A groupBy().applyInPandas here gets
+    its shuffle AQE-coalesced to ~1 partition (the stream is few MBs, and
+    AQE's bytes-based model can't see the Python hashing cost) — measured
+    10x wall difference; the explicit partition count is honored by AQE,
+    and folding whole partitions also removes the per-group pandas
+    overhead of ten thousand tiny block groups.
     """
+    spark = raw.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+
+    def fold(it) -> pd.DataFrame:
+        acc: dict[int, list[tuple[int, str]]] = {}
+        for pdf in it:
+            for b, s, v in zip(pdf["block_num"], pdf["seq"], pdf["value"]):
+                acc.setdefault(int(b), []).append((int(s), v))
+        rows = [
+            {
+                "block_num": b,
+                "state": _fold_events(b, evs),
+                "n_events": len(evs),
+            }
+            for b, evs in acc.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
     return (
         raw.select("block_num", "seq", "value")
-        .groupBy("block_num")
-        .applyInPandas(_fold_block, _STATE_SCHEMA)
+        .repartition(n, "block_num")
+        .mapInPandas(fold, _STATE_SCHEMA)
     )
 
 
