@@ -305,22 +305,39 @@ def embedding_neardup_pairs(
                 )
             yield pd.concat(out)
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All-pairs cosine inside one (band, bucket) group: a single
-        G @ G.T BLAS call; only above-threshold pairs leave the task, so
-        candidate volume never crosses the shuffle."""
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["e"].to_numpy())
-        norms = np.linalg.norm(mat, axis=1)
-        cos = (mat @ mat.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ppm = np.floor(1_000_000.0 * cos[ia, ib]).astype(np.int64)
-        keep = ppm >= min_cos_ppm
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_ppm": ppm[keep]}
-        )
+    def score_buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """All-pairs cosine per (band, bucket) group: one G @ G.T BLAS call
+        each; only above-threshold pairs leave the task.  Buckets
+        accumulate per PARTITION (explicit repartition below) rather than
+        via groupBy().applyInPandas — AQE coalesces a small-bytes shuffle
+        to ~1 partition (its cost model can't see Python CPU), which would
+        serialize every matmul; an explicit partition count is honored."""
+        acc: dict[tuple[int, int], list] = {}
+        for pdf in it:
+            for b, bk, vid, e in zip(
+                pdf["band_idx"], pdf["bucket"], pdf["vec_id"], pdf["e"]
+            ):
+                acc.setdefault((int(b), int(bk)), []).append((int(vid), e))
+        for (_, _), rows in acc.items():
+            rows.sort(key=lambda r: r[0])
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            mat = np.stack([r[1] for r in rows])
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ mat.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ppm = np.floor(1_000_000.0 * cos[ia, ib]).astype(np.int64)
+            keep = ppm >= min_cos_ppm
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids[ia[keep]],
+                        "vec_b": ids[ib[keep]],
+                        "cos_ppm": ppm[keep],
+                    }
+                )
 
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("e"),
@@ -328,8 +345,8 @@ def embedding_neardup_pairs(
     g = base.mapInPandas(
         bucketize, "vec_id long, e array<double>, band_idx int, bucket long"
     )
-    scored = g.groupBy("band_idx", "bucket").applyInPandas(
-        score_bucket, "vec_a long, vec_b long, cos_ppm long"
+    scored = g.repartition(n_parts, "band_idx", "bucket").mapInPandas(
+        score_buckets, "vec_a long, vec_b long, cos_ppm long"
     )
     # collapse multi-band collisions (same cos from any band)
     return scored.groupBy("vec_a", "vec_b").agg(
