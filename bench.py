@@ -57,8 +57,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # warm the JVM + parquet footers + Python UDF workers once so timings
+    # measure the queries, not daemon spin-up
     QUERIES["sort_limit_top10"](spark, sf_dir).collect()
+    spark.range(1000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -985,6 +985,34 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(cast(round(l_extendedprice*100) AS bigint) - 100000) AS abs_delta_cents,
+           cast(round(l_extendedprice*100) AS bigint) % 97 AS mod97,
+           cast(floor(sqrt(cast(round(l_extendedprice*100) AS bigint))) AS bigint) AS sqrt_floor,
+           cast(floor(ln(cast(round(l_extendedprice*100) AS bigint)) * 1000) AS bigint) AS ln_milli,
+           cast(power(cast(l_linenumber AS bigint), 3) AS bigint) AS line_cubed
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+)
+def scalar_math_funcs_q(spark, sf_dir):
+    """Math function surface: abs/mod/sqrt/ln/power over exact integer
+    cents, outputs floored to integers so both engines hash identically."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 200 == 0)
+    cents = _cents(F.col("l_extendedprice"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(cents - 100000).alias("abs_delta_cents"),
+        (cents % 97).alias("mod97"),
+        F.floor(F.sqrt(cents)).cast("long").alias("sqrt_floor"),
+        F.floor(F.log(cents) * 1000).cast("long").alias("ln_milli"),
+        F.pow(F.col("l_linenumber").cast("long"), 3).cast("long").alias("line_cubed"),
+    )
+
+
 @_q("agg_approx_distinct")  # HLL sketches differ across engines: rows-only
 def agg_approx_distinct_q(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the sketch-based cardinality
