@@ -133,6 +133,13 @@ def minhash_candidate_pairs(
         sk2 = sk2.withColumn("_n", F.count("*").over(cnt)).where(
             F.col("_n") <= max_bucket
         ).drop("_n")
+    # persist before the self-join: both sides share this lineage, and
+    # without a persist the sketch (shingle + md5 pipeline) computes twice.
+    # ~200 B/doc (id + 16 longs + band keys) — cheap relative to recompute
+    # at any scale; Spark evicts LRU under pressure.
+    from pyspark import StorageLevel
+
+    sk2 = sk2.persist(StorageLevel.MEMORY_AND_DISK)
     a = sk2.alias("a")
     b = sk2.alias("b")
     pairs = (

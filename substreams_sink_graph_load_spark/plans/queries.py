@@ -258,8 +258,14 @@ def q3_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    joined = l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).join(
+    # join order: shrink orders by the selective segment filter FIRST, so
+    # the broadcast hitting the big lineitem scan is ~5x smaller (CBO-less
+    # Catalyst won't reorder broadcast chains by itself)
+    o_building = o.join(
         F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
+    joined = l.join(
+        F.broadcast(o_building), F.col("l_orderkey") == F.col("o_orderkey")
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
         (
