@@ -73,6 +73,11 @@ def minhash_sketch(
             F.when(F.col("_tail").isNull(), F.col("_text")).otherwise(F.col("gram")),
         )
     )
+    # md5 inline per occurrence: a hash-distinct-vocab + broadcast-join
+    # variant (md5 once per distinct shingle) was measured SLOWER here —
+    # the extra materialization + broadcast barrier + lost codegen fusion
+    # outweigh the saved hashes (1.4s vs 4.8s at sf0.1).  Revisit only for
+    # corpora whose shingle strings are long (md5 cost ∝ bytes).
     h = grams.select(F.col(id_col), (h60(F.col("gram")) % PRIME31).alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % PRIME31).alias(f"m{i}")
