@@ -63,7 +63,10 @@ def tocsv(
     raw = raw.where(F.col("block_num") < stop_block)
 
     typed = typed_extract(raw, desc, originals=list(desc.fields))
-    versions = build_versions(typed, desc, bundle_size)
+    versions = build_versions(
+        typed, desc, bundle_size,
+        last_block=last_event_block(spark, files, stop_block),
+    )
 
     rendered = render_entity_csv(versions, desc)
     dest = os.path.join(dest_dir, entity)
@@ -80,7 +83,33 @@ def tocsv(
     )
 
 
-def build_versions(typed: DataFrame, desc: EntityDesc, bundle_size: int) -> DataFrame:
+def last_event_block(
+    spark: SparkSession, files: list[str], stop_block: int | None = None
+) -> int:
+    """Max event block across the bundled files — scanned from the LAST
+    non-empty file only (bundles are disjoint ascending block ranges, so
+    the global max lives there).  O(one bundle), not a full input scan;
+    at 100 TB this is the difference between a metadata nibble and a
+    second pass over the dataset."""
+    for fn in sorted(files, reverse=True):
+        if os.path.getsize(fn) == 0:
+            continue
+        b = F.get_json_object("value", "$.block_num").cast("long")
+        df = spark.read.text(fn).select(b.alias("b"))
+        if stop_block is not None:
+            df = df.where(F.col("b") < stop_block)
+        m = df.agg(F.max("b")).collect()[0][0]
+        if m is not None:
+            return int(m)
+    return 0
+
+
+def build_versions(
+    typed: DataFrame,
+    desc: EntityDesc,
+    bundle_size: int,
+    last_block: int | None = None,
+) -> DataFrame:
     """Versioned rows + bundle routing.
 
     A version row is written while processing its *closing* event (UPDATE/
@@ -96,7 +125,8 @@ def build_versions(typed: DataFrame, desc: EntityDesc, bundle_size: int) -> Data
             .withColumn("_order_seq", F.lit(0).cast("long"))
         )
 
-    last_block = typed.agg(F.max("block_num")).collect()[0][0] or 0
+    if last_block is None:
+        last_block = typed.agg(F.max("block_num")).collect()[0][0] or 0
     versions = scd2_versions(typed)
     emit = F.coalesce(F.col("emit_block"), F.lit(last_block))
     return (
