@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("schema"), sp.add_argument("stop_block", type=int)
     sp.add_argument("--bundle-size", type=int, default=1000)
 
+    sp = sub.add_parser("tocsv-all", help="tocsv for every schema entity in one app")
+    sp.add_argument("src"), sp.add_argument("dest"), sp.add_argument("schema")
+    sp.add_argument("stop_block", type=int)
+    sp.add_argument("--bundle-size", type=int, default=1000)
+
     sp = sub.add_parser("inject-csv", help="COPY bundled CSVs into Postgres")
     for a in ("pg_schema", "input", "entity", "schema", "dsn"):
         sp.add_argument(a)
@@ -142,6 +147,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         for f in files:
             print(f)
+        return 0
+
+    if args.cmd == "tocsv-all":
+        from .tocsv import tocsv_all
+
+        spark = _spark()
+        for ent, fs in sorted(
+            tocsv_all(
+                spark, args.src, args.dest, args.schema,
+                stop_block=args.stop_block, bundle_size=args.bundle_size,
+            ).items()
+        ):
+            print(f"{ent}: {len(fs)} bundles")
         return 0
 
     if args.cmd == "inject-csv":

@@ -83,6 +83,34 @@ def tocsv(
     )
 
 
+def tocsv_all(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    schema_file: str,
+    stop_block: int,
+    bundle_size: int = 1000,
+) -> dict[str, list[str]]:
+    """Every schema entity in one Spark application.
+
+    The reference parallelizes tocsv by launching one OS process per entity
+    (README.md:42-45); here each entity is one job in a shared session —
+    executor slots stay busy across entities, and on a cluster the jobs can
+    be submitted from threads for overlap (each is already internally
+    parallel, so serial submission loses little).
+    """
+    out = {}
+    for entity in sorted(parse_schema_file(schema_file)):
+        entity_src = os.path.join(src_dir, entity)
+        if not os.path.isdir(entity_src):
+            continue  # schema may declare entities the stream never emitted
+        out[entity] = tocsv(
+            spark, src_dir, dest_dir, entity, schema_file,
+            stop_block=stop_block, bundle_size=bundle_size,
+        )
+    return out
+
+
 def last_event_block(
     spark: SparkSession, files: list[str], stop_block: int | None = None
 ) -> int:

@@ -96,3 +96,21 @@ def test_run_and_tocsv_commands(spark, schema_file, tmp_path):
     assert rc == 0
     body = open(out.strip().splitlines()[-1]).read()
     assert 'a,"[1,900)",x' in body and 'a,"[900,)",y' in body
+
+
+def test_tocsv_all_command(spark, schema_file, tmp_path):
+    import test_pipeline_e2e as e2e
+
+    src = tmp_path / "jsonl"
+    sf = tmp_path / "schema2.graphql"
+    sf.write_text(e2e.SDL)
+    for entity, evmap in (("account", e2e.ACCOUNT_EVENTS), ("transfer", e2e.TRANSFER_EVENTS)):
+        d = src / entity
+        d.mkdir(parents=True)
+        for fname, evs in evmap.items():
+            with open(d / fname, "w") as fh:
+                for e in evs:
+                    fh.write(json.dumps(e) + "\n")
+    rc, out = run_cli("tocsv-all", str(src), str(tmp_path / "csv"), str(sf), "3000")
+    assert rc == 0
+    assert "account: 3 bundles" in out and "transfer: 3 bundles" in out
