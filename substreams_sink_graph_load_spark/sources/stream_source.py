@@ -50,10 +50,11 @@ WIRE_SCHEMA = StructType(
 
 
 class _LineRange(InputPartition):
-    def __init__(self, path: str, start: int, end: int):
+    def __init__(self, path: str, start: int, end: int, byte_start: int = 0):
         self.path = path
         self.start = start
         self.end = end
+        self.byte_start = byte_start  # seek target for line `start`
 
 
 class EntityChangesStreamReader(DataSourceStreamReader):
@@ -78,22 +79,40 @@ class EntityChangesStreamReader(DataSourceStreamReader):
         return {"line": self._count_lines()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        """Chunk [start, end) lines; one driver pass records the byte offset
+        of each chunk boundary so tasks seek instead of re-skipping lines
+        (naive per-task line skipping is O(partitions x file) — quadratic
+        on a large backlog)."""
         s, e = start["line"], end["line"]
+        if s >= e:
+            return [_LineRange(self.path, s, s)]
+        bounds = {}
+        with open(self.path, "rb") as fh:
+            i, off = 0, 0
+            while i < e:
+                if i >= s and (i - s) % self.batch_lines == 0:
+                    bounds[i] = off
+                ln = fh.readline()
+                if not ln:
+                    break
+                off += len(ln)
+                i += 1
         out = []
-        while s < e:
-            nxt = min(s + self.batch_lines, e)
-            out.append(_LineRange(self.path, s, nxt))
-            s = nxt
-        return out or [_LineRange(self.path, start["line"], start["line"])]
+        cur = s
+        while cur < e:
+            nxt = min(cur + self.batch_lines, e)
+            out.append(_LineRange(self.path, cur, nxt, bounds.get(cur, 0)))
+            cur = nxt
+        return out
 
     def read(self, partition: _LineRange) -> Iterator[tuple]:
         if partition.end <= partition.start:
             return
         with open(partition.path) as fh:
-            for i, line in enumerate(fh):
-                if i < partition.start:
-                    continue
-                if i >= partition.end:
+            fh.seek(partition.byte_start)
+            for i in range(partition.start, partition.end):
+                line = fh.readline()
+                if not line:
                     break
                 line = line.rstrip("\n")
                 if not line:
