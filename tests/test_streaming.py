@@ -86,3 +86,36 @@ def test_stream_stop_block(spark, fixture_dirs):
     )
     assert os.path.basename(files[-1]) == "0000002000-0000002499.csv"
     assert 'a2,"[2200,)"' in read_csv(stream_dest, "account", "0000002000-0000002499.csv")
+
+
+def test_stream_resume_across_runs(spark, fixture_dirs):
+    """T5 resume: stop after the first bundle, restart with the same
+    workdir/checkpoint, deliver the rest — output must equal the batch
+    pipeline over the full log (state + file cursor both survive)."""
+    import shutil
+
+    src, base = fixture_dirs
+    schema_file = os.path.join(base, "schema.graphql")
+    # phase 1: only the first bundle exists
+    partial_src = os.path.join(base, "partial_src")
+    d = os.path.join(partial_src, "account")
+    os.makedirs(d)
+    names = sorted(os.listdir(os.path.join(src, "account")))
+    shutil.copy(os.path.join(src, "account", names[0]), os.path.join(d, names[0]))
+    stream_dest = os.path.join(base, "resume_csv")
+    workdir = os.path.join(base, "resume_work")
+    run_stream(spark, partial_src, stream_dest, "account", schema_file,
+               stop_block=3000, bundle_size=1000, workdir=workdir)
+    # phase 2: the remaining bundles arrive; same checkpoint + state
+    for n in names[1:]:
+        shutil.copy(os.path.join(src, "account", n), os.path.join(d, n))
+        t = time.time() + 10
+        os.utime(os.path.join(d, n), (t, t))
+    run_stream(spark, partial_src, stream_dest, "account", schema_file,
+               stop_block=3000, bundle_size=1000, workdir=workdir)
+    batch_dest = os.path.join(base, "resume_batch")
+    tocsv(spark, src, batch_dest, "account", schema_file,
+          stop_block=3000, bundle_size=1000)
+    for n in ["0000000000-0000000999.csv", "0000001000-0000001999.csv",
+              "0000002000-0000002999.csv"]:
+        assert read_csv(stream_dest, "account", n) == read_csv(batch_dest, "account", n)

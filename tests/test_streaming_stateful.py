@@ -189,3 +189,44 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         assert expected[k] == v
     # 2h watermark holds the trailing ~3 one-event sessions per user open
     assert len(got) >= len(expected) - 9
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: streaming events enrich against a static
+    (broadcastable) dimension — the standard streaming-ETL shape; static
+    side re-resolves per microbatch, no state needed."""
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(200)],
+        "event_id long, seg_id long, value double",
+    )
+    src = str(tmp_path / "join_src")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(s, f"segment-{s}") for s in range(5)], "seg_id long, seg_name string"
+    )
+    expected = {
+        (r["event_id"], r["seg_name"])
+        for r in events.join(F.broadcast(dim), "seg_id").collect()
+    }
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(dim), "seg_id")
+        .select("event_id", "seg_name")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["seg_name"])
+        for r in spark.sql("select * from ss_join").collect()
+    }
+    assert got == expected
