@@ -90,25 +90,34 @@ def tocsv_all(
     schema_file: str,
     stop_block: int,
     bundle_size: int = 1000,
+    max_parallel: int = 4,
 ) -> dict[str, list[str]]:
     """Every schema entity in one Spark application.
 
     The reference parallelizes tocsv by launching one OS process per entity
-    (README.md:42-45); here each entity is one job in a shared session —
-    executor slots stay busy across entities, and on a cluster the jobs can
-    be submitted from threads for overlap (each is already internally
-    parallel, so serial submission loses little).
+    (README.md:42-45); here entities are concurrent jobs in one shared
+    session (Spark job submission is thread-safe) — scheduler slots fill
+    across entities during each job's narrow stages and driver-side file
+    renames.
     """
-    out = {}
-    for entity in sorted(parse_schema_file(schema_file)):
-        entity_src = os.path.join(src_dir, entity)
-        if not os.path.isdir(entity_src):
-            continue  # schema may declare entities the stream never emitted
-        out[entity] = tocsv(
+    from concurrent.futures import ThreadPoolExecutor
+
+    entities = [
+        e for e in sorted(parse_schema_file(schema_file))
+        # schema may declare entities the stream never emitted
+        if os.path.isdir(os.path.join(src_dir, e))
+    ]
+
+    def one(entity: str) -> tuple[str, list[str]]:
+        return entity, tocsv(
             spark, src_dir, dest_dir, entity, schema_file,
             stop_block=stop_block, bundle_size=bundle_size,
         )
-    return out
+
+    if max_parallel <= 1 or len(entities) <= 1:
+        return dict(one(e) for e in entities)
+    with ThreadPoolExecutor(max_workers=min(max_parallel, len(entities))) as ex:
+        return dict(ex.map(one, entities))
 
 
 def last_event_block(
