@@ -154,6 +154,55 @@ def immutable_rows(
     )
 
 
+def validate_ops(
+    changes: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block_num",
+    seq_col: str = "seq",
+    op_col: str = "operation",
+) -> DataFrame:
+    """Operation-sequence violations the reference treats as fatal
+    (processor.go:238-241 CREATE on a live id; :288-293 DELETE on an unseen
+    id; :285-287 DELETE on an immutable entity is the caller's check).
+    Returns (id, block_num, operation, issue) — empty means clean; strict
+    callers raise when non-empty, tolerant callers proceed exactly like
+    scd2_versions does (which mirrors the reference's tolerated paths).
+
+    Same single id-window as scd2_versions — no extra shuffle shape.
+    """
+    op = F.col(op_col)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(block_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lifetime = F.coalesce(
+        F.sum(F.when(op.isin(OP_DELETE, OP_FINAL), F.lit(1))).over(w_prev),
+        F.lit(0),
+    )
+    staged = changes.withColumn("_lt", lifetime)
+    # latest lifetime that has a starter before this row; the id is live
+    # iff that equals the current lifetime (no terminator in between)
+    started = F.max(
+        F.when(op.isin(OP_CREATE, OP_UPDATE), F.col("_lt"))
+    ).over(w_prev)
+    live = F.coalesce(started == F.col("_lt"), F.lit(False))
+    issue = (
+        F.when((op == OP_CREATE) & live, F.lit("create_on_live"))
+        .when((op == OP_DELETE) & ~live, F.lit("delete_unseen"))
+    )
+    return (
+        staged.withColumn("_issue", issue)
+        .where(F.col("_issue").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("block_num"),
+            op.alias("operation"),
+            F.col("_issue").alias("issue"),
+        )
+    )
+
+
 def state_at_block(
     versions: DataFrame,
     block: int,

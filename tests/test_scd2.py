@@ -119,3 +119,33 @@ def test_state_at_block_unique_per_id(spark):
             state_at_block(versions, b).groupBy("id").count().collect()
         )
         assert all(r["count"] == 1 for r in counts)
+
+
+def test_validate_ops(spark):
+    """Fatal-in-the-reference sequences surface as a report
+    (processor.go:238-241, 288-293)."""
+    from substreams_sink_graph_load_spark.operators.scd2 import validate_ops
+
+    events = [
+        ("a", 1, 0, 1),   # create
+        ("a", 2, 1, 1),   # create on live -> violation
+        ("a", 3, 2, 3),   # delete (live)
+        ("a", 4, 3, 3),   # delete unseen -> violation
+        ("a", 5, 4, 1),   # re-create after delete: fine
+        ("b", 1, 5, 3),   # delete never-seen -> violation
+        ("c", 1, 6, 2),   # update unseen: tolerated-as-create, no violation
+        ("c", 2, 7, 1),   # create on live (via tolerated update) -> violation
+    ]
+    df = spark.createDataFrame(
+        events, "id string, block_num long, seq long, operation int"
+    )
+    got = sorted(
+        (r["id"], r["block_num"], r["issue"])
+        for r in validate_ops(df).collect()
+    )
+    assert got == [
+        ("a", 2, "create_on_live"),
+        ("a", 4, "delete_unseen"),
+        ("b", 1, "delete_unseen"),
+        ("c", 2, "create_on_live"),
+    ]
