@@ -222,20 +222,41 @@ def state_at_block(
 def validate_changes(
     changes: DataFrame,
     not_null_fields: Sequence[str],
+    id_col: str = "id",
+    block_col: str = "block_num",
+    seq_col: str = "seq",
     op_col: str = "operation",
 ) -> DataFrame:
-    """Validation report: CREATE/UPDATE events missing a non-nullable field
-    (ref csvprocessor/entity.go:38-46 errors out; we surface a report the
-    caller may raise on)."""
-    conds = [
-        (F.col(op_col).isin(OP_CREATE, OP_UPDATE) & F.col(f).isNull(), f)
-        for f in not_null_fields
-    ]
+    """Validation report: lifetime-STARTING events (CREATE, or UPDATE on an
+    unseen id — the tolerated-create path) missing a non-nullable field.
+
+    Matches the reference exactly: CREATE validates the event
+    (processor.go:243-245), UPDATE-on-unseen validates the event
+    (:267-271), but UPDATE on a live id validates only the accumulated
+    previous state (:276-278) — partial update events are legal.
+    """
+    op = F.col(op_col)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(block_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lifetime = F.coalesce(
+        F.sum(F.when(op.isin(OP_DELETE, OP_FINAL), F.lit(1))).over(w_prev),
+        F.lit(0),
+    )
+    staged = changes.withColumn("_lt", lifetime)
+    started = F.max(
+        F.when(op.isin(OP_CREATE, OP_UPDATE), F.col("_lt"))
+    ).over(w_prev)
+    live = F.coalesce(started == F.col("_lt"), F.lit(False))
+    is_starter = (op == OP_CREATE) | ((op == OP_UPDATE) & ~live)
     checks = F.array_compact(
-        F.array(*[F.when(c, F.lit(name)) for c, name in conds])
+        F.array(*[F.when(F.col(f).isNull(), F.lit(f)) for f in not_null_fields])
     )
     return (
-        changes.withColumn("missing_fields", checks)
-        .where(F.size("missing_fields") > 0)
-        .select("id", "block_num", op_col, "missing_fields")
+        staged.withColumn("_starter", is_starter)  # window expr: not in WHERE
+        .withColumn("missing_fields", checks)
+        .where(F.col("_starter") & (F.size("missing_fields") > 0))
+        .select(id_col, block_col, op_col, "missing_fields")
     )

@@ -800,6 +800,44 @@ def scd2_state_at_block_q(spark, sf_dir):
 
 
 @_q(
+    "scd2_validate_ops",
+    f"""
+    WITH log AS ({_SYNTH_LOG_SQL}),
+    lf AS (
+      SELECT *,
+        coalesce(sum(CASE WHEN operation IN (3,4) THEN 1 END)
+                 OVER (PARTITION BY id ORDER BY block_num, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+      FROM log
+    ),
+    st AS (
+      SELECT *,
+        max(CASE WHEN operation IN (1,2) THEN lt END)
+          OVER (PARTITION BY id ORDER BY block_num, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS started
+      FROM lf
+    )
+    SELECT id, block_num, operation, issue FROM (
+      SELECT id, block_num, operation,
+             CASE WHEN operation = 1 AND coalesce(started = lt, false)
+                    THEN 'create_on_live'
+                  WHEN operation = 3 AND NOT coalesce(started = lt, false)
+                    THEN 'delete_unseen' END AS issue
+      FROM st
+    ) WHERE issue IS NOT NULL
+    """,
+)
+def scd2_validate_ops_q(spark, sf_dir):
+    """Operation-sequence violation report (reference-fatal paths
+    processor.go:238-241, 288-293) over the synthesized change-log —
+    double-DELETEs in the event stream surface as delete_unseen."""
+    from ..operators.scd2 import validate_ops
+
+    log = _synth_log(spark, sf_dir)
+    return validate_ops(log)
+
+
+@_q(
     "scd2_immutable_rows",
     f"""
     WITH log AS ({_SYNTH_LOG_SQL})

@@ -37,11 +37,16 @@ def tocsv(
     stop_block: int,
     bundle_size: int = 1000,
     check_files: bool = True,
+    strict: bool = False,
 ) -> list[str]:
     """Transform one entity's JSONL change-log into bundled CSV files.
 
     Mirrors the reference CLI contract: reads ``<src>/<entity>/*.jsonl``,
     writes ``<dest>/<entity>/NNNNNNNNNN-NNNNNNNNNN.csv``.
+
+    ``strict=True`` reproduces the reference's fatal paths: any
+    create-on-live / delete-unseen sequence or missing non-nullable field
+    raises before anything is written (costs one extra validation pass).
     """
     if stop_block <= 0:
         raise ValueError("stop_block must be > 0")
@@ -63,6 +68,8 @@ def tocsv(
     raw = raw.where(F.col("block_num") < stop_block)
 
     typed = typed_extract(raw, desc, originals=list(desc.fields))
+    if strict:
+        _raise_on_violations(typed, desc)
     versions = build_versions(
         typed, desc, bundle_size,
         last_block=last_event_block(spark, files, stop_block),
@@ -81,6 +88,30 @@ def tocsv(
         bundle_size=bundle_size,
         order_cols=["_order_block", "_order_seq"],
     )
+
+
+def _raise_on_violations(typed: DataFrame, desc: EntityDesc) -> None:
+    from .operators.scd2 import validate_changes, validate_ops
+
+    not_null = [
+        f.name for f in desc.ordered_fields()
+        if f.name != "id" and not f.nullable
+    ]
+    bad_fields = validate_changes(typed, not_null).limit(5).collect()
+    if bad_fields:
+        r = bad_fields[0]
+        raise ValueError(
+            f"field {r['missing_fields']} not found for entity {desc.name} "
+            f"id {r['id']} at block {r['block_num']} (+{len(bad_fields) - 1} more)"
+        )
+    if not desc.immutable:
+        bad_ops = validate_ops(typed).limit(5).collect()
+        if bad_ops:
+            r = bad_ops[0]
+            raise ValueError(
+                f"{r['issue']} for entity {desc.name} id {r['id']} "
+                f"at block {r['block_num']} (+{len(bad_ops) - 1} more)"
+            )
 
 
 def tocsv_all(

@@ -160,3 +160,57 @@ def test_tocsv_stop_block_truncation(spark, fixture_dirs):
     # a2 created @2200 still open at stop -> flushed into the last bundle
     body = read_csv(dest, "account", "0000002000-0000002499.csv")
     assert 'a2,"[2200,)"' in body
+
+
+def test_tocsv_strict_mode(spark, fixture_dirs, tmp_path):
+    """strict=True reproduces the reference's fatal validation paths."""
+    import pytest as _pytest
+
+    src, dest, schema_file = fixture_dirs
+    # a fully-valid log passes strict mode (note: ACCOUNT_EVENTS itself is
+    # deliberately NOT strict-valid — a2's CREATE omits the non-nullable
+    # tags field, which the reference's ValidateFields would reject but its
+    # CSV writer tolerates with defaults; we mirror both behaviors)
+    ok_src = tmp_path / "ok"
+    d0 = ok_src / "account"
+    d0.mkdir(parents=True)
+    with open(d0 / "0000000000-0000000999.jsonl", "w") as fh:
+        fh.write(json.dumps(ev(1, "Account", "ok1", 1, [
+            ("name", {"String_": "x"}),
+            ("balance", {"Bigint": "1"}),
+            ("active", {"Boolean": True}),
+            ("txCount", {"Int32": 1}),
+            ("tags", {"Array": {"value": [{"Typed": {"String_": "t"}}]}}),
+        ])) + "\n")
+        fh.write(json.dumps(ev(5, "Account", "ok1", 2, [
+            ("balance", {"Bigint": "2"}),  # partial UPDATE on live id: legal
+        ])) + "\n")
+    tocsv(spark, str(ok_src), dest + "_strict", "account", schema_file,
+          stop_block=1000, bundle_size=1000, strict=True)
+    # a double-create trips it
+    bad_src = tmp_path / "bad" 
+    d = bad_src / "account"
+    d.mkdir(parents=True)
+    with open(d / "0000000000-0000000999.jsonl", "w") as fh:
+        for block in (1, 2):
+            fh.write(json.dumps(ev(block, "Account", "dup", 1, [
+                ("name", {"String_": "x"}),
+                ("balance", {"Bigint": "1"}),
+                ("active", {"Boolean": True}),
+                ("txCount", {"Int32": 1}),
+                ("tags", {"Array": {"value": [{"Typed": {"String_": "t"}}]}}),
+            ])) + "\n")
+    with _pytest.raises(ValueError, match="create_on_live"):
+        tocsv(spark, str(bad_src), str(tmp_path / "out"), "account",
+              schema_file, stop_block=1000, bundle_size=1000, strict=True)
+    # a missing required field trips the field check
+    bad2 = tmp_path / "bad2"
+    d2 = bad2 / "account"
+    d2.mkdir(parents=True)
+    with open(d2 / "0000000000-0000000999.jsonl", "w") as fh:
+        fh.write(json.dumps(ev(1, "Account", "m1", 1, [
+            ("name", {"String_": "x"}),
+        ])) + "\n")
+    with _pytest.raises(ValueError, match="not found for entity"):
+        tocsv(spark, str(bad2), str(tmp_path / "out2"), "account",
+              schema_file, stop_block=1000, bundle_size=1000, strict=True)
