@@ -230,3 +230,86 @@ def test_stream_static_join(spark, tmp_path):
         for r in spark.sql("select * from ss_join").collect()
     }
     assert got == expected
+
+
+def test_stateful_fuzz_matches_reference_fold(spark, tmp_path):
+    """Randomized multi-trigger streams: the state-store fold must agree
+    with the sequential reference replay on every closed/FINAL row (open
+    end-of-log state stays in the store, FINAL-emitted opens do emit)."""
+    import random
+    import time
+
+    import test_scd2_properties as P
+
+    def gen(seed, n=25):
+        rnd = random.Random(seed)
+        live, events, block = set(), [], 0
+        for seq in range(n):
+            block += rnd.randint(0, 3)
+            id_ = rnd.choice("abc")
+            op = rnd.choice([2, 3, 4, 2]) if id_ in live else rnd.choice([1, 2])
+            (live.discard if op in (3, 4) else live.add)(id_)
+            fields = {f: rnd.randint(0, 9) for f in ("f1", "f2") if rnd.random() > 0.4}
+            if op in (1, 2) and not fields:
+                fields["f1"] = 0
+            events.append((id_, block, seq, op, fields.get("f1"), fields.get("f2")))
+        return events
+
+    def end_state(events):
+        state = {}
+        for id_, b, s, op, f1, f2 in events:
+            ev = {k: v for k, v in (("f1", f1), ("f2", f2)) if v is not None}
+            if op in (1, 2):
+                prev = state.get(id_)
+                if prev:
+                    merged = {**{k: prev.get(k) for k in ("f1", "f2") if prev.get(k) is not None}, **ev}
+                    state[id_] = {"start": b, **merged}
+                else:
+                    state[id_] = {"start": b, **ev}
+            else:
+                state.pop(id_, None)
+        return {(i, st["start"], None, st.get("f1"), st.get("f2")) for i, st in state.items()}
+
+    for seed in (1, 2, 3):
+        events = gen(seed)
+        d = tmp_path / f"fz{seed}"
+        d.mkdir()
+        now = time.time()
+        for i, ch in enumerate([events[:8], events[8:16], events[16:]]):
+            p = d / f"p{i}.jsonl"
+            with open(p, "w") as fh:
+                for id_, b, s, op, f1, f2 in ch:
+                    fj = json.dumps(
+                        {k: v for k, v in (("f1", f1), ("f2", f2)) if v is not None},
+                        sort_keys=True, separators=(",", ":"),
+                    )
+                    fh.write(json.dumps({"id": id_, "block_num": b, "seq": s,
+                                         "operation": op, "fields_json": fj}) + "\n")
+            os.utime(p, (now + i, now + i))
+        stream = (
+            spark.readStream.format("json").schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1).load(str(d))
+        )
+        qname = f"fuzz_out_{seed}"
+        q = (
+            stateful_versions(stream).writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / f"ck{seed}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        key = lambda r: (r[0], r[1], r[2] is None, r[2] or 0, str(r[3]), str(r[4]))
+        got = sorted(
+            (
+                (r["id"], r["block_range_start"], r["block_range_end"],
+                 json.loads(r["fields_json"]).get("f1"),
+                 json.loads(r["fields_json"]).get("f2"))
+                for r in spark.sql(f"select * from {qname}").collect()
+            ),
+            key=key,
+        )
+        flush = end_state(events)
+        want = sorted(
+            (r for r in P.reference_fold(events) if tuple(r) not in flush), key=key
+        )
+        assert got == want, seed
