@@ -1057,6 +1057,37 @@ def scalar_math_funcs_q(spark, sf_dir):
     )
 
 
+@_q(
+    "decimal_arithmetic",
+    """
+    SELECT l_returnflag,
+           cast(sum(cast(cast(l_extendedprice AS DECIMAL(38,6))
+               * (1 - cast(l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+           cast(sum(cast(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def decimal_arithmetic_q(spark, sf_dir):
+    """Exact DecimalType(38,6) arithmetic (SURVEY §1.2: the BigDecimal
+    arithmetic carrier): decimal multiply + sum is exact and therefore
+    order-independent across engines — no integer-cents workaround needed.
+    Each operand cast BEFORE multiplying, and the product truncated back to
+    (38,6) in both engines so scale propagation rules can't diverge."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")
+    net = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    # the aggregation is exact decimal; only the FINAL value casts to double
+    # (identical exact sums -> identical doubles; comparing raw decimals
+    # trips dtype mismatches between engines' client libraries)
+    return l.groupBy("l_returnflag").agg(
+        F.sum(net).cast("double").alias("net_revenue"),
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
 @_q("agg_approx_distinct")  # HLL sketches differ across engines: rows-only
 def agg_approx_distinct_q(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the sketch-based cardinality
