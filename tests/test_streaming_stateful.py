@@ -313,3 +313,36 @@ def test_stateful_fuzz_matches_reference_fold(spark, tmp_path):
             (r for r in P.reference_fold(events) if tuple(r) not in flush), key=key
         )
         assert got == want, seed
+
+
+def test_stateful_with_rocksdb_store(spark, change_files, tmp_path):
+    """The stateful fold runs under the RocksDB state-store provider (the
+    production config for unbounded per-id state) with identical output."""
+    from substreams_sink_graph_load_spark.streaming import rocksdb_state_conf
+
+    for k, v in rocksdb_state_conf(bounded_memory_mb=256).items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.format("json")
+            .schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(change_files)
+        )
+        q = (
+            stateful_versions(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r["id"], r["block_range_start"], r["block_range_end"])
+            for r in spark.sql("select * from rocks_out").collect()
+        }
+        assert rows == {("a1", 1, 500), ("a1", 500, 2100), ("b1", 600, None)}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
