@@ -1058,6 +1058,36 @@ def scalar_math_funcs_q(spark, sf_dir):
 
 
 @_q(
+    "agg_salted",
+    """
+    SELECT l_returnflag,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS bigint) AS s,
+           cast(count(l_extendedprice) AS bigint) AS n,
+           cast(min(cast(round(l_extendedprice*100) AS bigint)) AS bigint) AS mn,
+           cast(max(cast(round(l_extendedprice*100) AS bigint)) AS bigint) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_q(spark, sf_dir):
+    """Two-phase salted aggregation over the 3-value (maximally skewed)
+    return-flag key — result-identical to the plain GROUP BY the oracle
+    runs: the salt stage bounds any single reducer's share of a hot key to
+    ~1/salts, the algebraic rewrite changes nothing observable."""
+    from ..operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return salted_agg(
+        l,
+        ["l_returnflag"],
+        {"s": ("sum", "cents"), "n": ("count", "cents"),
+         "mn": ("min", "cents"), "mx": ("max", "cents")},
+        salts=16,
+    )
+
+
+@_q(
     "decimal_arithmetic",
     """
     SELECT l_returnflag,
