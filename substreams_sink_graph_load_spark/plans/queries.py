@@ -1058,6 +1058,34 @@ def scalar_math_funcs_q(spark, sf_dir):
 
 
 @_q(
+    "join_left_outer",
+    """
+    SELECT c_custkey,
+           cast(count(o_orderkey) AS bigint) AS n_orders,
+           cast(coalesce(sum(cast(round(o_totalprice*100) AS bigint)), 0) AS bigint) AS spend_cents
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_q(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders (count of the
+    nullable side skips nulls; sum coalesces to 0) — the outer-join member
+    of the §2.12 join contract."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_cents(F.col("o_totalprice"))), F.lit(0))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+
+
+@_q(
     "agg_salted",
     """
     SELECT l_returnflag,
