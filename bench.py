@@ -77,6 +77,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # operators may persist intermediates (e.g. the LSH sketch across
+        # its self-join); drop them so queries don't charge each other rent
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
