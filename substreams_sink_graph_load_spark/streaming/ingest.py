@@ -112,6 +112,7 @@ def run_ingest(
     chain_id: str | None = None,
     start_poi: bytes | None = None,
     workdir: str | None = None,
+    enforce_order: bool = True,
 ) -> dict[str, list[str]]:
     """Full ``run`` parity: wire stream -> per-entity JSONL bundles
     (+ optional poi2$ CSV chain over the interleaved order) +
@@ -120,6 +121,11 @@ def run_ingest(
     Source: either ``wire_path`` (consumed via the custom
     ``entity_changes`` DataSource, cursor-checkpointed) or a prepared
     ``stream_df`` with (block_num, seq, value).
+
+    ``enforce_order`` reproduces the reference's source contract: block
+    numbers must be non-decreasing in cursor order — an undo/reorg signal
+    (a block below the high-water mark) is fatal (ref sinker.go:291-293
+    errors on any undo; the sink demands final-blocks-only).
     """
     from ..sources.stream_source import EntityChangesDataSource
 
@@ -144,6 +150,27 @@ def run_ingest(
     query.awaitTermination()
 
     staged = ingest.staged_df()
+    if enforce_order:
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        undo = (
+            staged.withColumn("_hwm", F.max("block_num").over(w))
+            .where(F.col("block_num") < F.col("_hwm"))
+            .select("seq", "block_num", "_hwm")
+            .limit(1)
+            .collect()
+        )
+        if undo:
+            r = undo[0]
+            raise ValueError(
+                f"received undo signal / out-of-order block at cursor "
+                f"{r['seq']}: block {r['block_num']} below high-water mark "
+                f"{r['_hwm']} — the sink requires final blocks only"
+            )
     files = demux_jsonl(spark, staged, dest_dir, entities, stop_block, bundle_size)
 
     if chain_id is not None:

@@ -128,3 +128,19 @@ def test_wire_datasource_resume(spark, wire, tmp_path):
     # seq equals the global line cursor: strictly increasing, gap-free
     seqs = sorted(r["seq"] for r in df.select("seq").collect())
     assert seqs == list(range(total + 2))
+
+
+def test_run_ingest_rejects_out_of_order(spark, tmp_path):
+    """Undo/reorg parity: a block below the high-water mark is fatal
+    (ref sinker.go:291-293 — final-blocks-only contract)."""
+    wire = tmp_path / "bad_wire.jsonl"
+    with open(wire, "w") as fh:
+        for block in (10, 20, 15):  # 15 arrives after 20: undo signal
+            fh.write(json.dumps({"entity_change": {"entity": "Account", "id": "x",
+                                                   "operation": 2, "fields": []},
+                                 "block_num": block}) + "\n")
+    with pytest.raises(ValueError, match="high-water mark"):
+        run_ingest(
+            spark, str(tmp_path / "out"), entities=["account"],
+            stop_block=1000, wire_path=str(wire), bundle_size=1000,
+        )
