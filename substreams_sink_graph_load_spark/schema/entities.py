@@ -97,6 +97,10 @@ class Field:
     type: FieldType
     nullable: bool = True
     array: bool = False
+    # the GraphQL spelling, exactly as change-stream events carry it —
+    # required to match names the snake_case round-trip can't reconstruct
+    # (volumeUSD -> volume_usd -> volumeUsd != volumeUSD)
+    original: str | None = None
 
     def spark_type(self) -> DataType:
         base = _SPARK_TYPE[self.type]
@@ -164,9 +168,13 @@ def parse_schema(schema_text: str) -> dict[str, EntityDesc]:
         for fld in defn.fields or ():
             if _find_directive(fld.directives, "derivedFrom") is not None:
                 continue  # virtual reverse-lookup, never materialized
-            name = normalize_field(fld.name.value)
+            original = fld.name.value
+            name = normalize_field(original)
             ftype, nullable, is_array = _resolve_type(fld.type)
-            desc.fields[name] = Field(name=name, type=ftype, nullable=nullable, array=is_array)
+            desc.fields[name] = Field(
+                name=name, type=ftype, nullable=nullable, array=is_array,
+                original=original,
+            )
         out[desc.name] = desc
     return out
 

@@ -144,14 +144,18 @@ def parse_change_lines(raw: DataFrame) -> DataFrame:
     )
 
 
-def _candidates(normalized: str, originals: list[str]) -> list[str]:
+def _candidates(f: Field, originals: list[str]) -> list[str]:
     """Event field names arrive un-normalized (camelCase).  The reference
-    normalizes then matches (entity.go:60-64); we match against the known
-    original spellings plus the normalized form itself."""
-    cands = {normalized}
-    cands.update(o for o in originals if normalize_field(o) == normalized)
+    normalizes then matches (entity.go:60-64); we match the schema's
+    ORIGINAL spelling (authoritative — snake_case round-trips can't
+    reconstruct acronym names like volumeUSD), the normalized form, any
+    caller-supplied originals, and the common lowerCamel reconstruction."""
+    cands = {f.name}
+    if f.original:
+        cands.add(f.original)
+    cands.update(o for o in originals if normalize_field(o) == f.name)
     # common lowerCamel reconstruction: tx_count -> txCount
-    parts = normalized.split("_")
+    parts = f.name.split("_")
     cands.add(parts[0] + "".join(p.title() for p in parts[1:]))
     return sorted(cands)
 
@@ -160,7 +164,7 @@ def _extract_field(f: Field, originals: list[str]) -> Column:
     """Projection extracting one declared field from the fields array,
     per the declared type's discriminant key (entity.go:66-121)."""
     key = TYPED_KEY[f.type]
-    cands = F.array(*[F.lit(c) for c in _candidates(f.name, originals)])
+    cands = F.array(*[F.lit(c) for c in _candidates(f, originals)])
     entry = F.try_element_at(
         F.filter("fields", lambda x: F.array_contains(cands, x["name"])), F.lit(1)
     )
