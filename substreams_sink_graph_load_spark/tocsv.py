@@ -65,6 +65,16 @@ def tocsv(
     else:
         files = all_files
     raw = read_change_jsonl(spark, files)
+    if strict:
+        # a line that fails from_json yields a null block_num; the loose
+        # path would silently drop it at the stop filter below, but the
+        # reference fails on any unparseable line (processor.go:205-214)
+        corrupt = raw.where(F.col("block_num").isNull()).limit(1).collect()
+        if corrupt:
+            raise ValueError(
+                f"unparseable JSONL line in {corrupt[0]['_file']} "
+                f"(line {corrupt[0]['_line_no']})"
+            )
     raw = raw.where(F.col("block_num") < stop_block)
 
     typed = typed_extract(raw, desc, originals=list(desc.fields))

@@ -214,3 +214,29 @@ def test_tocsv_strict_mode(spark, fixture_dirs, tmp_path):
     with _pytest.raises(ValueError, match="not found for entity"):
         tocsv(spark, str(bad2), str(tmp_path / "out2"), "account",
               schema_file, stop_block=1000, bundle_size=1000, strict=True)
+
+
+def test_tocsv_strict_rejects_corrupt_lines(spark, fixture_dirs, tmp_path):
+    """The reference fails on any unparseable JSONL line; loose mode drops
+    it, strict mode raises with the file and line."""
+    import pytest as _pytest
+
+    _, _, schema_file = fixture_dirs
+    src = tmp_path / "corrupt"
+    d = src / "account"
+    d.mkdir(parents=True)
+    with open(d / "0000000000-0000000999.jsonl", "w") as fh:
+        fh.write(json.dumps(ev(1, "Account", "c1", 1, [
+            ("name", {"String_": "x"}), ("balance", {"Bigint": "1"}),
+            ("active", {"Boolean": True}), ("txCount", {"Int32": 1}),
+            ("tags", {"Array": {"value": []}}),
+        ])) + "\n")
+        fh.write("{this is not json\n")
+    # loose: the corrupt line vanishes, pipeline succeeds
+    files = tocsv(spark, str(src), str(tmp_path / "loose"), "account",
+                  schema_file, stop_block=1000, bundle_size=1000)
+    assert "c1" in open(files[0]).read()
+    # strict: fatal, names the file and line
+    with _pytest.raises(ValueError, match="unparseable JSONL line"):
+        tocsv(spark, str(src), str(tmp_path / "strict"), "account",
+              schema_file, stop_block=1000, bundle_size=1000, strict=True)
