@@ -35,3 +35,22 @@ from substreams_sink_graph_load_spark.schema import normalize_field
 )
 def test_normalize(raw, expected):
     assert normalize_field(raw) == expected
+
+
+def test_uniswap_style_names():
+    """Field names from the reference's own demo workload (uniswap-v3),
+    verified by hand against normalize.go's split actions — including the
+    upper-before-number suppression (X96) and the number-squeeze rule
+    (0X128 stays joined because X sits between digits)."""
+    cases = {
+        "sqrtPriceX96": "sqrt_price_x96",
+        "sqrtPriceX96abc": "sqrt_price_x96_abc",
+        "token0Price": "token_0_price",
+        "volumeUSD": "volume_usd",
+        "amount0": "amount_0",
+        "TVLUSDUntracked": "tvlusd_untracked",
+        "feeGrowthGlobal0X128": "fee_growth_global_0x128",
+        "liquidityProviderCount": "liquidity_provider_count",
+    }
+    for raw, want in cases.items():
+        assert normalize_field(raw) == want, raw

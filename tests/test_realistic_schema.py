@@ -66,7 +66,7 @@ def test_parse_realistic_schema():
     assert pool.fields["token_0"].type.value == "ID"
     # camelCase -> snake_case incl. digit rule (token0Price -> token_0_price)
     assert "token_0_price" in pool.fields
-    assert "sqrt_price_x_96" in descs["swap"].fields or "sqrt_price_x96" in descs["swap"].fields
+    assert "sqrt_price_x96" in descs["swap"].fields  # upper-before-number: no split
 
 
 def test_realistic_ddl():
