@@ -246,10 +246,15 @@ def agg_count_distinct(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg -> top-k.
+    """TPC-H Q3 shape: selective filters -> shuffle joins -> agg -> top-k.
 
-    Scale: customer (filtered) broadcasts; lineitem never shuffles before the
-    join; top-k is a single-partition window over only the aggregated rows.
+    Scale: every join side here grows with the fact tables (customer and
+    orders both scale with SF), so nothing carries a compile-time broadcast
+    hint -- AQE size-gates the joins at runtime (broadcasting the small side
+    at test SF, shuffle-hash/sort-merge on the join keys at 100 TB).  The
+    orders<->lineitem join co-shuffles on orderkey once; top-k is a
+    distributed partial top-10 per partition + driver merge
+    (TakeOrderedAndProject), never a single-partition global window.
     """
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
@@ -258,25 +263,26 @@ def q3_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    # join order: shrink orders by the selective segment filter FIRST, so
-    # the broadcast hitting the big lineitem scan is ~5x smaller (CBO-less
-    # Catalyst won't reorder broadcast chains by itself)
-    o_building = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
-    ).select("o_orderkey", "o_orderdate")
-    joined = l.join(
-        F.broadcast(o_building), F.col("l_orderkey") == F.col("o_orderkey")
+    # join order: shrink orders by the selective segment filter FIRST so the
+    # side reaching the big lineitem join is ~5x smaller (CBO-less Catalyst
+    # won't reorder the chain itself); AQE decides broadcast-vs-shuffle from
+    # the actual runtime sizes.
+    o_building = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
     )
+    joined = l.join(o_building, F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
         (
             F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
             / 10000.0
         ).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    # orderBy().limit() compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-10, the driver merges k*partitions rows -- O(k)
+    # driver work regardless of how many orders qualify.
     return (
-        agg.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= 10)
+        agg.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
         .select(
             "o_orderkey",
             "revenue",
@@ -300,22 +306,34 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: star join, every dimension broadcast, one shuffle for
-    the final group-by on n_name."""
+    """TPC-H Q5 shape: star join with broadcast hints ONLY on the true
+    fixed-cardinality dimensions (region 5 rows, nation 25 rows -- their size
+    does not grow with SF).  customer/supplier/orders/lineitem all scale with
+    the data, so their joins carry no hint: AQE broadcasts the small side at
+    test SF and falls back to co-partitioned shuffle joins (custkey ->
+    orderkey -> suppkey) at 100 TB.  One final tiny shuffle for the 5-group
+    n_name aggregate."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
-    s = _t(spark, sf_dir, "supplier")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    dims = (
-        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    # nation x region after the ASIA filter is exactly 5 rows: the one join
+    # side whose size is a schema constant, hence the one explicit broadcast.
+    dims = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
     co = c.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
-    oc = o.join(F.broadcast(co), F.col("o_custkey") == F.col("c_custkey"))
-    joined = (
-        l.join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("n_nationkey")))
+    oc = o.join(co, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    joined = l.join(oc, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        s,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
     )
     return joined.groupBy("n_name").agg(
         (
@@ -1895,6 +1913,63 @@ def bigdecimal_normalize_q(spark, sf_dir):
         norm_int("raw").alias("int_val"),
         norm_scale("raw").alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry export order
+# ---------------------------------------------------------------------------
+# The verify driver enumerates queries() in dict order under a bounded budget
+# (round 1 checked exactly the first 50 of 59).  Export order therefore
+# matters: queries that have never appeared in a CORRECTNESS report go first,
+# and the rest follow in ascending measured cost (scripts/time_queries.py at
+# sf0.01) so a budget cutoff drops the fewest checks.
+
+_FRONT = [
+    # no driver row in CORRECTNESS_r01 -- verify these before anything else
+    "typed_extract",
+    "normalize_names",
+    "validate_notnull",
+    "filter_range",
+    "bigdecimal_normalize",
+    "join_asof",
+    "join_range",
+    "ann_ivf_topk",
+    "multimodal_features",
+]
+
+_COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
+    "lang_id_heuristic": 0.20, "sort_limit_top10": 0.22, "text_stats": 0.23,
+    "bundle_assign": 0.25, "scalar_math_funcs": 0.25, "scalar_json_extract": 0.26,
+    "dedup_exact": 0.26, "scalar_date_funcs": 0.30, "join_anti_customers": 0.32,
+    "pg_csv_format": 0.32, "events_sliding_window": 0.32, "doc_fingerprint": 0.33,
+    "token_count": 0.33, "set_intersect": 0.33, "quality_score": 0.35,
+    "set_union": 0.36, "window_lag_delta": 0.37, "events_tumbling_hour": 0.40,
+    "window_running_total": 0.43, "agg_salted": 0.44, "scd2_immutable_rows": 0.44,
+    "join_broadcast_segments": 0.45, "decimal_arithmetic": 0.45,
+    "scalar_array_funcs": 0.47, "join_left_outer": 0.47, "set_except": 0.49,
+    "events_sessionize": 0.52, "q6_forecast_revenue": 0.54,
+    "agg_grouping_sets": 0.56, "agg_cube_part": 0.56, "agg_count_distinct": 0.58,
+    "window_topk_per_segment": 0.59, "similarity_topk": 0.61,
+    "join_semi_nations": 0.62, "scd2_validate_ops": 0.63, "agg_rollup_orders": 0.66,
+    "scd2_state_at_block": 0.76, "scd2_versions": 0.98, "q1_pricing_summary": 1.0,
+    "agg_approx_distinct": 1.13, "dedup_minhash": 1.15, "scalar_string_funcs": 1.19,
+    "dedup_embedding": 1.37, "q5_region_revenue": 1.48, "dedup_ngram_jaccard": 1.49,
+    "q3_shipping_priority": 1.78, "ann_topk_matmul": 1.87, "dedup_simhash": 2.19,
+    "dedup_minhash_pairs": 2.47, "poi_chain": 9.39,
+}
+
+
+def _export_order(names: list[str]) -> list[str]:
+    front = [n for n in _FRONT if n in names]
+    rest = sorted(
+        (n for n in names if n not in _FRONT), key=lambda n: _COST.get(n, 99.0)
+    )
+    return front + rest
+
+
+_order = _export_order(list(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _order}
+ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
 
 
 # ---------------------------------------------------------------------------
