@@ -160,12 +160,15 @@ def poi_tocsv(
     stop_block: int,
     bundle_size: int = 1000,
     start_poi: bytes | None = None,
+    first_block: int = 0,
 ) -> list[str]:
     """End-to-end poi2$ pipeline: interleaved change stream -> digest chain
     -> SCD-2 versions -> bundled ``poi2$`` CSV files (header
     ``id,block_range,digest``).  ``raw`` must be the PRE-demux stream
     (block_num, seq, value): the per-block event index that addresses the
-    hash is global across entities (sinker.go:232-253)."""
+    hash is global across entities (sinker.go:232-253).  ``first_block`` is
+    the sinker start block: bundle enumeration begins at its aligned bundle
+    like the reference's bundlers."""
     import os
 
     from .bundles import write_bundled_csv
@@ -180,7 +183,7 @@ def poi_tocsv(
         rendered,
         dest,
         header="id,block_range,digest",
-        first_block=0,
+        first_block=first_block,
         stop_block=stop_block,
         bundle_size=bundle_size,
         order_cols=["_order_block", "_order_seq"],

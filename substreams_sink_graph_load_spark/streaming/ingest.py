@@ -6,21 +6,26 @@ interleaved order, and write ``last_block.txt``.
 Shape: the wire stream (custom DataSource or any (block_num, seq, value)
 stream) stages to a parquet log per microbatch (cheap append, cursor
 checkpointed by Spark); finalize() then cuts the bundle files in one batch
-job — entity routing is a ``partitionBy``-style repartition on
-(entity, bundle_start), POI is the §2.5 parallel fold.  The reference
-materializes bundles as the stream crosses boundaries; the observable
-contract (file set, names, contents, order, empty bundles, poi2$ rows,
-last_block marker) is identical.
+job — entity routing is ONE repartition on (entity, bundle_start) feeding a
+single two-level ``partitionBy`` text write (every entity x bundle lands in
+its own directory in one pass; no per-entity rescans), POI is the §2.5
+parallel fold.  The reference materializes bundles as the stream crosses
+boundaries; the observable contract (file set, names, contents, order,
+empty bundles, poi2$ rows, last_block marker) is identical.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import urllib.parse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..operators.bundles import bundle_start_col, write_bundled_lines
+from ..operators.bundles import boundaries, bundle_filename, bundle_start_col
 from ..schema.normalize import normalize_field
 
 
@@ -45,6 +50,71 @@ class WireIngest:
         return self.spark.read.parquet(self.staged)
 
 
+def check_final_blocks_only(
+    staged: DataFrame, chunk_width: int = 1_000_000
+) -> None:
+    """Reject any block below the running high-water mark in cursor order
+    (ref sinker.go:291-293 — an undo/reorg signal is fatal; the sink
+    demands final blocks only).
+
+    Distributed: the cursor space splits into seq-range chunks so the
+    non-decreasing property decomposes into (a) a running-max window check
+    WITHIN each chunk — chunks run in parallel, no global single-partition
+    window — and (b) per-chunk (min, max) block extremes merged driver-side
+    across chunk boundaries (O(#chunks) rows).  Accept/reject set is exactly
+    the global scan's: a violating row either sees its witness inside its
+    own chunk (a) or in some earlier chunk's max (b).
+    """
+    ch = staged.select(
+        "seq",
+        "block_num",
+        (F.col("seq") / F.lit(chunk_width)).cast("long").alias("_chunk"),
+    )
+    w = Window.partitionBy("_chunk").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    intra = (
+        ch.withColumn("_hwm", F.max("block_num").over(w))
+        .where(F.col("block_num") < F.col("_hwm"))
+        .orderBy("seq")
+        .limit(1)
+        .collect()
+    )
+    if intra:
+        r = intra[0]
+        raise ValueError(
+            f"received undo signal / out-of-order block at cursor "
+            f"{r['seq']}: block {r['block_num']} below high-water mark "
+            f"{r['_hwm']} — the sink requires final blocks only"
+        )
+    extremes = (
+        ch.groupBy("_chunk")
+        .agg(F.min("block_num").alias("_min"), F.max("block_num").alias("_max"))
+        .orderBy("_chunk")
+        .collect()
+    )
+    hwm = None
+    for row in extremes:
+        if hwm is not None and row["_min"] < hwm:
+            lo, hi = row["_chunk"] * chunk_width, (row["_chunk"] + 1) * chunk_width
+            bad = (
+                ch.where(
+                    (F.col("seq") >= lo)
+                    & (F.col("seq") < hi)
+                    & (F.col("block_num") < F.lit(hwm))
+                )
+                .orderBy("seq")
+                .limit(1)
+                .collect()[0]
+            )
+            raise ValueError(
+                f"received undo signal / out-of-order block at cursor "
+                f"{bad['seq']}: block {bad['block_num']} below high-water "
+                f"mark {hwm} — the sink requires final blocks only"
+            )
+        hwm = row["_max"] if hwm is None else max(hwm, row["_max"])
+
+
 def demux_jsonl(
     spark: SparkSession,
     raw: DataFrame,
@@ -52,13 +122,22 @@ def demux_jsonl(
     entities: list[str],
     stop_block: int,
     bundle_size: int = 1000,
+    first_block: int = 0,
 ) -> dict[str, list[str]]:
     """Route raw change lines to ``<dest>/<entity>/NNN-NNN.jsonl`` bundles.
 
     Entity names normalize to snake_case for the directory (sinker.go:243);
     unknown entities raise, like the reference's router (sinker.go:242-248).
-    One repartition on (entity, bundle) carries the routing; every entity
-    materializes every bundle in [0, stop), empty ones as empty files.
+    Single-pass: the line is JSON-parsed once into a persisted routing frame,
+    the tiny distinct-entity set (bounded by the schema, not the data)
+    validates the router map, then ONE repartition on (entity, bundle_start)
+    feeds ONE two-level ``partitionBy`` text write — per-bundle files come
+    out of the partition directories with driver-side renames (metadata ops).
+
+    EVERY schema entity materializes every bundle in
+    [first_block, stop_block) — never-emitted entities included — as the
+    reference creates a bundler per schema entity up front (sinker.go:82-88)
+    and rolls them all, so unseen entities still produce (empty) files.
     """
     ent = F.get_json_object("value", "$.entity_change.entity")
     routed = raw.select(
@@ -67,37 +146,63 @@ def demux_jsonl(
         F.col("block_num"),
         F.col("seq"),
         F.col("value").alias("line"),
-    )
-    known = {e: normalize_field(e) for e in set(routed.select("entity_raw").distinct().toPandas()["entity_raw"])}
-    norm_map = {}
-    for raw_name, snake in known.items():
-        if snake not in entities:
-            raise ValueError(
-                f"cannot find bundler for entity {raw_name!r} (normalized {snake!r})"
-            )
-        norm_map[raw_name] = snake
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # distinct over the persisted frame: a map-side-combined agg on a
+        # schema-bounded-cardinality column — no re-parse of the raw lines.
+        seen = [
+            r["entity_raw"] for r in routed.select("entity_raw").distinct().collect()
+        ]
+        norm_map: dict[str, str] = {}
+        for raw_name in seen:
+            snake = normalize_field(raw_name) if raw_name is not None else None
+            if snake not in entities:
+                raise ValueError(
+                    f"cannot find bundler for entity {raw_name!r} "
+                    f"(normalized {snake!r})"
+                )
+            norm_map[raw_name] = snake
 
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(norm_map.items()) for x in kv]
+        )
+        staged = os.path.join(dest_dir, "_staged_demux")
+        (
+            routed.withColumn("entity", mapping[F.col("entity_raw")])
+            .repartition("entity", "bundle_start")
+            .sortWithinPartitions("entity", "bundle_start", "block_num", "seq")
+            .select("entity", "bundle_start", "line")
+            .write.mode("overwrite")
+            .partitionBy("entity", "bundle_start")
+            .text(staged, lineSep="\n")
+        )
+    finally:
+        routed.unpersist()
+
+    bounds = boundaries(first_block, stop_block, bundle_size)
     out: dict[str, list[str]] = {}
-    for raw_name, snake in sorted(norm_map.items()):
+    for snake in sorted(entities):
         dest = os.path.join(dest_dir, snake)
         os.makedirs(dest, exist_ok=True)
-        lines = routed.where(F.col("entity_raw") == raw_name).select(
-            "bundle_start",
-            F.col("block_num").alias("_order_block"),
-            F.col("seq").alias("_order_seq"),
-            "line",
-        )
-        out[snake] = write_bundled_lines(
-            spark,
-            lines,
-            dest,
-            header=None,
-            first_block=0,
-            stop_block=stop_block,
-            bundle_size=bundle_size,
-            order_cols=["_order_block", "_order_seq"],
-            ext="jsonl",
-        )
+        ent_dir = os.path.join(staged, f"entity={urllib.parse.quote(snake, safe='')}")
+        files: list[str] = []
+        for s, e in bounds:
+            parts = sorted(
+                glob.glob(os.path.join(ent_dir, f"bundle_start={s}", "part-*"))
+            )
+            target = os.path.join(dest, bundle_filename(s, e, "jsonl"))
+            if len(parts) == 1:
+                shutil.move(parts[0], target)
+            elif not parts:  # empty (or never-emitted entity): empty file
+                open(target, "wb").close()
+            else:  # defensive: concatenate (shouldn't happen post-repartition)
+                with open(target, "wb") as outfh:
+                    for p in parts:
+                        with open(p, "rb") as fh:
+                            shutil.copyfileobj(fh, outfh)
+            files.append(target)
+        out[snake] = files
+    shutil.rmtree(staged, ignore_errors=True)
     return out
 
 
@@ -113,6 +218,7 @@ def run_ingest(
     start_poi: bytes | None = None,
     workdir: str | None = None,
     enforce_order: bool = True,
+    first_block: int = 0,
 ) -> dict[str, list[str]]:
     """Full ``run`` parity: wire stream -> per-entity JSONL bundles
     (+ optional poi2$ CSV chain over the interleaved order) +
@@ -126,6 +232,10 @@ def run_ingest(
     numbers must be non-decreasing in cursor order — an undo/reorg signal
     (a block below the high-water mark) is fatal (ref sinker.go:291-293
     errors on any undo; the sink demands final-blocks-only).
+
+    ``first_block`` is the sinker start block: bundle enumeration starts at
+    its aligned bundle (the reference's bundlers boot at the start block,
+    not 0).
     """
     from ..sources.stream_source import EntityChangesDataSource
 
@@ -151,27 +261,11 @@ def run_ingest(
 
     staged = ingest.staged_df()
     if enforce_order:
-        from pyspark.sql import Window
-
-        w = (
-            Window.orderBy("seq")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        undo = (
-            staged.withColumn("_hwm", F.max("block_num").over(w))
-            .where(F.col("block_num") < F.col("_hwm"))
-            .select("seq", "block_num", "_hwm")
-            .limit(1)
-            .collect()
-        )
-        if undo:
-            r = undo[0]
-            raise ValueError(
-                f"received undo signal / out-of-order block at cursor "
-                f"{r['seq']}: block {r['block_num']} below high-water mark "
-                f"{r['_hwm']} — the sink requires final blocks only"
-            )
-    files = demux_jsonl(spark, staged, dest_dir, entities, stop_block, bundle_size)
+        check_final_blocks_only(staged)
+    files = demux_jsonl(
+        spark, staged, dest_dir, entities, stop_block, bundle_size,
+        first_block=first_block,
+    )
 
     if chain_id is not None:
         from ..operators.poi import poi_tocsv
@@ -179,6 +273,7 @@ def run_ingest(
         files["poi2$"] = poi_tocsv(
             spark, staged, dest_dir, chain_id, stop_block,
             bundle_size=bundle_size, start_poi=start_poi,
+            first_block=first_block,
         )
 
     last = staged.agg(F.max("block_num")).collect()[0][0] or 0

@@ -144,3 +144,60 @@ def test_run_ingest_rejects_out_of_order(spark, tmp_path):
             spark, str(tmp_path / "out"), entities=["account"],
             stop_block=1000, wire_path=str(wire), bundle_size=1000,
         )
+
+
+def test_unseen_entity_materializes_empty_bundles(spark, wire, tmp_path):
+    """The reference creates a bundler per SCHEMA entity up front
+    (sinker.go:82-88) and rolls them all: an entity never emitted on the
+    wire still materializes every (empty) bundle file."""
+    wire_path, _ = wire
+    jsonl_dir = str(tmp_path / "jsonl")
+    files = run_ingest(
+        spark, jsonl_dir,
+        entities=["account", "transfer", "ghost_entity"],
+        stop_block=3000, wire_path=wire_path, bundle_size=1000,
+    )
+    names = [os.path.basename(f) for f in files["ghost_entity"]]
+    assert names == [
+        "0000000000-0000000999.jsonl",
+        "0000001000-0000001999.jsonl",
+        "0000002000-0000002999.jsonl",
+    ]
+    assert all(os.path.getsize(f) == 0 for f in files["ghost_entity"])
+
+
+def test_first_block_starts_bundle_enumeration(spark, wire, tmp_path):
+    """Bundlers boot at the sinker start block, not 0: with
+    first_block=1000 the 0000000000-* bundle must not exist."""
+    wire_path, _ = wire
+    jsonl_dir = str(tmp_path / "jsonl")
+    files = run_ingest(
+        spark, jsonl_dir, entities=["account", "transfer"],
+        stop_block=3000, wire_path=wire_path, bundle_size=1000,
+        first_block=1000,
+    )
+    for ent in ("account", "transfer"):
+        names = [os.path.basename(f) for f in files[ent]]
+        assert names == [
+            "0000001000-0000001999.jsonl",
+            "0000002000-0000002999.jsonl",
+        ]
+
+
+def test_undo_detected_across_chunk_boundary(spark):
+    """check_final_blocks_only's cross-chunk merge path: the violating row's
+    witness lives in an EARLIER seq-chunk, so only the per-chunk
+    (min,max) driver merge can see it."""
+    from substreams_sink_graph_load_spark.streaming.ingest import (
+        check_final_blocks_only,
+    )
+
+    rows = [(0, 10), (1, 20), (2, 15), (3, 30)]  # seq 2 dips below chunk-0 hwm
+    df = spark.createDataFrame(rows, "seq long, block_num long")
+    with pytest.raises(ValueError, match="high-water mark 20"):
+        check_final_blocks_only(df, chunk_width=2)
+    # clean input passes with the same tiny chunking
+    ok = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 20), (3, 30)], "seq long, block_num long"
+    )
+    check_final_blocks_only(ok, chunk_width=2)
