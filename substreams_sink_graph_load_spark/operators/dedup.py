@@ -217,18 +217,34 @@ def ngram_jaccard_pairs(
     bucket_cols: tuple[str, ...] = ("source",),
     k: int = 2,
     min_jaccard_ppm: int = 200_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs inside blocking buckets.
 
     Blocking (``bucket_cols``) bounds the pair count: the self-join shuffles
     on the bucket key and only materializes in-bucket pairs.  Jaccard is
     exact set arithmetic reported in integer ppm.
+
+    Scale: a hot blocking bucket is O(bucket^2) with the gram arrays
+    crossing the join — ``max_bucket`` drops buckets above the cap BEFORE
+    the self-join (same guard as ``minhash_candidate_pairs``); route those
+    documents through exact/MinHash dedup instead, where the per-pair cost
+    doesn't carry the arrays.
     """
     g = df.select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         word_shingles(F.col(text_col), k).alias("grams"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+        g = (
+            g.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in bucket_cols:

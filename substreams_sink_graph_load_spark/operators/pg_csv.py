@@ -64,14 +64,24 @@ def pg_block_range(start: Column, end: Column) -> Column:
     )
 
 
+# Go unicode.IsSpace == the Unicode White_Space runes; Java regex \s is
+# ASCII-only, so the class is spelled out to match Go byte-for-byte
+# (encoding/csv fieldNeedsQuotes quotes on a leading IsSpace rune).
+_GO_WHITESPACE_CLASS = (
+    "[\\t\\n\\x0B\\f\\r \\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
 def csv_quote(col: Column) -> Column:
     """Go encoding/csv minimal quoting: quote when the field contains
-    ``"``, ``,``, CR or LF, starts with whitespace, or equals ``\\.``;
+    ``"``, ``,``, CR or LF, starts with whitespace (Go ``unicode.IsSpace``
+    — includes non-ASCII spaces like U+00A0), or equals ``\\.``;
     inner quotes doubled.  Empty fields stay unquoted."""
     needs = (
         (col == F.lit(r"\.") )
         | col.rlike('[",\n\r]')
-        | col.rlike(r"^\s")
+        | col.rlike("^" + _GO_WHITESPACE_CLASS)
     )
     quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"'))
     return F.when(col == "", col).when(needs, quoted).otherwise(col)
@@ -125,7 +135,9 @@ def render_field(f: Field, col: Column) -> Column:
     return F.coalesce(body, F.lit(default))
 
 
-def render_entity_csv(df: DataFrame, desc: EntityDesc) -> DataFrame:
+def render_entity_csv(
+    df: DataFrame, desc: EntityDesc, strict: bool = False
+) -> DataFrame:
     """Project a typed versioned DataFrame to a single ``line`` string column
     in the exact graph-node CSV layout: ``id, block_range|block$, <fields
     alphabetical>`` (writer.go:142-156).
@@ -133,7 +145,23 @@ def render_entity_csv(df: DataFrame, desc: EntityDesc) -> DataFrame:
     Input columns: ``id`` plus ``block$`` (immutable) or
     ``block_range_start``/``block_range_end`` (mutable) plus typed fields.
     All rendering is JVM-side expressions -> stays in whole-stage codegen.
+
+    ``strict=True`` reproduces the reference's fatal path for Float fields:
+    the writer's Float case is commented out (writer.go:285-296), so a
+    Float column hits the ``default: panic("invalid field type")`` branch
+    (writer.go:308-310).  Plain mode renders the value (documented
+    extension).
     """
+    if strict:
+        for f in desc.ordered_fields():
+            if f.type == FieldType.FLOAT:
+                raise ValueError(
+                    f"invalid field type: 'Float' (field {f.name!r} of entity "
+                    f"{desc.name!r}) — the reference CSV writer does not "
+                    "support Float (writer.go:285-296 commented out; "
+                    "panics at writer.go:308-310); use strict=False to "
+                    "render it anyway"
+                )
     cols: list[Column] = [csv_quote(strip_nul(F.col("id")))]
     if desc.immutable:
         cols.append(F.col("block$").cast("string"))

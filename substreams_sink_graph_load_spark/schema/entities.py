@@ -163,7 +163,11 @@ def parse_schema(schema_text: str) -> dict[str, EntityDesc]:
             continue
         desc = EntityDesc(
             name=normalize_field(defn.name.value),
-            immutable=_bool_arg(entity_directive, "immutable"),
+            # replicated quirk: the reference sets immutable for ANY
+            # `immutable` argument regardless of its value — even
+            # `@entity(immutable: false)` (entities.go parseEntity,
+            # `case "immutable": immutable = true`)
+            immutable=_arg_present(entity_directive, "immutable"),
         )
         for fld in defn.fields or ():
             if _find_directive(fld.directives, "derivedFrom") is not None:
@@ -191,11 +195,8 @@ def _find_directive(directives, name: str):
     return None
 
 
-def _bool_arg(directive, name: str) -> bool:
-    for arg in directive.arguments or ():
-        if arg.name.value == name and isinstance(arg.value, gql_ast.BooleanValueNode):
-            return arg.value.value
-    return False
+def _arg_present(directive, name: str) -> bool:
+    return any(arg.name.value == name for arg in directive.arguments or ())
 
 
 def _resolve_type(node) -> tuple[FieldType, bool, bool]:

@@ -209,11 +209,22 @@ def parse_bundle_ranges(df: DataFrame) -> DataFrame:
     )
 
 
-def check_contiguity(filenames: list[str], stop_block: int | None = None) -> list[str]:
+def check_contiguity(
+    filenames: list[str],
+    stop_block: int | None = None,
+    require_coverage: bool = False,
+) -> list[str]:
     """Contiguity check over the bundle *file listing* (empty bundle files
     count): each file must start at the previous file's end + 1; files
     starting at/after the stop block are cut off (ref csvprocessor/
     processor.go:109-152).  Returns the files to load, in block order.
+
+    ``require_coverage=True`` additionally demands the listing reach
+    ``stop_block``: the reference errors out when the input falls short
+    (processor.go:145-146 ``entities do not cover the full range``) — its
+    end-of-log flush guard (processor.go:168) is therefore only ever
+    reached with full coverage, so flush rows never materialize for a
+    truncated input there.
 
     Driver-side on purpose — it's a metadata walk, exactly like the
     reference's ``inputStore.Walk``; O(#files), no data touched.
@@ -235,4 +246,12 @@ def check_contiguity(filenames: list[str], stop_block: int | None = None) -> lis
             )
         prev_end = end
         out.append(fn)
+    if require_coverage and stop_block is not None:
+        covered_to = -1 if prev_end is None else prev_end
+        if covered_to + 1 < stop_block:
+            first = out[0] if out else "<none>"
+            raise ValueError(
+                f"entities do not cover the full range ({first!r} -> "
+                f"{covered_to + 1}), stop block: {stop_block}"
+            )
     return out

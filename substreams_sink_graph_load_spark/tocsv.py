@@ -61,7 +61,10 @@ def tocsv(
     if not all_files:
         raise ValueError(f"cannot find any entity file under {src_dir}/{entity}")
     if check_files:
-        files = check_contiguity(all_files, stop_block)
+        # coverage is mandatory like the reference (processor.go:145-146):
+        # an input listing short of stop_block errors instead of silently
+        # emitting end-of-log flush rows the reference would never write
+        files = check_contiguity(all_files, stop_block, require_coverage=True)
     else:
         files = all_files
     raw = read_change_jsonl(spark, files)
@@ -85,7 +88,7 @@ def tocsv(
         last_block=last_event_block(spark, files, stop_block),
     )
 
-    rendered = render_entity_csv(versions, desc)
+    rendered = render_entity_csv(versions, desc, strict=strict)
     dest = os.path.join(dest_dir, entity)
     os.makedirs(dest, exist_ok=True)
     return write_bundled_csv(

@@ -137,3 +137,21 @@ def test_minhash_signature_expression_matches_sketch(spark, docs):
         r["doc_id"]: r["sig"] for r in minhash_sketch(docs, "doc_id", "text").collect()
     }
     assert expr == sketch
+
+
+def test_ngram_jaccard_max_bucket(spark):
+    """A hot blocking bucket (boilerplate repeated past the cap) is dropped
+    BEFORE the self-join -- same guard as minhash_candidate_pairs; the cold
+    bucket's pairs are unaffected."""
+    rows = [(i, "hot boilerplate page text", "hot") for i in range(10)]
+    rows += [(100, "the quick brown fox", "cold"), (101, "the quick brown fox", "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = ngram_jaccard_pairs(
+        df, bucket_cols=("source",), min_jaccard_ppm=0, max_bucket=5
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert got == {(100, 101)}  # 45 hot pairs routed away, cold survives
+    uncapped = ngram_jaccard_pairs(
+        df, bucket_cols=("source",), min_jaccard_ppm=0
+    ).count()
+    assert uncapped == 45 + 1

@@ -80,3 +80,30 @@ def test_render_entity_csv(spark):
         r'a2,"[3,)",false,0,nulstr,\xdead,NULL,"{t\,1,t2}",0',
     }
     assert csv_header(desc) == "id,block_range,active,balance,name,payload,rate,tags,tx_count"
+
+
+def test_csv_quote_unicode_whitespace(spark):
+    """Go encoding/csv quotes on a leading unicode.IsSpace rune (not just
+    ASCII \\s): NBSP / LINE SEPARATOR / IDEOGRAPHIC SPACE all quote."""
+    for ch in (" ", " ", "　", " "):
+        assert one(spark, csv_quote(F.lit(ch + "x"))) == '"' + ch + 'x"'
+    # non-space leading unicode stays unquoted
+    assert one(spark, csv_quote(F.lit("éx"))) == "éx"
+
+
+def test_float_strict_mode(spark):
+    """The reference CSV writer has no Float branch (writer.go:285-296
+    commented out -> default panic at :308-310): strict mode raises, plain
+    mode renders the value as a documented extension."""
+    import pytest
+
+    sdl = "type F @entity { id: ID!\n ratio: Float! }"
+    desc = parse_schema(sdl)["f"]
+    df = spark.createDataFrame(
+        [("f1", 5, None, 0.5)],
+        "id string, block_range_start long, block_range_end long, ratio double",
+    )
+    with pytest.raises(ValueError, match="invalid field type: 'Float'"):
+        render_entity_csv(df, desc, strict=True)
+    plain = [r["line"] for r in render_entity_csv(df, desc).collect()]
+    assert plain == ['f1,"[5,)",0.5']

@@ -240,3 +240,15 @@ def test_tocsv_strict_rejects_corrupt_lines(spark, fixture_dirs, tmp_path):
     with _pytest.raises(ValueError, match="unparseable JSONL line"):
         tocsv(spark, str(src), str(tmp_path / "strict"), "account",
               schema_file, stop_block=1000, bundle_size=1000, strict=True)
+
+
+def test_tocsv_requires_full_coverage(spark, fixture_dirs):
+    """Input files short of stop_block are an error, exactly like the
+    reference (processor.go:145-146 'entities do not cover the full
+    range') — NOT a silent end-of-log flush: the reference only reaches
+    its flush guard (processor.go:168) with full coverage, so flush rows
+    for a truncated input must never materialize."""
+    src, dest, schema_file = fixture_dirs
+    with pytest.raises(ValueError, match="do not cover the full range"):
+        tocsv(spark, src, dest, "account", schema_file,
+              stop_block=5000, bundle_size=1000)

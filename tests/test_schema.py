@@ -93,3 +93,16 @@ def test_spark_schema():
     tr = ents["transfer"].spark_schema()
     tr_names = [f.name for f in tr.fields]
     assert tr_names[:2] == ["id", "block$"]
+
+
+def test_immutable_any_arg_quirk():
+    """Replicated reference quirk: ANY `immutable` argument sets immutable,
+    even `@entity(immutable: false)` (entities.go parseEntity
+    `case "immutable": immutable = true`)."""
+    sdl = """
+    type A @entity(immutable: false) { id: ID! }
+    type B @entity { id: ID! }
+    """
+    ents = parse_schema(sdl)
+    assert ents["a"].immutable
+    assert not ents["b"].immutable
