@@ -9,9 +9,22 @@ parallelism and placement: files distribute over executors with
 ``foreachPartition``, each partition holding one pooled connection
 (inject_csv.go:78 uses 2-3; one per task here).
 
-psycopg is not in this container, so the connection step is gated behind an
-import-try; everything up to the wire call (file pruning, header validation,
-COPY statement assembly, FORCE_NOT_NULL derivation) is pure and tested.
+Two wire backends, picked per task at runtime:
+
+* ``psycopg`` when importable — one pooled connection per partition,
+  ``cursor.copy()`` streaming (the reference's pgx CopyFrom analogue);
+* the ``psql`` CLI otherwise — ``psql <conninfo> -c 'COPY ... FROM STDIN'``
+  with the file on stdin.  libpq does the exact same protocol either way,
+  so the integration test exercises the identical COPY statement and CSV
+  bytes that production psycopg would send.
+
+Replicated reference quirk (verified against a live server in
+tests/test_postgres_live.py): absent nullable fields render as the literal
+string ``NULL`` (writer.go:233) but the COPY statement carries no
+``NULL '...'`` spec (inject_csv.go:277), and CSV-format COPY maps only
+*unquoted empty* fields to SQL NULL — so those columns store the 4 ASCII
+bytes ``NULL`` (text ``'NULL'``, bytea ``\\x4e554c4c``), exactly as the
+reference loads them.
 """
 
 from __future__ import annotations
@@ -19,6 +32,8 @@ from __future__ import annotations
 import csv
 import os
 import re
+import shutil
+import subprocess
 from collections.abc import Sequence
 
 from ..schema.entities import EntityDesc
@@ -89,6 +104,45 @@ def validate_csv_header(path: str, desc: EntityDesc) -> list[str]:
     return header
 
 
+def run_sql(dsn: str, sql: str) -> list[tuple[str, ...]]:
+    """Execute one SQL statement; rows come back as tuples of strings.
+
+    psycopg when available, else the ``psql`` CLI with tuple-only unaligned
+    output.  Orchestration path (DDL from :mod:`.ddl`, count checks) — not a
+    data path, so CLI string parsing is fine.
+    """
+    try:
+        import psycopg
+    except ImportError:
+        psycopg = None
+    if psycopg is not None:
+        with psycopg.connect(dsn) as conn, conn.cursor() as cur:
+            cur.execute(sql)
+            if cur.description is None:
+                return []
+            return [tuple("" if v is None else str(v) for v in r) for r in cur.fetchall()]
+    if shutil.which("psql") is None:  # pragma: no cover - environment-specific
+        raise NotImplementedError("neither psycopg nor psql available")
+    out = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-At", "-F", "\x1f", "-c", sql],
+        check=True, capture_output=True, text=True,
+    )
+    return [tuple(line.split("\x1f")) for line in out.stdout.splitlines()]
+
+
+def _psql_copy(dsn: str, copy_sql: str, path: str) -> None:
+    """One COPY FROM STDIN through the psql CLI, file streamed on stdin."""
+    with open(path, "rb") as fh:
+        res = subprocess.run(
+            ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", copy_sql],
+            stdin=fh, capture_output=True,
+        )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"psql COPY of {path!r} failed: {res.stderr.decode(errors='replace')}"
+        )
+
+
 def inject_csv_files(
     spark,
     files: Sequence[str],
@@ -113,23 +167,28 @@ def inject_csv_files(
 
     def load_partition(paths):
         try:
-            import psycopg  # noqa: F401  (not in this container)
-        except ImportError as ex:  # pragma: no cover - environment-specific
-            raise NotImplementedError(
-                "psycopg not installed; install it to inject, or use the "
-                "generated COPY statements with psql"
-            ) from ex
-        import psycopg
-
+            import psycopg
+        except ImportError:
+            psycopg = None
         n = 0
-        with psycopg.connect(dsn) as conn:  # pragma: no cover
-            for p in paths:
-                with conn.cursor() as cur, open(p, "rb") as fh:
-                    with cur.copy(copy_sql) as cp:
-                        while chunk := fh.read(1 << 20):
-                            cp.write(chunk)
-                n += 1
-            conn.commit()
+        if psycopg is not None:  # pragma: no cover - psycopg not in CI image
+            with psycopg.connect(dsn) as conn:
+                for p in paths:
+                    with conn.cursor() as cur, open(p, "rb") as fh:
+                        with cur.copy(copy_sql) as cp:
+                            while chunk := fh.read(1 << 20):
+                                cp.write(chunk)
+                    n += 1
+                conn.commit()
+            return [n]
+        if shutil.which("psql") is None:  # pragma: no cover
+            raise NotImplementedError(
+                "psycopg not installed and psql not on PATH; install either "
+                "to inject, or run the generated COPY statements manually"
+            )
+        for p in paths:
+            _psql_copy(dsn, copy_sql, p)
+            n += 1
         return [n]
 
     rdd = spark.sparkContext.parallelize(list(files), min(pool_conns, len(files)))

@@ -104,7 +104,9 @@ def read_change_jsonl(spark: SparkSession, path: str | list[str]) -> DataFrame:
     offset as the intra-file order — JSON inference is avoided entirely.
     """
     raw = spark.read.text(path).select(
-        F.col("value"), F.col("_metadata.file_path").alias("_file")
+        F.col("value"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_bstart"),
     )
     return parse_change_lines(raw)
 
@@ -114,15 +116,25 @@ def parse_change_lines(raw: DataFrame) -> DataFrame:
     per-file line order.  Shared by the batch scan and the streaming
     ``foreachBatch`` path (each microbatch is a plain batch DataFrame here).
     """
+    # _bstart (_metadata.file_block_start) anchors the ordering when one
+    # file spans multiple scan splits: monotonically_increasing_id is only
+    # ordered WITHIN a split, and relying on Spark's internal split
+    # enumeration order across splits of the same file would be an
+    # undocumented invariant.  (_bstart, _mid) is documented-stable: splits
+    # are byte ranges, ids ascend within each.
+    bstart = (
+        F.col("_bstart") if "_bstart" in raw.columns else F.lit(0).cast("long")
+    )
     raw = raw.select(
         "value",
         "_file",
+        bstart.alias("_bstart"),
         # generated during the scan in row order per partition; the text
-        # source emits each file's lines in byte order, so ordering by it
-        # *within a file* recovers the exact line number.
+        # source emits each split's lines in byte order, so ordering by
+        # (_bstart, _mid) *within a file* recovers the exact line number.
         F.monotonically_increasing_id().alias("_mid"),
     )
-    w = Window.partitionBy("_file").orderBy("_mid")
+    w = Window.partitionBy("_file").orderBy("_bstart", "_mid")
     parsed = raw.select(
         F.from_json("value", CHANGE_JSON_SCHEMA).alias("j"),
         F.col("_file"),

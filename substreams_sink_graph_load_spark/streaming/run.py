@@ -197,7 +197,11 @@ def run_stream(
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(os.path.join(src_dir, entity, "*.jsonl"))
-        .select(F.col("value"), F.col("_metadata.file_path").alias("_file"))
+        .select(
+            F.col("value"),
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.file_block_start").alias("_bstart"),
+        )
     )
     query = (
         stream.writeStream.foreachBatch(sink.process_batch)

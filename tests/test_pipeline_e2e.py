@@ -252,3 +252,32 @@ def test_tocsv_requires_full_coverage(spark, fixture_dirs):
     with pytest.raises(ValueError, match="do not cover the full range"):
         tocsv(spark, src, dest, "account", schema_file,
               stop_block=5000, bundle_size=1000)
+
+
+def test_seq_stable_across_file_splits(spark, tmp_path):
+    """A single JSONL file forced into many scan splits must still yield
+    seq == physical line number: the (_bstart, _mid) ordering key anchors
+    intra-file order on _metadata.file_block_start instead of Spark's
+    internal split enumeration order."""
+    from substreams_sink_graph_load_spark.sources.jsonl import read_change_jsonl
+
+    path = tmp_path / "big"
+    path.mkdir()
+    fn = str(path / "0000000000-0000099999.jsonl")
+    with open(fn, "w") as fh:
+        for i in range(5000):
+            fh.write(json.dumps(ev(i, "Account", f"id{i}", 1,
+                                   [("name", {"String_": "x" * 50})])) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        # confirm the conf really splits the single file at scan time
+        assert spark.read.text(fn).rdd.getNumPartitions() > 4
+        df = read_change_jsonl(spark, fn)
+        rows = df.select("block_num", "seq").collect()
+        assert len(rows) == 5000
+        for r in rows:
+            # block i sits on line i+1 of the file
+            assert r["seq"] == r["block_num"] + 1, (r["block_num"], r["seq"])
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
