@@ -1915,6 +1915,62 @@ def bigdecimal_normalize_q(spark, sf_dir):
     )
 
 
+@_q(
+    "proto_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS id, text, lang, source,
+           CAST(n_chars AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def proto_roundtrip_q(spark, sf_dir):
+    """Protobuf wire-format differential (§2.1 S2): documents -> one
+    ``EntityChanges`` wire message per row (pure-Python encoder, one
+    mapInPandas pass) -> wire decode -> JVM typed extraction.  The output
+    must equal a plain projection of the source table, proving the binary
+    path yields the same typed rows the JSONL path would (ref
+    sinker/sinker.go:209-215 unmarshals exactly this message before the
+    JSONL hop).  Encoder and decoder share one field-number table but walk
+    it in opposite directions, so a transposed tag breaks the oracle."""
+    from ..schema.entities import parse_schema
+    from ..sources.jsonl import typed_extract
+    from ..sources.protobuf import encode_entity_changes, parse_change_protobuf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text", "lang", "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                change = {
+                    "entity": "Document", "id": r.id, "operation": 1,
+                    "fields": [
+                        {"name": "text", "new_value": {"Typed": {"String_": r.text}}},
+                        {"name": "lang", "new_value": {"Typed": {"String_": r.lang}}},
+                        {"name": "source", "new_value": {"Typed": {"String_": r.source}}},
+                        {"name": "nChars", "new_value": {"Typed": {"Int32": int(r.n_chars)}}},
+                    ],
+                }
+                rows.append(
+                    {"block_num": int(r.id), "payload": encode_entity_changes([change])}
+                )
+            yield pd.DataFrame(rows, columns=["block_num", "payload"])
+
+    wire = docs.mapInPandas(encode, schema="block_num long, payload binary")
+    parsed = parse_change_protobuf(wire)
+    desc = parse_schema(
+        "type Document @entity { id: ID! text: String lang: String "
+        "source: String nChars: Int }"
+    )["document"]
+    return typed_extract(parsed, desc).select(
+        "id", "text", "lang", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
@@ -1935,6 +1991,8 @@ _FRONT = [
     "join_range",
     "ann_ivf_topk",
     "multimodal_features",
+    # new in round 2 -- not yet in any CORRECTNESS report
+    "proto_roundtrip",
 ]
 
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
