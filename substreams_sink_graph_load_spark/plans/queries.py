@@ -1972,6 +1972,388 @@ def proto_roundtrip_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-2 widening: correlated shapes, pivots, exact quantiles, text ranking,
+# clustering, runtime filters, deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join with a mixed
+    equi + inequality condition, then a one-shuffle count by priority.
+
+    Scale: the semi join shuffles both sides on orderkey (equi part drives
+    the partitioning; the date inequality evaluates post-match, never a
+    nested loop); count rides partial/final hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@_q(
+    "join_correlated_min",
+    """
+    SELECT l_partkey, l_suppkey, l_orderkey, l_extendedprice
+    FROM lineitem l
+    WHERE l_partkey % 20 = 0
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def join_correlated_min(spark, sf_dir):
+    """TPC-H Q2's correlated-min shape, rewritten the Spark way: the
+    per-group scalar subquery becomes one window min over the group key —
+    a single hash(l_partkey) exchange instead of the self-join a naive
+    decorrelation produces.  Ties keep every minimal row, exactly like the
+    correlated predicate."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice")
+    )
+
+
+@_q(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           cast(count(*) FILTER (WHERE o_orderstatus = 'F') AS bigint) AS status_f,
+           cast(count(*) FILTER (WHERE o_orderstatus = 'O') AS bigint) AS status_o,
+           cast(count(*) FILTER (WHERE o_orderstatus = 'P') AS bigint) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list: compiles to one hash aggregation
+    with conditional counts (no second shuffle, no value-discovery job —
+    passing the values is what keeps it one-pass at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@_q(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide -> long melt via the native unpivot (Expand node: one pass over
+    the scan emitting 3 rows per input, zero shuffles — the UNION ALL an
+    engine without unpivot needs would scan the table three times)."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@_q(
+    "window_ntile",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           cast(ntile(4) OVER w AS int) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Rank-family window functions (ntile / percent_rank / cume_dist) in
+    one window spec: one hash(c_mktsegment) exchange + one sort serves all
+    three.  The c_custkey tiebreak makes every rank deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """EXACT percentiles (linear interpolation) per group — both engines
+    compute (1-d)*lo + d*hi on the sorted group, so values hash-match.
+    Scale note: exact percentile sorts each group (one shuffle + per-group
+    sort); the streaming-friendly variant is approx_percentile (t-digest,
+    mergeable partials), registered separately as rows-only since sketches
+    are engine-specific."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, lower(t.tok) AS term
+      FROM documents, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, cast(tf.tf AS bigint) AS tf,
+             cast(df.df AS bigint) AS df,
+             round(tf.tf * ln(cast(n.n_docs AS double) / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the canonical training-data
+    relevance pipeline, all JVM expressions.
+
+    ASCII-token extraction happens BEFORE lowercasing (lower() on pure
+    [A-Za-z] agrees across engines; full-Unicode lowering does not).  Two
+    shuffles total: hash(doc_id, term) for TF (df reuses it map-side) and
+    hash(term) for the DF join; doc count broadcasts as a 1-row cross.
+    Scores round to 6dp so libm ln() ulp differences can't break ties; the
+    (score, term) ordering makes top-3 deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # O(1) metadata-ish count, driven once
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@_q(
+    "sample_stratified",
+    """
+    SELECT o_orderstatus,
+           cast(count(*) AS bigint) AS n_sampled,
+           sum(cast(round(o_totalprice * 100) AS bigint)) / 100.0 AS sampled_value
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic 10% sample via a portable content hash (md5 -> 60-bit
+    int -> mod 100), aggregated per stratum.  Unlike rand()-based sampling
+    this is reproducible across engines, runs, and partitionings — the
+    property a training-data pipeline needs for holdout splits.  The hash
+    predicate evaluates in the scan stage (no shuffle before the agg), and
+    the same expression selects the same rows in DuckDB."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        o.where(bucket < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("sampled_value"),
+        )
+    )
+
+
+@_q(
+    "join_runtime_minmax",
+    """
+    SELECT s.s_nationkey, cast(count(*) AS bigint) AS n_items,
+           sum(cast(round(l.l_extendedprice * 100) AS bigint)) / 100.0 AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_runtime_minmax(spark, sf_dir):
+    """Runtime min/max filter: the filtered dim's key bounds are computed
+    first (tiny agg) and pushed into the fact scan as a BETWEEN predicate
+    before the exact join — the DPP/runtime-filter pattern for engines
+    without bloom pushdown.  False positives inside the range are removed
+    by the join, so the result is provably identical to the plain join
+    (the oracle).  At 100 TB the BETWEEN lands in PushedFilters and prunes
+    row groups at the parquet reader, cutting the shuffle's input."""
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+    lo, hi = s.agg(F.min("s_suppkey"), F.max("s_suppkey")).first()
+    l = _t(spark, sf_dir, "lineitem")
+    if lo is not None:
+        l = l.where(F.col("l_suppkey").between(lo, hi))
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SIG_CTE_SQL},
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate graph by iterative min-label propagation (each round: join
+    labels to edges, take the neighborhood min, converge when no label
+    moves).  Cluster id = smallest doc_id in the component — the canonical
+    representative a dedup pipeline keeps.
+
+    Scale: each round is one shuffle join + one hash agg on the edge list;
+    rounds needed = graph diameter (LSH components are shallow — near-dup
+    clusters are cliques-ish, so 2-4 rounds in practice, capped at 20).
+    The giant-graph refinement (alternating large-star/small-star, which
+    keeps per-round state at O(V) instead of O(E)) drops in here unchanged
+    if components ever get deep.  The oracle is a recursive CTE over the
+    same band-derived edges."""
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, k=2
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(20):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
+            )
+            new = (
+                labels.join(nbr, labels["id"] == nbr["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
