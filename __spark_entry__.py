@@ -22,39 +22,7 @@ sys.path.insert(0, _REPO_DIR)
 
 from substreams_sink_graph_load_spark.plans import QUERIES, ORACLES, flagship
 
-_SHIPPED: set[int] = set()
-
-
-def _ship_package(spark: SparkSession) -> None:
-    """Make the package importable on Spark Python workers regardless of the
-    caller's cwd.
-
-    A handful of operators (typed extraction, BigDecimal normalize, as-of
-    join, IVF ANN, multimodal features) serialize closures that reference
-    package modules; cloudpickle stores them by name, so the *worker*
-    re-imports the package.  A driver that merely sys.path-inserted the repo
-    leaves workers blind to it — ship a zip via ``addPyFile`` once per
-    SparkContext instead of trusting the environment.
-    """
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    import zipfile
-
-    zip_path = os.path.join(
-        spark.sparkContext._temp_dir, "substreams_sink_graph_load_spark.zip"
-    )
-    pkg = os.path.join(_REPO_DIR, "substreams_sink_graph_load_spark")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, _REPO_DIR))
-    spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED.add(key)
+from substreams_sink_graph_load_spark.session import ship_package as _ship_package
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -12,6 +12,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark Python workers regardless of
+    the caller's cwd.
+
+    Custom Python data sources and pandas-UDF closures are cloudpickled by
+    name; the worker re-imports the package to unpickle them.  A driver
+    that merely sys.path-inserted the repo leaves workers blind to it, so
+    ship a zip via ``addPyFile`` once per SparkContext.  Library users get
+    this automatically through ``get_spark``; callers who built their own
+    session can call it directly.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        spark.sparkContext._temp_dir, "substreams_sink_graph_load_spark.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(
+                            full,
+                            os.path.relpath(full, os.path.dirname(pkg)),
+                        )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def get_spark(
     app_name: str = "substreams-sink-graph-load-spark",
     master: str | None = None,
@@ -26,6 +63,19 @@ def get_spark(
     - UTC session timezone: deterministic timestamp semantics across engines
       (the DuckDB oracle is timezone-naive).
     """
+    # Python data source PLANNER workers (create_data_source /
+    # python_streaming_source_runner) unpickle source classes by module
+    # name but do not see addPyFile paths (only task workers do) — they
+    # inherit PYTHONPATH from the JVM, which inherits it from us.  Must
+    # happen before the JVM launches; on a real cluster the same is done
+    # with --py-files / spark.executorEnv.PYTHONPATH.
+    _parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _parent not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_parent}{os.pathsep}{_pp}" if _pp else _parent
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -48,4 +98,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -14,6 +14,8 @@ monoid and recombine in any order.
 
 from __future__ import annotations
 
+from .xxh3 import xxh3_128_seed
+
 M63 = (1 << 63) - 1
 M64 = (1 << 64) - 1
 M128 = (1 << 128) - 1
@@ -78,8 +80,6 @@ class FastHasher:
 
     def write(self, addr: int, data: bytes | None) -> None:
         """hash = xxh3_128(data, seed=low64(addr)); mix(hash, high64(addr))."""
-        from .xxh3 import xxh3_128_seed
-
         lo, hi = xxh3_128_seed(data or b"", addr & M64)
         value = (addr >> 64) & M63
         value |= lo << 64
@@ -93,7 +93,5 @@ class FastHasher:
 
     def finish(self) -> int:
         """u128 = xxh3_128(mixer bytes, seed=count)."""
-        from .xxh3 import xxh3_128_seed
-
         lo, hi = xxh3_128_seed(self.mixer.to_bytes(24, "little"), self.count)
         return (hi << 64) | lo

@@ -31,6 +31,40 @@ from .values import (
 OP_REMOVE_VARIANT = 0x1
 OP_SET_VARIANT = 0x2
 
+# Map entries hash into an INDEPENDENT hasher rooted at the unordered
+# address pair (core.addr_unordered -> children of ADDRESS_ROOT), so an
+# entry's 32-byte state depends only on (field name, typed value) — never
+# on the event address.  That makes it memoizable across events: schema
+# field names repeat every event and change-stream values repeat heavily,
+# so the ~4 xxh3 calls per entry collapse to a dict lookup; only the final
+# mix-in write at the event-specific address remains per-event (measured
+# ~3x on the run-stage fold).  Bounded: insertion stops at the cap so a
+# high-cardinality value column can't grow the worker heap unboundedly.
+_ENTRY_CACHE: dict[tuple, bytes] = {}
+_ENTRY_CACHE_MAX = 1 << 18
+_MAP_KEY_ADDR = addr_child(ADDRESS_ROOT, 0)
+_MAP_VAL_ADDR = addr_child(ADDRESS_ROOT, 1)
+
+
+def _map_entry_state(name: str, typed: dict) -> bytes:
+    """32-byte independent-hasher state of one ``{name: typed-value}`` map
+    entry (identical to what ``MapVal.stable_hash`` feeds its final write)."""
+    key = None
+    if len(typed) == 1:
+        ((tag, raw),) = typed.items()
+        if raw is None or isinstance(raw, (str, int, bool)):
+            key = (name, tag, raw)
+            st = _ENTRY_CACHE.get(key)
+            if st is not None:
+                return st
+    inner = FastHasher()
+    String(name).stable_hash(_MAP_KEY_ADDR, inner)
+    EntityValue(typed).stable_hash(_MAP_VAL_ADDR, inner)
+    st = inner.to_bytes()
+    if key is not None and len(_ENTRY_CACHE) < _ENTRY_CACHE_MAX:
+        _ENTRY_CACHE[key] = st
+    return st
+
 
 class EntityValue(Hashable):
     """A typed change-stream value ``{"<Key>": raw}`` hashed as graph-node's
@@ -85,7 +119,11 @@ class SetEntity(Hashable):
     def stable_hash(self, addr, hasher):
         String(self.entity_type).stable_hash(addr_child(addr, 0), hasher)
         String(self.entity_id).stable_hash(addr_child(addr, 1), hasher)
-        MapVal(self.data).stable_hash(addr_child(addr, 2), hasher)
+        # inline MapVal semantics with the per-entry state memoized (the
+        # entry states are event-address-independent; see _map_entry_state)
+        maddr = addr_child(addr, 2)
+        for name, ev in self.data.items():
+            hasher.write(maddr, _map_entry_state(name, ev.typed))
         hasher.write(addr, bytes([OP_SET_VARIANT]))
 
 
