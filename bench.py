@@ -44,6 +44,10 @@ HEADLINE = [
     "ann_topk_matmul",
     "join_asof",
     "join_range",
+    # round-2 additions (r1's 25 stay in place for cross-round comparison)
+    "q4_order_priority",
+    "tfidf_top_terms",
+    "dedup_clusters",
 ]
 
 

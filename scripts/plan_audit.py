@@ -19,6 +19,9 @@ AUDIT = [
     "q1_pricing_summary", "q5_region_revenue", "q3_shipping_priority",
     "scd2_versions", "join_asof", "join_range", "similarity_topk",
     "ann_ivf_topk", "dedup_minhash", "dedup_minhash_pairs",
+    # round-2 additions
+    "q4_order_priority", "join_correlated_min", "agg_pivot",
+    "tfidf_top_terms", "sample_stratified", "join_runtime_minmax",
 ]
 
 

@@ -380,3 +380,109 @@ def embedding_neardup_pairs(
     return scored.groupBy("vec_a", "vec_b").agg(
         F.first("cos_ppm").alias("cos_ppm")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    small_graph_rows: int = 5_000_000,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list: returns
+    ``(id, cluster_id)`` where ``cluster_id`` is the smallest member id of
+    the component — the canonical representative a dedup pipeline keeps.
+
+    Adaptive execution.  An LSH candidate graph is orders of magnitude
+    smaller than the corpus that produced it, so after materializing the
+    edge list its size is KNOWN (the count also warms the cache):
+
+    - Driver-sized graphs (<= ``small_graph_rows`` pairs) fold with a
+      local union-find over an Arrow-collected (src, dst) frame —
+      O(E α(E)), no per-round job scheduling (measured ~2 s/round of pure
+      overhead on a hundred-edge graph at sf0.1: the distributed loop is
+      the wrong tool below millions of edges).
+    - Larger graphs run distributed min-label propagation: each round is
+      one shuffle join (labels onto edges) + one hash agg (neighborhood
+      min) + one left join carrying the old label, so the convergence
+      check reads the same materialized frame; rounds = component
+      diameter (LSH components are cliques-ish, 2-4 in practice, capped
+      at ``max_rounds``).  The alternating large-star/small-star
+      refinement (O(V) per-round state instead of O(E)) drops in here
+      unchanged if components ever get deep.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    try:
+        n_pairs = e.count()
+        if n_pairs <= small_graph_rows:
+            import numpy as np
+
+            pdf = e.toPandas()
+            ids = np.unique(
+                np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+            )
+            idx = {int(v): i for i, v in enumerate(ids)}
+            parent = np.arange(len(ids))
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                ra, rb = find(idx[int(a)]), find(idx[int(b)])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)  # root = smallest idx
+            # ids sorted ascending => smallest idx == smallest id
+            roots = np.array([find(i) for i in range(len(ids))])
+            return spark.createDataFrame(
+                [
+                    (int(ids[i]), int(ids[roots[i]]))
+                    for i in range(len(ids))
+                ],
+                "id long, cluster_id long",
+            )
+
+        edges = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
+            .persist()
+        )
+        pinned = labels
+        for _ in range(max_rounds):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
+            )
+            joined = (
+                labels.join(nbr, labels["id"] == nbr["src"], "left")
+                .select(
+                    "id",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = joined.where(F.col("label") != F.col("old_label")).count()
+            pinned.unpersist()
+            pinned = joined
+            labels = joined.select("id", "label")
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        e.unpersist()

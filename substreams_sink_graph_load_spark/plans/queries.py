@@ -2043,16 +2043,17 @@ def join_correlated_min(spark, sf_dir):
     """,
 )
 def agg_pivot(spark, sf_dir):
-    """Pivot with an explicit value list: compiles to one hash aggregation
-    with conditional counts (no second shuffle, no value-discovery job —
-    passing the values is what keeps it one-pass at scale)."""
+    """Pivot with an explicit value list, hand-compiled to conditional
+    counts: ONE hash aggregation, one shuffle.  (Spark's ``.pivot()``
+    inserts a second aggregation even with explicit values — audited at
+    2 exchanges — and without explicit values it adds a value-discovery
+    job on top; the conditional-agg form is what a pivot should lower to
+    at scale.)"""
     o = _t(spark, sf_dir, "orders")
-    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
-    return p.select(
-        "o_orderpriority",
-        F.coalesce("F", F.lit(0)).alias("status_f"),
-        F.coalesce("O", F.lit(0)).alias("status_o"),
-        F.coalesce("P", F.lit(0)).alias("status_p"),
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("status_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("status_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("status_p"),
     )
 
 
@@ -2161,11 +2162,12 @@ def tfidf_top_terms(spark, sf_dir):
     relevance pipeline, all JVM expressions.
 
     ASCII-token extraction happens BEFORE lowercasing (lower() on pure
-    [A-Za-z] agrees across engines; full-Unicode lowering does not).  Two
-    shuffles total: hash(doc_id, term) for TF (df reuses it map-side) and
-    hash(term) for the DF join; doc count broadcasts as a 1-row cross.
-    Scores round to 6dp so libm ln() ulp differences can't break ties; the
-    (score, term) ordering makes top-3 deterministic."""
+    [A-Za-z] agrees across engines; full-Unicode lowering does not).  The
+    corpus is tokenized ONCE: tf = hash(doc_id, term) agg; df aggregates
+    the grouped tf relation (tiny) rather than re-exploding the text;
+    then hash(term) for the DF join and hash(doc_id) for the top-3
+    window.  Scores round to 6dp so libm ln() ulp differences can't
+    break ties; the (score, term) ordering makes top-3 deterministic."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -2174,7 +2176,10 @@ def tfidf_top_terms(spark, sf_dir):
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency FROM tf (already one row per (doc, term)), not
+    # from a second explode of the corpus: the df aggregation reads the
+    # small grouped relation instead of re-tokenizing 100% of the text
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = d.count()  # O(1) metadata-ish count, driven once
     scored = tf.join(df_, "term").select(
         "doc_id",
@@ -2288,69 +2293,24 @@ def join_runtime_minmax(spark, sf_dir):
 )
 def dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components over the MinHash-LSH
-    candidate graph by iterative min-label propagation (each round: join
-    labels to edges, take the neighborhood min, converge when no label
-    moves).  Cluster id = smallest doc_id in the component — the canonical
-    representative a dedup pipeline keeps.
+    candidate graph.  Cluster id = smallest doc_id in the component — the
+    canonical representative a dedup pipeline keeps.
 
-    Scale: each round is one shuffle join + one hash agg on the edge list;
-    rounds needed = graph diameter (LSH components are shallow — near-dup
-    clusters are cliques-ish, so 2-4 rounds in practice, capped at 20).
-    The giant-graph refinement (alternating large-star/small-star, which
-    keeps per-round state at O(V) instead of O(E)) drops in here unchanged
-    if components ever get deep.  The oracle is a recursive CTE over the
-    same band-derived edges."""
-    from ..operators.dedup import minhash_candidate_pairs
+    Execution is adaptive (operators/dedup.py connected_components): the
+    LSH graph is orders of magnitude smaller than the corpus, so a
+    driver-sized edge list folds with a local union-find, while larger
+    graphs run distributed min-label propagation (one shuffle join + one
+    hash agg per round, rounds = component diameter).  The oracle is a
+    recursive CTE over the same band-derived edges."""
+    from ..operators.dedup import connected_components, minhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(
         d, "doc_id", "text", num_perm=16, bands=4, k=2
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
     )
-    try:
-        for _ in range(20):
-            nbr = (
-                edges.join(
-                    labels.select(
-                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("dst_label").alias("nbr_label"))
-            )
-            new = (
-                labels.join(nbr, labels["id"] == nbr["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
-    finally:
-        edges.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -2375,27 +2335,42 @@ _FRONT = [
     "multimodal_features",
     # new in round 2 -- not yet in any CORRECTNESS report
     "proto_roundtrip",
+    "agg_pivot",
+    "unpivot_metrics",
+    "window_ntile",
+    "agg_percentiles",
+    "sample_stratified",
+    "q4_order_priority",
+    "join_correlated_min",
+    "join_runtime_minmax",
+    "tfidf_top_terms",
+    "dedup_clusters",
 ]
 
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
-    "lang_id_heuristic": 0.20, "sort_limit_top10": 0.22, "text_stats": 0.23,
-    "bundle_assign": 0.25, "scalar_math_funcs": 0.25, "scalar_json_extract": 0.26,
-    "dedup_exact": 0.26, "scalar_date_funcs": 0.30, "join_anti_customers": 0.32,
-    "pg_csv_format": 0.32, "events_sliding_window": 0.32, "doc_fingerprint": 0.33,
-    "token_count": 0.33, "set_intersect": 0.33, "quality_score": 0.35,
-    "set_union": 0.36, "window_lag_delta": 0.37, "events_tumbling_hour": 0.40,
-    "window_running_total": 0.43, "agg_salted": 0.44, "scd2_immutable_rows": 0.44,
-    "join_broadcast_segments": 0.45, "decimal_arithmetic": 0.45,
-    "scalar_array_funcs": 0.47, "join_left_outer": 0.47, "set_except": 0.49,
-    "events_sessionize": 0.52, "q6_forecast_revenue": 0.54,
-    "agg_grouping_sets": 0.56, "agg_cube_part": 0.56, "agg_count_distinct": 0.58,
-    "window_topk_per_segment": 0.59, "similarity_topk": 0.61,
-    "join_semi_nations": 0.62, "scd2_validate_ops": 0.63, "agg_rollup_orders": 0.66,
-    "scd2_state_at_block": 0.76, "scd2_versions": 0.98, "q1_pricing_summary": 1.0,
-    "agg_approx_distinct": 1.13, "dedup_minhash": 1.15, "scalar_string_funcs": 1.19,
-    "dedup_embedding": 1.37, "q5_region_revenue": 1.48, "dedup_ngram_jaccard": 1.49,
-    "q3_shipping_priority": 1.78, "ann_topk_matmul": 1.87, "dedup_simhash": 2.19,
-    "dedup_minhash_pairs": 2.47, "poi_chain": 9.39,
+    "scalar_string_funcs": 0.24, "scalar_array_funcs": 0.3,
+    "text_stats": 0.3, "agg_rollup_orders": 0.3, "lang_id_heuristic": 0.3,
+    "scalar_math_funcs": 0.31, "quality_score": 0.32, "bundle_assign": 0.32,
+    "scalar_json_extract": 0.32, "token_count": 0.32,
+    "doc_fingerprint": 0.34, "agg_cube_part": 0.34,
+    "agg_grouping_sets": 0.34, "pg_csv_format": 0.35, "set_union": 0.36,
+    "q6_forecast_revenue": 0.36, "dedup_exact": 0.36,
+    "sort_limit_top10": 0.37, "agg_count_distinct": 0.38,
+    "scalar_date_funcs": 0.4, "set_intersect": 0.46,
+    "window_lag_delta": 0.46, "set_except": 0.46, "q1_pricing_summary": 0.47,
+    "events_tumbling_hour": 0.49, "ann_topk_matmul": 0.49,
+    "window_running_total": 0.49, "join_anti_customers": 0.51,
+    "join_semi_nations": 0.52, "decimal_arithmetic": 0.55,
+    "join_left_outer": 0.58, "events_sliding_window": 0.6,
+    "events_sessionize": 0.6, "join_broadcast_segments": 0.6,
+    "window_topk_per_segment": 0.61, "similarity_topk": 0.62,
+    "scd2_validate_ops": 0.62, "agg_salted": 0.63,
+    "q3_shipping_priority": 0.7, "scd2_immutable_rows": 0.7,
+    "scd2_versions": 0.76, "scd2_state_at_block": 0.79,
+    "dedup_minhash": 1.09, "q5_region_revenue": 1.16,
+    "agg_approx_distinct": 1.3, "dedup_ngram_jaccard": 1.35,
+    "dedup_minhash_pairs": 1.57, "dedup_embedding": 1.58,
+    "dedup_simhash": 2.16, "poi_chain": 2.36,
 }
 
 

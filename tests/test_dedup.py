@@ -155,3 +155,32 @@ def test_ngram_jaccard_max_bucket(spark):
         df, bucket_cols=("source",), min_jaccard_ppm=0
     ).count()
     assert uncapped == 45 + 1
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find and the distributed min-label loop produce the
+    same (id, cluster_id) labeling; cluster_id is the component's min id,
+    including across a 4-hop chain."""
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (30, 31), (31, 32)],
+        "src long, dst long",
+    )
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (30, 30), (31, 30), (32, 30),
+    }
+    small = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    big = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, small_graph_rows=0).collect()
+    }
+    assert small == want
+    assert big == want
