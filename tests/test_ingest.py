@@ -201,3 +201,28 @@ def test_undo_detected_across_chunk_boundary(spark):
         [(0, 10), (1, 20), (2, 20), (3, 30)], "seq long, block_num long"
     )
     check_final_blocks_only(ok, chunk_width=2)
+
+
+def test_stream_reader_junk_line_fallback(tmp_path):
+    """A line the fast RE2 pattern can't parse falls back to the exact
+    Python extractor: reordered members still parse, junk yields -1."""
+    from substreams_sink_graph_load_spark.sources.stream_source import (
+        EntityChangesStreamReader,
+    )
+
+    wire = tmp_path / "wire.jsonl"
+    wire.write_text(
+        '{"entity_change": {}, "block_num": 5}\n'
+        '{"block_num": 6, "entity_change": {}}\n'  # reordered members
+        "not json at all\n"
+        "\n"  # empty line: skipped, but seq advances
+        '{"entity_change": {}, "block_num": 7}\n'
+    )
+    r = EntityChangesStreamReader({"path": str(wire)})
+    assert r.latestOffset() == {"line": 5}
+    parts = r.partitions({"line": 0}, {"line": 5})
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    assert [(b, s) for b, s, _v in rows] == [(5, 0), (6, 1), (-1, 2), (7, 4)]
