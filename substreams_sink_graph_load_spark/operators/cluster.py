@@ -1,0 +1,127 @@
+"""K-means over embedding columns (training-data pipeline surface).
+
+The 100 TB shape: centroids are a K x dim float block that BROADCASTS
+(kilobytes); assignment is embarrassingly parallel per Arrow batch (one
+numpy distance matrix per batch, no shuffle); a fit iteration reduces
+per-partition partial sums — K x dim per task — to the driver, which is the
+classic Lloyd's-on-a-cluster decomposition (mergeable partials, same
+monoid trick as the POI fold).  No reference counterpart (the reference
+has no ML surface); this extends SURVEY §2.12.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(block: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Squared L2 distances, (n, K), computed in float64 as the explicit
+    sum over (x_i - c_i)^2 — the same association an element-wise SQL
+    oracle uses, so argmin agrees across engines to the last ulp for any
+    non-degenerate centroid separation."""
+    return (
+        (block[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2
+    ).sum(axis=2)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties to the
+    lowest cluster id — np.argmin picks the first minimum).
+
+    Returns (id_col, cluster int).  Centroids ride the closure (broadcast
+    by value — K x dim floats are kilobytes); each Arrow batch computes one
+    vectorized distance matrix, so the scan is the only data movement.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[vec_col].to_numpy())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": np.argmin(_dist2(block, cents), axis=1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster int"
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's iterations: centroids seeded from the k lowest ``id_col``
+    vectors (deterministic — no RNG, reproducible across runs/engines),
+    then ``iters`` rounds of assign + mean.
+
+    Each round is ONE Spark job: mapInPandas emits per-partition partial
+    (cluster, count, sum-vector) rows — at most K rows x dim doubles per
+    task — and the driver folds the partials and recomputes means.  Data
+    never shuffles; only K x dim aggregates cross the wire (the same
+    partial-aggregation shape a built-in avg uses).  Empty clusters keep
+    their previous centroid (the standard convention).
+    """
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cents = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+
+    data = df.select(id_col, vec_col)
+    for _ in range(iters):
+        cur = cents
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc_n = np.zeros(len(cur), dtype=np.int64)
+            acc_s = np.zeros_like(cur)
+            seen = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                seen = True
+                block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                a = np.argmin(_dist2(block, cur), axis=1)
+                acc_n += np.bincount(a, minlength=len(cur))
+                for c in np.unique(a):
+                    acc_s[c] += block[a == c].sum(axis=0)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.arange(len(cur), dtype="int32"),
+                        "n": acc_n,
+                        "vsum": list(acc_s),
+                    }
+                )
+
+        rows = data.mapInPandas(
+            partials, "cluster int, n long, vsum array<double>"
+        ).collect()
+        n = np.zeros(len(cents), dtype=np.int64)
+        s = np.zeros_like(cents)
+        for r in rows:
+            n[r["cluster"]] += r["n"]
+            s[r["cluster"]] += np.asarray(r["vsum"])
+        nz = n > 0
+        cents = cents.copy()
+        cents[nz] = s[nz] / n[nz, None]
+    return cents

@@ -2313,6 +2313,159 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@_q(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           sum(cast(round(value * 100) AS bigint))
+             OVER (PARTITION BY user_id
+                   ORDER BY cast(epoch(ts) AS bigint)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
+             AS sum_1h
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Time-range window frame: per user, the rolling 1-hour sum of
+    ``value`` ending at each event — RANGE BETWEEN on the epoch-seconds
+    key, so frame membership is defined by TIME distance, not row count
+    (rows-frames silently break on irregular event spacing).
+
+    One hash(user_id) exchange + one sort serves the whole frame; values
+    sum as exact integer cents so any accumulation order hash-matches.
+    Both engines order and frame by the same integer epoch key, making
+    peer groups (RANGE includes ties) identical."""
+    e = _events(spark, sf_dir)
+    key = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(key)
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(_cents(F.col("value"))).over(w) / 100.0).alias("sum_1h"),
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           cast(round(o.o_totalprice * 100) AS bigint) / 100.0 AS o_totalprice,
+           t.sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey,
+                 cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(cast(l_quantity AS bigint)) > 300) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem FIRST
+    (one hash(l_orderkey) agg), filter with HAVING, and only join the
+    surviving handful of orderkeys — the aggregate-before-join ordering is
+    the entire plan at 100 TB (joining then aggregating would shuffle the
+    full fact table twice).  The shrunken agg side is small enough that
+    AQE broadcast-gates the orders join at any SF."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (_cents(F.col("o_totalprice")) / 100.0).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_KMEANS_ORACLE = """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 10
+    ),
+    ce AS (
+      SELECT cid, unnest(embedding) AS cv,
+             generate_subscripts(embedding, 1) AS i
+      FROM c
+    ),
+    ee AS (
+      SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    d AS (
+      SELECT ee.vec_id, ce.cid,
+             sum((cast(ee.ev AS double) - cast(ce.cv AS double))
+               * (cast(ee.ev AS double) - cast(ce.cv AS double))) AS d2
+      FROM ee JOIN ce USING (i) GROUP BY ee.vec_id, ce.cid
+    )
+    SELECT vec_id, cast(cid AS int) AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d) WHERE rn = 1
+"""
+
+
+@_q("cluster_kmeans_assign", _KMEANS_ORACLE)
+def cluster_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (operators/cluster.py): centroids are
+    the 10 lowest vec_ids (deterministic seed), distances are float64
+    elementwise (x-c)^2 sums so both engines agree on argmin; ties break
+    to the lowest cluster id.  Scale: centroids broadcast by value, one
+    numpy distance matrix per Arrow batch, the scan is the only data
+    movement.  The oracle re-derives assignment relationally via
+    unnest + group-sum + row_number."""
+    from ..operators.cluster import kmeans_assign
+
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed = e.orderBy("vec_id").limit(10).collect()
+    cents = np.array([r["embedding"] for r in seed], dtype=np.float64)
+    return kmeans_assign(e, cents)
+
+
+@_q("cluster_kmeans_fit")  # rows-only: iterative refinement has no SQL twin
+def cluster_kmeans_fit(spark, sf_dir):
+    """Five Lloyd's iterations (operators/cluster.py kmeans_fit: one job
+    per round, per-partition partial sums, K x dim bytes to the driver)
+    then a final assignment; returns per-cluster sizes + centroid norms.
+    Iterative fixpoints aren't SQL-expressible — registered rows-only, the
+    operator itself is covered by tests/test_cluster.py against a numpy
+    reference run."""
+    from ..operators.cluster import kmeans_assign, kmeans_fit
+
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, 10, iters=5)
+    sizes = kmeans_assign(e, cents).groupBy("cluster").agg(
+        F.count("*").alias("n")
+    )
+    norms = spark.createDataFrame(
+        [
+            (int(i), float(np.round(np.linalg.norm(c), 6)))
+            for i, c in enumerate(cents)
+        ],
+        "cluster int, centroid_norm double",
+    )
+    return sizes.join(norms, "cluster").select("cluster", "n", "centroid_norm")
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
@@ -2345,6 +2498,10 @@ _FRONT = [
     "join_runtime_minmax",
     "tfidf_top_terms",
     "dedup_clusters",
+    "window_range_frame",
+    "q18_large_orders",
+    "cluster_kmeans_assign",
+    "cluster_kmeans_fit",
 ]
 
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
