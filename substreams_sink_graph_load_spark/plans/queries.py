@@ -2393,6 +2393,125 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           sum(cents) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l.l_shipdate) AS int) AS l_year,
+             cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS bigint) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair): two roles
+    of the same tiny dimension, an OR'd pair predicate that only resolves
+    after both sides attach, and a 3-key rollup.
+
+    Scale: only the two nation lookups carry compile-time broadcast hints
+    (dimension-sized by construction); supplier/customer/orders joins are
+    AQE-gated, lineitem⋈orders co-shuffles on orderkey.  The nation-name
+    filter halves each nation table before its join, so the OR predicate
+    evaluates over at most 2x2 name combinations per row."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = n.where(pair).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(pair).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "cents"
+            ),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("cents") / 100.0).alias("revenue"))
+    )
+
+
+@_q(
+    "fuzzy_pairs",
+    """
+    WITH t AS (SELECT doc_id, source, substr(text, 1, 24) AS head
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(levenshtein(a.head, b.head) AS int) AS dist
+    FROM t a JOIN t b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE abs(length(a.head) - length(b.head)) <= 10
+      AND levenshtein(a.head, b.head) <= 10
+    """,
+)
+def fuzzy_pairs(spark, sf_dir):
+    """Fuzzy near-match join on document heads via edit distance — the
+    string-similarity sibling of the MinHash/SimHash family (both engines
+    implement classic Levenshtein DP, so distances hash-match exactly).
+
+    Scale shape: the self-join shuffles ONCE on the blocking key
+    (source), bounding candidates to a block instead of the full
+    cartesian; the free |len(a)-len(b)| <= d lower bound prunes most
+    pairs BEFORE the O(n*m) DP evaluates (edit distance >= length gap);
+    doc_a < doc_b halves the block.  A hot block routes through the same
+    max_bucket cap pattern as the sketch-based dedups when needed."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.substring("text", 1, 24).alias("head")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            (
+                F.abs(
+                    F.length(F.col("a.head")) - F.length(F.col("b.head"))
+                )
+                <= 10
+            )
+            & (lev <= 10)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("dist"),
+        )
+    )
+
+
 _KMEANS_ORACLE = """
     WITH c AS (
       SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 10
@@ -2502,6 +2621,8 @@ _FRONT = [
     "q18_large_orders",
     "cluster_kmeans_assign",
     "cluster_kmeans_fit",
+    "q7_nation_volume",
+    "fuzzy_pairs",
 ]
 
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
