@@ -402,14 +402,14 @@ def connected_components(
       O(E α(E)), no per-round job scheduling (measured ~2 s/round of pure
       overhead on a hundred-edge graph at sf0.1: the distributed loop is
       the wrong tool below millions of edges).
-    - Larger graphs run distributed min-label propagation: each round is
-      one shuffle join (labels onto edges) + one hash agg (neighborhood
-      min) + one left join carrying the old label, so the convergence
-      check reads the same materialized frame; rounds = component
-      diameter (LSH components are cliques-ish, 2-4 in practice, capped
-      at ``max_rounds``).  The alternating large-star/small-star
-      refinement (O(V) per-round state instead of O(E)) drops in here
-      unchanged if components ever get deep.
+    - Larger graphs run alternating large-star / small-star rounds (the
+      MapReduce-CC algorithm of Kiveris et al., "Connected Components in
+      MapReduce and Beyond"): each round is two grouped minima + joins
+      over the current edge list, the edge list monotonically contracts
+      toward stars centered on component minima, and convergence takes
+      O(log^2 n) rounds INDEPENDENT of component diameter — the regime
+      where per-round label propagation (rounds = diameter) degenerates
+      on chain-shaped components.
     """
     spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
@@ -445,44 +445,92 @@ def connected_components(
                 "id long, cluster_id long",
             )
 
-        edges = e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).persist()
-        labels = (
-            edges.select(F.col("src").alias("id")).distinct()
-            .withColumn("label", F.col("id"))
-            .persist()
-        )
-        pinned = labels
-        for _ in range(max_rounds):
-            nbr = (
-                edges.join(
-                    labels.select(
-                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("dst_label").alias("nbr_label"))
-            )
-            joined = (
-                labels.join(nbr, labels["id"] == nbr["src"], "left")
-                .select(
-                    "id",
-                    F.col("label").alias("old_label"),
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = joined.where(F.col("label") != F.col("old_label")).count()
-            pinned.unpersist()
-            pinned = joined
-            labels = joined.select("id", "label")
-            if changed == 0:
-                break
-        edges.unpersist()
-        return labels.select("id", F.col("label").alias("cluster_id"))
+        return _cc_star(e, max_rounds)
     finally:
         e.unpersist()
+
+
+def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternating large-star / small-star rounds over canonical (a < b)
+    edges until the edge set reaches its star-graph fixpoint.
+
+    large-star: every node connects its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: every node connects
+    its smaller-or-equal neighborhood (itself included) to that set's
+    minimum.  Both steps preserve connectivity and only ever decrease the
+    (sum of) endpoint labels, so the set converges to one star per
+    component centered at the component minimum (Kiveris et al.).  Each
+    round: two hash aggs + two joins, output O(V) edges; the fixpoint
+    test compares a commutative (count, sum-of-hash) signature computed
+    on the already-materialized frame.
+    """
+    # each round references the previous edge set several times, so an
+    # un-truncated lineage grows ~8x per round (exponential plan size — a
+    # 20-round run OOMs the driver just PRINTING the plan).  localCheckpoint
+    # materializes each round's edges and cuts the lineage; on a real
+    # cluster with executor churn, swap for reliable checkpoint(dir).
+    cur = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not cur.head(1):
+        schema = "id long, cluster_id long"
+        return e.sparkSession.createDataFrame([], schema)
+    prev_sig = None
+    for _ in range(max_rounds):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # large-star: m(u) = min over the closed neighborhood; attach the
+        # strictly larger neighbors to it (m <= u < v keeps pairs canonical)
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on the large-star output: per node b, the minimum of
+        # its smaller neighbors (a < b always holds post-canonicalization)
+        smins = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(smins, "b")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .union(smins.select(F.col("m").alias("a"), F.col("b").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = small.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        cur = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint edges are stars (component-min a, member b); every node's
+    # label is the min over its closed neighborhood in the final set
+    sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("id"),
+            F.least("mv", F.col("u")).alias("cluster_id"),
+        )
+    )
+    return labels

@@ -184,3 +184,33 @@ def test_connected_components_paths_agree(spark):
     }
     assert small == want
     assert big == want
+
+
+def test_connected_components_deep_chain_and_random(spark):
+    """The distributed star-contraction path must match union-find on (a) a
+    64-hop chain — deeper than the round cap, where per-round label
+    propagation would NOT converge — and (b) a seeded random graph."""
+    import random
+
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 164)]
+    rng = random.Random(11)
+    rand = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    rand = [(a, b) for a, b in rand if a != b]
+    pairs = spark.createDataFrame(chain + rand, "src long, dst long")
+    small = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    big = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, small_graph_rows=0).collect()
+    }
+    assert small == big
+    # the whole chain collapses to its minimum
+    assert all(small_lbl == 100 for (n, small_lbl) in small if n >= 100)
