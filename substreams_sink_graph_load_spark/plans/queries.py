@@ -2393,6 +2393,22 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+@_q("agg_approx_percentile")  # rows-only: sketch internals are engine-specific
+def agg_approx_percentile(spark, sf_dir):
+    """Streaming-friendly percentile sketch: approx_percentile keeps a
+    bounded mergeable summary per group (partial/final agg, one shuffle,
+    constant state) — the 100 TB path its exact sibling agg_percentiles
+    (full per-group sort) can't take.  Rows-only: quantile sketches are
+    engine-specific, so no cross-engine value oracle exists; the exact
+    variant IS hash-checked and bounds this one's error."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_pcts")
+    )
+
+
 @_q(
     "q7_nation_volume",
     """
@@ -2623,6 +2639,7 @@ _FRONT = [
     "cluster_kmeans_fit",
     "q7_nation_volume",
     "fuzzy_pairs",
+    "agg_approx_percentile",
 ]
 
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
