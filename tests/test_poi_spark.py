@@ -119,3 +119,73 @@ def test_poi_tocsv_bundles(spark, tmp_path):
     assert b1[1] == f'chain-1,"[3,7)",\\x{expected[1][1].hex()}'
     assert b1[2] == f'chain-1,"[7,)",\\x{expected[2][1].hex()}'
     assert len(b0) == 2 and len(b1) == 3
+
+
+def test_batched_fold_matches_scalar_reference():
+    """fold_blocks_batched (numpy kernels, deferred commutative mix-ins)
+    must be bit-identical to the per-event scalar fold across every value
+    type, deletes, duplicate field names, empty fields, and empty blocks."""
+    import json
+    import random
+
+    from substreams_sink_graph_load_spark.operators.poi import _fold_events
+    from substreams_sink_graph_load_spark.stablehash.poi import (
+        fold_blocks_batched,
+    )
+
+    rng = random.Random(23)
+    typed_pool = [
+        {"String_": "hello world"},
+        {"String_": ""},
+        {"String_": "nul" + chr(0) + "byte"},
+        {"Int32": -7},
+        {"Bigint": "123456789012345678901234567890"},
+        {"Bigint": "-5"},
+        {"Bigdecimal": "123.456"},
+        {"Bool": True},
+        {"Bytes": "3q2+7w=="},
+        {
+            "Array": {
+                "value": [
+                    {"Typed": {"String_": "a"}},
+                    {"Typed": {"Int32": 1}},
+                ]
+            }
+        },
+    ]
+    blocks = {}
+    seq = 0
+    for block in (0, 5, 6, 90):
+        evs = []
+        for _ in range(rng.randrange(0, 9)):
+            if rng.random() < 0.2:
+                ch = {
+                    "entity": "Thing",
+                    "id": f"t{rng.randrange(4)}",
+                    "operation": 3,
+                }
+            else:
+                fields = [
+                    {
+                        "name": rng.choice(["a", "b", "dup", "dup"]),
+                        "new_value": {"Typed": rng.choice(typed_pool)},
+                    }
+                    for _ in range(rng.randrange(0, 5))
+                ]
+                ch = {
+                    "entity": rng.choice(["Thing", "Other"]),
+                    "id": f"t{rng.randrange(4)}",
+                    "operation": 1,
+                    "fields": fields,
+                }
+            evs.append((seq, ch))
+            seq += 1
+        blocks[block] = evs
+    got = fold_blocks_batched({b: list(e) for b, e in blocks.items()})
+    for block, evs in blocks.items():
+        want = _fold_events(
+            block,
+            [(s, json.dumps({"entity_change": ch})) for s, ch in evs],
+        )
+        assert got[block][0] == want, f"block {block}"
+        assert got[block][1] == len(evs)
