@@ -2299,9 +2299,10 @@ def dedup_clusters(spark, sf_dir):
     Execution is adaptive (operators/dedup.py connected_components): the
     LSH graph is orders of magnitude smaller than the corpus, so a
     driver-sized edge list folds with a local union-find, while larger
-    graphs run distributed min-label propagation (one shuffle join + one
-    hash agg per round, rounds = component diameter).  The oracle is a
-    recursive CTE over the same band-derived edges."""
+    graphs run alternating large-star/small-star contraction (Kiveris et
+    al. MapReduce CC: O(log^2 n) rounds independent of component
+    diameter).  The oracle is a recursive CTE over the same band-derived
+    edges."""
     from ..operators.dedup import connected_components, minhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
