@@ -479,8 +479,13 @@ def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     if not cur.head(1):
-        schema = "id long, cluster_id long"
-        return e.sparkSession.createDataFrame([], schema)
+        # no proper edges: every node is a self-loop singleton
+        return (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("cluster_id"))
+        )
     prev_sig = None
     for _ in range(max_rounds):
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -533,4 +538,15 @@ def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
             F.least("mv", F.col("u")).alias("cluster_id"),
         )
     )
-    return labels
+    # nodes appearing ONLY in self-loops vanished with the self-loop
+    # filter — reattach them as singleton clusters, matching the
+    # union-find path (which labels every endpoint it sees)
+    selfs = (
+        e.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    singles = selfs.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return labels.union(singles)

@@ -214,3 +214,32 @@ def test_connected_components_deep_chain_and_random(spark):
     assert small == big
     # the whole chain collapses to its minimum
     assert all(small_lbl == 100 for (n, small_lbl) in small if n >= 100)
+
+
+def test_connected_components_self_loops_are_singletons(spark):
+    """Self-loop-only nodes survive as singleton clusters on BOTH paths
+    (the star path filters self-loops for contraction but must not lose
+    the nodes)."""
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (7, 7), (2, 2)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (5, 5), (7, 7)}
+    for thr in (5_000_000, 0):
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(pairs, small_graph_rows=thr).collect()
+        }
+        assert got == want, (thr, sorted(got))
+    only_selfs = spark.createDataFrame([(3, 3), (9, 9)], "src long, dst long")
+    for thr in (5_000_000, 0):
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                only_selfs, small_graph_rows=thr
+            ).collect()
+        }
+        assert got == {(3, 3), (9, 9)}, (thr, sorted(got))
