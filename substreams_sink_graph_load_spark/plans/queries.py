@@ -2643,6 +2643,23 @@ _FRONT = [
     "agg_approx_percentile",
 ]
 
+# Core parity surface: re-verified EVERY round right after the
+# never-verified block, whatever the driver's budget — a CORRECTNESS
+# report that skips the SCD-2 heart (processor.go:237-307 semantics) or
+# the CSV rendering contract would leave the engine's defining behavior
+# unwitnessed for the round.
+_CORE = [
+    "bundle_assign",
+    "pg_csv_format",
+    "scd2_validate_ops",
+    "scd2_state_at_block",
+    "scd2_immutable_rows",
+    "scd2_versions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+]
+
 _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
     "scalar_string_funcs": 0.24, "scalar_array_funcs": 0.3,
     "text_stats": 0.3, "agg_rollup_orders": 0.3, "lang_id_heuristic": 0.3,
@@ -2672,10 +2689,12 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
 
 def _export_order(names: list[str]) -> list[str]:
     front = [n for n in _FRONT if n in names]
+    core = [n for n in _CORE if n in names and n not in _FRONT]
+    head = set(front) | set(core)
     rest = sorted(
-        (n for n in names if n not in _FRONT), key=lambda n: _COST.get(n, 99.0)
+        (n for n in names if n not in head), key=lambda n: _COST.get(n, 99.0)
     )
-    return front + rest
+    return front + core + rest
 
 
 _order = _export_order(list(QUERIES))
