@@ -263,6 +263,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "head",
+    bucket_cols: tuple[str, ...] = ("source",),
+    max_dist: int = 10,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Blocked Levenshtein near-match pairs: (doc_a, doc_b, dist).
+
+    Blocking key = ``bucket_cols`` + a **length band** of width ``max_dist``
+    — edit distance >= |len(a) - len(b)|, so a pair within ``max_dist`` has
+    band indices differing by at most 1.  Each row emits its band and the
+    next (``k in {band, band+1}``); the self-join matches on the emitted
+    band and keeps only the match at ``greatest(band_a, band_b)`` so every
+    candidate pair surfaces exactly once.  This keeps blocks bounded even
+    when a ``bucket_cols`` value covers a huge corpus slice — the scenario
+    where blocking on a near-constant-cardinality key alone degenerates to
+    O(slice**2).
+
+    ``max_bucket`` drops (bucket, band) groups above the cap BEFORE the
+    self-join (the same guard as ``minhash_candidate_pairs`` /
+    ``ngram_jaccard_pairs``); a block that hot is boilerplate — route it
+    through exact or MinHash dedup where per-pair cost is constant.
+
+    The |len gap| <= max_dist predicate is still applied explicitly
+    (adjacent bands admit gaps up to 2*max_dist-1), and it evaluates before
+    the O(n*m) DP — Spark short-circuits the conjunction.
+    """
+    band = F.floor(F.length(F.col(text_col)) / F.lit(max_dist)).cast("long")
+    t = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bucket_cols],
+        F.col(text_col),
+        F.explode(F.array(band, band + 1)).alias("k"),
+        band.alias("_band"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in bucket_cols], F.col("k"))
+        t = (
+            t.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a, b = t.alias("a"), t.alias("b")
+    cond = (
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # dedup the overlapping emissions: keep the single shared k that
+        # equals the larger of the two true bands
+        & (F.col("a.k") == F.greatest(F.col("a._band"), F.col("b._band")))
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    lev = F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
+    return (
+        a.join(b, cond)
+        .where(
+            (
+                F.abs(
+                    F.length(F.col(f"a.{text_col}"))
+                    - F.length(F.col(f"b.{text_col}"))
+                )
+                <= max_dist
+            )
+            & (lev <= max_dist)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            lev.cast("int").alias("dist"),
+        )
+    )
+
+
 def hyperplane_weights(dim: int, n_planes: int):
     """Deterministic hyperplane matrix (dim x n_planes): plane p, component
     i has integer weight ``((i*2654435761 + p*40503) % 2001) - 1000`` —

@@ -392,12 +392,15 @@ def join_anti_customers(spark, sf_dir):
     """,
 )
 def join_broadcast_segments(spark, sf_dir):
-    """Fact-to-dim broadcast hash join: the orders side never shuffles for
-    the join, only for the tiny 5-row aggregate."""
+    """Fact-to-dim hash join + 5-row aggregate.  No compile-time broadcast
+    hint: customer scales with SF (150k rows/SF — TB-sized at 100x), so the
+    build-side choice belongs to AQE, which broadcasts from *measured*
+    stage size when the pruned (2-column) dim fits and falls back to a
+    shuffle join when it doesn't.  Same policy as q3/q5."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -422,10 +425,12 @@ def join_broadcast_segments(spark, sf_dir):
     """,
 )
 def window_topk_per_segment(spark, sf_dir):
-    """Top-k per group via ranked window (k=3 biggest orders a segment)."""
+    """Top-k per group via ranked window (k=3 biggest orders a segment).
+    The customer side scales with SF, so no compile-time broadcast hint —
+    AQE size-gates the join strategy at runtime (q3/q5 policy)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -2248,14 +2253,17 @@ def join_runtime_minmax(spark, sf_dir):
     without bloom pushdown.  False positives inside the range are removed
     by the join, so the result is provably identical to the plain join
     (the oracle).  At 100 TB the BETWEEN lands in PushedFilters and prunes
-    row groups at the parquet reader, cutting the shuffle's input."""
+    row groups at the parquet reader, cutting the shuffle's input.  The
+    filtered supplier side still scales with SF, so it carries no
+    compile-time broadcast hint — AQE decides from its measured post-filter
+    size (q3/q5 policy)."""
     s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
     lo, hi = s.agg(F.min("s_suppkey"), F.max("s_suppkey")).first()
     l = _t(spark, sf_dir, "lineitem")
     if lo is not None:
         l = l.where(F.col("l_suppkey").between(lo, hi))
     return (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_items"),
@@ -2401,12 +2409,19 @@ def agg_approx_percentile(spark, sf_dir):
     constant state) — the 100 TB path its exact sibling agg_percentiles
     (full per-group sort) can't take.  Rows-only: quantile sketches are
     engine-specific, so no cross-engine value oracle exists; the exact
-    variant IS hash-checked and bounds this one's error."""
+    variant IS hash-checked and bounds this one's error.
+
+    The three percentiles come back as scalar columns (one sketch per
+    group evaluated at three points) rather than one array column —
+    flat frames canonicalize; array cells don't sort/hash portably."""
     l = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+    )
     return l.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("approx_pcts")
+        F.element_at(pcts, 1).alias("p25"),
+        F.element_at(pcts, 2).alias("p50"),
+        F.element_at(pcts, 3).alias("p75"),
     )
 
 
