@@ -48,14 +48,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects
-    outright; read the nanos as int64 and truncate to a microsecond timestamp
-    (identical to DuckDB's ns->us truncation)."""
+    """Load events.parquet robustly across testdata vintages.
+
+    Older generators wrote ``ts`` as TIMESTAMP(NANOS), which Spark's reader
+    only accepts as int64 via the legacy ``nanosAsLong`` flag; we then
+    truncate ns->us exactly like DuckDB does on read.  Newer generators
+    write ``timestamp[us]`` which loads natively (as TIMESTAMP_NTZ).
+    Inspect the dtype the reader actually produced and normalize both
+    vintages to a microsecond TIMESTAMP column.  The session timezone is
+    pinned to UTC (session.py), so TIMESTAMP here carries the same wall
+    values as the timezone-naive DuckDB oracle, and downstream consumers
+    keep the ltz-only operators (``unix_micros``, bigint casts for RANGE
+    frames) that the r2-verified plans rely on."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        return e.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _cents(col) -> F.Column:
