@@ -22,6 +22,7 @@ ever collects to the driver.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd  # module-level: pandas_udf resolves stringized hints here
@@ -405,7 +406,8 @@ def join_anti_customers(spark, sf_dir):
 )
 def join_broadcast_segments(spark, sf_dir):
     """Fact-to-dim hash join + 5-row aggregate.  No compile-time broadcast
-    hint: customer scales with SF (150k rows/SF — TB-sized at 100x), so the
+    hint: customer scales with SF (150k rows/SF, ~2-3 GB at SF100 — well
+    past any sane broadcast threshold even though not TB-sized), so the
     build-side choice belongs to AQE, which broadcasts from *measured*
     stage size when the pruned (2-column) dim fits and falls back to a
     shuffle join when it doesn't.  Same policy as q3/q5."""
@@ -2633,42 +2635,55 @@ def cluster_kmeans_fit(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (round 1 checked exactly the first 50 of 59).  Export order therefore
-# matters: queries that have never appeared in a CORRECTNESS report go first,
-# and the rest follow in ascending measured cost (scripts/time_queries.py at
-# sf0.01) so a budget cutoff drops the fewest checks.
+# (~50 of 77 per round).  Export order therefore matters.  It is derived
+# MECHANICALLY at import time from the driver's own shipped
+# CORRECTNESS_r*.json reports: queries that have never appeared in any
+# report go first, then the always-reverified core-parity tier, then the
+# remaining queries ordered by how stale their newest driver row is
+# (oldest round first), ties broken by ascending measured cost
+# (scripts/time_queries.py at sf0.01) so a budget cutoff drops the fewest
+# checks.  A hand-maintained list here went stale for two rounds straight
+# and hid five broken queries from the driver — never again.
 
-_FRONT = [
-    # no driver row in CORRECTNESS_r01 -- verify these before anything else
-    "typed_extract",
-    "normalize_names",
-    "validate_notnull",
-    "filter_range",
-    "bigdecimal_normalize",
-    "join_asof",
-    "join_range",
-    "ann_ivf_topk",
-    "multimodal_features",
-    # new in round 2 -- not yet in any CORRECTNESS report
-    "proto_roundtrip",
-    "agg_pivot",
-    "unpivot_metrics",
-    "window_ntile",
-    "agg_percentiles",
-    "sample_stratified",
-    "q4_order_priority",
-    "join_correlated_min",
-    "join_runtime_minmax",
-    "tfidf_top_terms",
-    "dedup_clusters",
-    "window_range_frame",
-    "q18_large_orders",
-    "cluster_kmeans_assign",
-    "cluster_kmeans_fit",
-    "q7_nation_volume",
-    "fuzzy_pairs",
-    "agg_approx_percentile",
-]
+
+def _driver_rounds() -> dict[str, int]:
+    """Newest CORRECTNESS_r*.json round carrying a PASSING row per query.
+
+    Reads the reports the verify driver drops at the repo root (the parent
+    of this package).  Only rows that actually verified count — a
+    hash-match, or a rows-only row that produced rows (``err ==
+    "no_oracle"``).  An error row is not evidence, so a query that broke
+    in the newest report keeps its last-good round and sorts back toward
+    the front of the budget until the driver re-witnesses the fix.
+    Absent or unparseable reports are skipped, so a library install
+    without them degrades to cost-ordered export.
+    """
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    newest: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            passed = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if passed:
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 # Core parity surface: re-verified EVERY round right after the
 # never-verified block, whatever the driver's budget — a CORRECTNESS
@@ -2715,13 +2730,18 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
 
 
 def _export_order(names: list[str]) -> list[str]:
-    front = [n for n in _FRONT if n in names]
-    core = [n for n in _CORE if n in names and n not in _FRONT]
-    head = set(front) | set(core)
-    rest = sorted(
-        (n for n in names if n not in head), key=lambda n: _COST.get(n, 99.0)
+    newest = _driver_rounds()
+    never = sorted(
+        (n for n in names if n not in newest),
+        key=lambda n: _COST.get(n, 99.0),
     )
-    return front + core + rest
+    core = [n for n in _CORE if n in names and n not in never]
+    head = set(never) | set(core)
+    rest = sorted(
+        (n for n in names if n not in head),
+        key=lambda n: (newest.get(n, 0), _COST.get(n, 99.0)),
+    )
+    return never + core + rest
 
 
 _order = _export_order(list(QUERIES))
