@@ -284,9 +284,11 @@ def fuzzy_candidate_pairs(
     O(slice**2).
 
     ``max_bucket`` drops (bucket, band) groups above the cap BEFORE the
-    self-join (the same guard as ``minhash_candidate_pairs`` /
-    ``ngram_jaccard_pairs``); a block that hot is boilerplate — route it
-    through exact or MinHash dedup where per-pair cost is constant.
+    explode and self-join (the same guard as ``minhash_candidate_pairs`` /
+    ``ngram_jaccard_pairs``): docs are counted per *true* band, so a hot
+    band is removed wholesale without poisoning its neighbors' overlap
+    emissions.  A block that hot is boilerplate — route it through exact
+    or MinHash dedup where per-pair cost is constant.
 
     The |len gap| <= max_dist predicate is still applied explicitly
     (adjacent bands admit gaps up to 2*max_dist-1), and it evaluates before
@@ -297,18 +299,22 @@ def fuzzy_candidate_pairs(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         F.col(text_col),
-        F.explode(F.array(band, band + 1)).alias("k"),
         band.alias("_band"),
     )
     if max_bucket is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*[F.col(c) for c in bucket_cols], F.col("k"))
+        w = Window.partitionBy(
+            *[F.col(c) for c in bucket_cols], F.col("_band")
+        )
         t = (
             t.withColumn("_n", F.count("*").over(w))
             .where(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    t = t.select(
+        "*", F.explode(F.array(F.col("_band"), F.col("_band") + 1)).alias("k")
+    )
     a, b = t.alias("a"), t.alias("b")
     cond = (
         (F.col("a.k") == F.col("b.k"))

@@ -2522,39 +2522,28 @@ def fuzzy_pairs(spark, sf_dir):
     string-similarity sibling of the MinHash/SimHash family (both engines
     implement classic Levenshtein DP, so distances hash-match exactly).
 
-    Scale shape: the self-join shuffles ONCE on the blocking key
-    (source), bounding candidates to a block instead of the full
-    cartesian; the free |len(a)-len(b)| <= d lower bound prunes most
-    pairs BEFORE the O(n*m) DP evaluates (edit distance >= length gap);
-    doc_a < doc_b halves the block.  A hot block routes through the same
-    max_bucket cap pattern as the sketch-based dedups when needed."""
+    Runs through ``operators.dedup.fuzzy_candidate_pairs``: the self-join
+    blocks on (source, length-band-of-width-max_dist), not source alone.
+    ``documents.source`` is ~20-distinct, so blocking on it alone leaves
+    each block at corpus/20 and pair cost quadratic in the slice; the
+    length band (edit distance >= |len gap|, so real pairs sit in equal
+    or adjacent bands, and the band-emit trick surfaces each exactly
+    once) re-bounds the block, and ``max_bucket`` hard-caps any band
+    that is still hot.  The cap is far above any band population at test
+    scale, so the unblocked oracle SQL keeps hash-matching."""
+    from ..operators.dedup import fuzzy_candidate_pairs
+
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "source", F.substring("text", 1, 24).alias("head")
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(
-            (
-                F.abs(
-                    F.length(F.col("a.head")) - F.length(F.col("b.head"))
-                )
-                <= 10
-            )
-            & (lev <= 10)
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            lev.cast("int").alias("dist"),
-        )
+    return fuzzy_candidate_pairs(
+        t,
+        id_col="doc_id",
+        text_col="head",
+        bucket_cols=("source",),
+        max_dist=10,
+        max_bucket=100_000,
     )
 
 

@@ -243,3 +243,71 @@ def test_connected_components_self_loops_are_singletons(spark):
             ).collect()
         }
         assert got == {(3, 3), (9, 9)}, (thr, sorted(got))
+
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    """Length-band blocking is lossless and exactly-once: on a mixed-length
+    single-source corpus, fuzzy_candidate_pairs == the naive O(n^2)
+    Levenshtein self-join (band-emit must neither drop a cross-band pair
+    nor double-count an equal-band one)."""
+    import random
+
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        fuzzy_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 25))), "s")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, head string, source string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in fuzzy_candidate_pairs(
+            df, text_col="head", max_dist=4
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    want = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(lev <= 4)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("dist"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # exactly-once also as a multiset property
+    n_rows = fuzzy_candidate_pairs(df, text_col="head", max_dist=4).count()
+    assert n_rows == len(got)
+
+
+def test_fuzzy_max_bucket_drops_hot_band_only(spark):
+    """The cap counts docs per TRUE band before the explode: a hot band is
+    dropped wholesale, while a cold neighboring band keeps its own
+    equal-band pairs (the post-explode cap this replaced dropped them,
+    because the k-bucket mixed the hot band's overlap emissions in)."""
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        fuzzy_candidate_pairs,
+    )
+
+    # max_dist=4 -> band = floor(len/4). Band 1 (len 4..7) hot: 10 docs.
+    # Band 2 (len 8..11) cold: two docs within edit distance 4.
+    rows = [(i, "abcde", "s") for i in range(10)]
+    rows += [(100, "abcdefgh", "s"), (101, "abcdefgg", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, head string, source string")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_candidate_pairs(
+            df, text_col="head", max_dist=4, max_bucket=5
+        ).collect()
+    }
+    assert capped == {(100, 101)}  # hot band routed away, cold band intact
+    uncapped = fuzzy_candidate_pairs(df, text_col="head", max_dist=4).count()
+    assert uncapped == 45 + 10 * 2 + 1  # hot pairs + cross-band + cold pair
