@@ -570,6 +570,7 @@ def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
             .select("id", F.col("id").alias("cluster_id"))
         )
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -606,8 +607,21 @@ def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
         sig = (sig_row["n"], sig_row["h"])
         cur = small
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Labels computed from a non-fixpoint edge set can silently split
+        # one component into several cluster_ids — corrupt output, not a
+        # degraded answer.  Fail loudly instead; star-contraction needs
+        # O(log^2 n) rounds, so a bump of max_rounds is always cheap
+        # relative to rerunning a poisoned dedup downstream.
+        raise RuntimeError(
+            "connected_components: star-contraction did not reach its "
+            f"fixpoint within max_rounds={max_rounds}; labels would be "
+            "unreliable. Increase max_rounds (rounds needed grow "
+            "O(log^2 n), so a small increase covers a much larger graph)."
+        )
     # fixpoint edges are stars (component-min a, member b); every node's
     # label is the min over its closed neighborhood in the final set
     sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(

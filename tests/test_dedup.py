@@ -311,3 +311,26 @@ def test_fuzzy_max_bucket_drops_hot_band_only(spark):
     assert capped == {(100, 101)}  # hot band routed away, cold band intact
     uncapped = fuzzy_candidate_pairs(df, text_col="head", max_dist=4).count()
     assert uncapped == 45 + 10 * 2 + 1  # hot pairs + cross-band + cold pair
+
+
+def test_connected_components_raises_without_fixpoint(spark):
+    """A distributed run that exhausts max_rounds before the star fixpoint
+    must RAISE, never return labels computed from a half-contracted edge
+    set (one component silently splitting into several cluster_ids)."""
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 264)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(
+            chain, small_graph_rows=0, max_rounds=1
+        ).collect()
+    # the same graph converges comfortably inside the default cap
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(chain, small_graph_rows=0).collect()
+    }
+    assert all(lbl == 200 for _n, lbl in got)
