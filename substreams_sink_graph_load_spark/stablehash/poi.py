@@ -221,7 +221,19 @@ def fold_blocks_batched(
     v_block = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
 
     for block, evs in blocks.items():
-        evs.sort(key=lambda t: t[0])
+        # Sort (seq, payload) exactly like the scalar twin's events.sort()
+        # (operators/poi.py:_fold_events): with duplicate seqs a seq-only
+        # stable sort would address events by arrival order and diverge
+        # from the reference digest.  Dict-mode callers (tests) get a
+        # canonical JSON rendering as the equivalent tiebreak.
+        evs.sort(
+            key=lambda t: (
+                t[0],
+                t[1]
+                if isinstance(t[1], str)
+                else _json.dumps(t[1], sort_keys=True),
+            )
+        )
         h = FastHasher()
         hashers[block] = h
         n_events[block] = len(evs)

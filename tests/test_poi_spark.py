@@ -189,3 +189,42 @@ def test_batched_fold_matches_scalar_reference():
         )
         assert got[block][0] == want, f"block {block}"
         assert got[block][1] == len(evs)
+
+
+def test_batched_fold_duplicate_seqs_match_scalar():
+    """Events sharing a seq must still fold to the reference digest: the
+    batched path tiebreaks its sort on the payload exactly like the
+    scalar twin's events.sort(), so arrival order can never leak into
+    the event addressing (golden anchor: poi/poi_test.go:12-29)."""
+    import json
+
+    from substreams_sink_graph_load_spark.operators.poi import _fold_events
+    from substreams_sink_graph_load_spark.stablehash.poi import (
+        fold_blocks_batched,
+    )
+
+    def ch(entity, eid, val=None, op=None):
+        d = {"entity": entity, "id": eid}
+        if op is not None:
+            d["operation"] = op
+        d["fields"] = (
+            []
+            if val is None
+            else [{"name": "v", "new_value": {"Typed": {"String_": val}}}]
+        )
+        return d
+
+    evs = [
+        (5, ch("E", "b", "1")),
+        (5, ch("E", "a", "2")),
+        (5, ch("F", "a", op=3)),
+        (1, ch("E", "z", "3")),
+        (5, ch("E", "a", "2")),  # full duplicate line too
+    ]
+    lines = [(s, json.dumps({"entity_change": c})) for s, c in evs]
+    # feed the batched path a DIFFERENT arrival order than the scalar twin:
+    # a seq-only stable sort would address the seq-5 events differently
+    got = fold_blocks_batched({7: list(reversed(lines))})
+    want = _fold_events(7, list(lines))
+    assert got[7][0] == want
+    assert got[7][1] == len(lines)
