@@ -110,7 +110,13 @@ def run_sql(dsn: str, sql: str) -> list[tuple[str, ...]]:
     psycopg when available, else the ``psql`` CLI with tuple-only unaligned
     output.  Orchestration path (DDL from :mod:`.ddl`, count checks) — not a
     data path, so CLI string parsing is fine.
+
+    DSNs accept ``${ENV}`` substitution and the ``postgresql://`` URL form
+    (ref postgres/dsn.go:10-57) via :func:`.dsn.expand_dsn`.
     """
+    from .dsn import expand_dsn
+
+    dsn = expand_dsn(dsn)
     try:
         import psycopg
     except ImportError:
@@ -161,6 +167,11 @@ def inject_csv_files(
     """
     if not files:
         return 0
+    from .dsn import expand_dsn
+
+    # expand on the DRIVER: executors need not carry the secret env vars,
+    # and a ${ENV}-form DSN reaches every COPY task already resolved
+    dsn = expand_dsn(dsn)
     columns = validate_csv_header(files[0], desc)
     fnn = force_not_null_columns(desc)
     copy_sql = build_copy_sql(pg_schema, table, columns, fnn)
