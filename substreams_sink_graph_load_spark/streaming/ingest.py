@@ -146,6 +146,12 @@ def demux_jsonl(
     [first_block, stop_block) — never-emitted entities included — as the
     reference creates a bundler per schema entity up front (sinker.go:82-88)
     and rolls them all, so unseen entities still produce (empty) files.
+
+    Strict about its input: any staged row outside [first_block,
+    stop_block), or an entity dir the mover would not glob, raises before
+    teardown — the staged tree is deleted only once provably empty.
+    Callers that legitimately resume mid-chain (run_ingest) filter the
+    pre-start blocks themselves first.
     """
     # The router key: staged logs carry it as a parquet column (extracted
     # once at staging time, WireIngest.process_batch); a raw frame without
@@ -195,6 +201,30 @@ def demux_jsonl(
     )
 
     bounds = boundaries(first_block, stop_block, bundle_size)
+    # Fail-fast audit of the staged partition tree (metadata-only, no data
+    # pass): every entity dir must be one we will glob for, and every
+    # bundle_start must fall inside [first_block, stop_block) — otherwise
+    # the move loop below would never visit those rows and the final
+    # rmtree would silently drop them (data loss, not a degraded run).
+    expected_dirs = {
+        f"entity={urllib.parse.quote(s, safe='')}" for s in entities
+    }
+    valid_starts = {s for s, _ in bounds}
+    for ent_dir_path in glob.glob(os.path.join(staged, "entity=*")):
+        ent_d = os.path.basename(ent_dir_path)
+        if ent_d not in expected_dirs:
+            raise ValueError(
+                f"demux staged unexpected entity dir {ent_d!r} (escaping "
+                f"mismatch vs {sorted(expected_dirs)}); rows would be "
+                "dropped with the staged tree"
+            )
+        for bs_path in glob.glob(os.path.join(ent_dir_path, "bundle_start=*")):
+            bs = int(os.path.basename(bs_path).split("=", 1)[1])
+            if bs not in valid_starts:
+                raise ValueError(
+                    f"demux staged rows at {bs_path!r} outside block range "
+                    f"[{first_block}, {stop_block}); refusing to drop them"
+                )
     out: dict[str, list[str]] = {}
     for snake in sorted(entities):
         dest = os.path.join(dest_dir, snake)
@@ -217,6 +247,20 @@ def demux_jsonl(
                             shutil.copyfileobj(fh, outfh)
             files.append(target)
         out[snake] = files
+    # Belt-and-braces: nothing with bytes in it may remain before teardown
+    # (the audit above should make this unreachable; keep it so any future
+    # staging-layout drift fails loudly instead of deleting rows).
+    leftover = [
+        p
+        for p in glob.glob(
+            os.path.join(staged, "**", "part-*"), recursive=True
+        )
+        if os.path.getsize(p) > 0
+    ]
+    if leftover:
+        raise RuntimeError(
+            f"demux staged files unclaimed by any bundle: {leftover[:5]}"
+        )
     shutil.rmtree(staged, ignore_errors=True)
     return out
 
@@ -277,8 +321,14 @@ def run_ingest(
     staged = ingest.staged_df()
     if enforce_order:
         check_final_blocks_only(staged)
+    # The sinker start block: blocks below first_block belong to an
+    # earlier run's bundles, so drop them HERE, deliberately and
+    # documented — demux_jsonl itself treats any out-of-range row as a
+    # hard error rather than silently discarding it with its staging dir.
     files = demux_jsonl(
-        spark, staged, dest_dir, entities, stop_block, bundle_size,
+        spark,
+        staged.where(F.col("block_num") >= first_block),
+        dest_dir, entities, stop_block, bundle_size,
         first_block=first_block,
     )
 

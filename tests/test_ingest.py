@@ -226,3 +226,75 @@ def test_stream_reader_junk_line_fallback(tmp_path):
         for batch in r.read(p):
             rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
     assert [(b, s) for b, s, _v in rows] == [(5, 0), (6, 1), (-1, 2), (7, 4)]
+
+
+def _raw_df(spark, rows):
+    data = [
+        (
+            b,
+            s,
+            json.dumps(
+                {
+                    "block_num": b,
+                    "seq": s,
+                    "entity_change": {
+                        "entity": "Account",
+                        "id": f"a{s}",
+                        "fields": [],
+                    },
+                }
+            ),
+        )
+        for b, s in rows
+    ]
+    return spark.createDataFrame(
+        data, "block_num long, seq long, value string"
+    )
+
+
+def test_demux_raises_on_block_past_stop(spark, tmp_path):
+    """Rows beyond stop_block stage into a bundle dir the move loop never
+    visits; teardown must refuse to silently drop them."""
+    from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
+
+    raw = _raw_df(spark, [(10, 0), (2500, 1)])
+    with pytest.raises(ValueError, match="outside block range"):
+        demux_jsonl(
+            spark, raw, str(tmp_path / "d"), ["account"], stop_block=2000
+        )
+
+
+def test_demux_raises_on_block_below_first(spark, tmp_path):
+    from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
+
+    raw = _raw_df(spark, [(50, 0), (1200, 1)])
+    with pytest.raises(ValueError, match="outside block range"):
+        demux_jsonl(
+            spark,
+            raw,
+            str(tmp_path / "d"),
+            ["account"],
+            stop_block=2000,
+            first_block=1000,
+        )
+
+
+def test_demux_raises_on_entity_dir_escaping_mismatch(
+    spark, tmp_path, monkeypatch
+):
+    """If our quoting of the entity dir name ever diverges from Spark's
+    partition-path escaping, the audit must raise instead of globbing
+    nothing and deleting the rows with the staged tree."""
+    import urllib.parse as up
+
+    from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
+
+    real_quote = up.quote
+    monkeypatch.setattr(
+        up, "quote", lambda s, safe="": "WRONG_" + real_quote(s, safe=safe)
+    )
+    raw = _raw_df(spark, [(10, 0)])
+    with pytest.raises(ValueError, match="unexpected entity dir"):
+        demux_jsonl(
+            spark, raw, str(tmp_path / "d"), ["account"], stop_block=1000
+        )
