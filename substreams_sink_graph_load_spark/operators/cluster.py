@@ -87,7 +87,19 @@ def kmeans_fit(
     )
     cents = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
 
-    data = df.select(id_col, vec_col)
+    # every Lloyd round re-reads this frame; persist once so iterations
+    # hit cached partitions instead of re-scanning parquet each time
+    data = df.select(id_col, vec_col).persist()
+    try:
+        cents = _lloyd_rounds(data, cents, iters, vec_col)
+    finally:
+        data.unpersist()
+    return cents
+
+
+def _lloyd_rounds(
+    data: DataFrame, cents: np.ndarray, iters: int, vec_col: str
+) -> np.ndarray:
     for _ in range(iters):
         cur = cents
 

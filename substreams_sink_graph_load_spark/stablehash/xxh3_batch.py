@@ -10,9 +10,11 @@ the scalar path is exactly one ``_mix32b`` + ``_final_merge``
 (xxh3.py:222-233 with every ``n > 32`` branch dead); for n=1 the
 ``_len_1to3`` combined words are compile-time constants of the byte value.
 
-Differentially tested against the scalar implementation over random
-words/seeds (tests/test_stablehash.py) — the scalar path stays the
-semantic reference.
+Differentially tested against the scalar implementation: directly over
+random words/seeds (tests/test_stablehash.py:
+test_batch_kernels_match_scalar_xxh3) and end-to-end through the batched
+POI fold (tests/test_poi_spark.py) — the scalar path stays the semantic
+reference.
 
 All arithmetic is ``np.uint64`` with C wrap-around; 128-bit products are
 assembled from 32-bit limbs (numpy has no 128-bit integers).

@@ -186,3 +186,39 @@ def test_poi_block_digest_golden():
         poi.current_hex()
         == "993dd21dad9750a531331324bb07e2bcd9501521e1b1c7110800000000000000"
     )
+
+
+def test_batch_kernels_match_scalar_xxh3():
+    """Direct randomized equivalence of the numpy XXH3-128 kernels vs the
+    scalar reference: hash32_seeded over random 32-byte words and
+    hash1_seeded over every byte value, each at random 63-bit seeds."""
+    import random
+
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.stablehash.xxh3 import (
+        xxh3_128_seed,
+    )
+    from substreams_sink_graph_load_spark.stablehash.xxh3_batch import (
+        hash1_seeded,
+        hash32_seeded,
+    )
+
+    rng = random.Random(31)
+    n = 256
+    payloads = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(n)]
+    seeds = [rng.randrange(1 << 63) for _ in range(n)]
+    words = np.frombuffer(b"".join(payloads), dtype="<u8").reshape(-1, 4)
+    lo, hi = hash32_seeded(words, np.array(seeds, dtype=np.uint64))
+    for i in range(n):
+        want_lo, want_hi = xxh3_128_seed(payloads[i], seeds[i])
+        assert (int(lo[i]), int(hi[i])) == (want_lo, want_hi), i
+
+    byte_seeds = np.array(
+        [rng.randrange(1 << 63) for _ in range(256)], dtype=np.uint64
+    )
+    for bv in range(256):
+        lo1, hi1 = hash1_seeded(bv, byte_seeds)
+        for j in (0, 17, 255):
+            want_lo, want_hi = xxh3_128_seed(bytes([bv]), int(byte_seeds[j]))
+            assert (int(lo1[j]), int(hi1[j])) == (want_lo, want_hi), (bv, j)
