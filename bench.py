@@ -5,8 +5,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall time of all headline queries (each executed to
-completion via a count/collect of its result).
+Each query runs ``BENCH_RUNS`` times (default 3, full passes so one
+query's JIT warm-up never flatters its neighbor); ``queries`` carries the
+per-query MIN, ``value`` is the sum of those mins, and ``variance``
+records per-pass totals + the worst per-query spread so round-over-round
+movement can be judged against run noise.
 """
 
 from __future__ import annotations
@@ -68,31 +71,47 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the computed expressions away)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
-        # operators may persist intermediates (e.g. the LSH sketch across
-        # its self-join); drop them so queries don't charge each other rent
-        spark.catalog.clearCache()
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_totals: list[float] = []
+    for r in range(runs):
+        pass_total = 0.0
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink materializes every output column (count() would
+            # let Catalyst prune the computed expressions away)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            pass_total += dt
+            print(f"# run{r + 1} {name}: {dt:.3f}s", file=sys.stderr)
+            # operators may persist intermediates (e.g. the LSH sketch
+            # across its self-join); drop them so queries don't charge
+            # each other rent
+            spark.catalog.clearCache()
+        pass_totals.append(round(pass_total, 3))
 
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    spreads = {name: max(ts) - min(ts) for name, ts in samples.items()}
+    worst = max(spreads, key=spreads.get)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "variance": {
+                    "runs": runs,
+                    "pass_totals": pass_totals,
+                    "worst_query_spread": {
+                        "query": worst,
+                        "spread_sec": round(spreads[worst], 3),
+                    },
+                },
             }
         )
     )

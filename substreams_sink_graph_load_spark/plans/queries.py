@@ -2620,6 +2620,189 @@ def cluster_kmeans_fit(spark, sf_dir):
     return sizes.join(norms, "cluster").select("cluster", "n", "centroid_norm")
 
 
+@_q(
+    "split_train_eval",
+    """
+    SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars
+    FROM (SELECT source, n_chars,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 AS b
+          FROM documents)
+    GROUP BY source, split
+    """,
+)
+def split_train_eval(spark, sf_dir):
+    """Deterministic train/valid/test assignment via a portable content
+    hash (md5 -> 60-bit int -> mod 100: 80/10/10), aggregated per source.
+
+    The split a training pipeline needs: reproducible across engines,
+    runs, partitionings, and data ORDER — appending new docs never
+    reshuffles old assignments, unlike rand()-seeded splits.  The hash
+    evaluates in the scan stage; the agg shuffles 20 sources x 3 splits.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@_q(
+    "quality_gopher_rules",
+    """
+    SELECT doc_id, n_words, mwl_c100, distinct_ppm,
+           CASE WHEN n_words BETWEEN 20 AND 70
+                 AND mwl_c100 BETWEEN 350 AND 460
+                 AND distinct_ppm >= 500000
+                THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id,
+                 len(ws) AS n_words,
+                 cast(floor(100.0 * (length(text) - (len(ws) - 1)) / len(ws))
+                      AS bigint) AS mwl_c100,
+                 cast(floor(1000000.0 * len(list_distinct(ws)) / len(ws))
+                      AS bigint) AS distinct_ppm
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                FROM documents))
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher-style per-document quality gates (word count bounds, mean
+    word length band, distinct-word floor) as exact-integer signals plus
+    the fused keep/drop verdict — the rule-based filter stage of a
+    pretraining pipeline.
+
+    All three signals derive from one ``split`` of the text inside
+    whole-stage codegen: no UDF, no shuffle (pure per-row projection),
+    and integer outputs (chars*100 / ppm) so the cross-engine hash can
+    never wobble on float division.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    mwl_c100 = F.floor(
+        100.0 * (F.length("text") - (n_words - 1)) / n_words
+    ).cast("long")
+    distinct_ppm = F.floor(
+        1_000_000.0 * F.size(F.array_distinct(ws)) / n_words
+    ).cast("long")
+    keep = (
+        n_words.between(20, 70)
+        & mwl_c100.between(350, 460)
+        & (distinct_ppm >= 500_000)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl_c100.alias("mwl_c100"),
+        distinct_ppm.alias("distinct_ppm"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@_q(
+    "ngram_counts",
+    """
+    SELECT gram, cast(count(*) AS bigint) AS n
+    FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS gram
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+          WHERE len(ws) >= 2)
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """,
+)
+def ngram_counts(spark, sf_dir):
+    """Corpus-level top-20 word bigrams — the n-gram statistics pass of a
+    data-audit / contamination workflow.
+
+    Scale shape: bigrams build row-local (sequence + transform, no join),
+    the count is a partial-before-shuffle hash agg keyed on the gram, and
+    only the top-k crosses to the driver via a TakeOrdered with a full
+    (count desc, gram) tiebreak — deterministic under any partitioning.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+    )
+    return (
+        d.where(F.size(ws) >= 2)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )
+
+
+_CONTAM_PROBES = [
+    "table table key",
+    "the line sort",
+    "big big group",
+    "data query small",
+    "batch batch agg",
+    "spark data vector",
+]
+
+
+@_q(
+    "contamination_probe",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)
+               AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents))
+    SELECT probe, cast(count(*) AS bigint) AS n_docs
+    FROM (SELECT unnest(list_intersect(sh,
+                 [{", ".join("'" + p + "'" for p in _CONTAM_PROBES)}]))
+            AS probe
+          FROM s)
+    GROUP BY probe
+    """,
+)
+def contamination_probe(spark, sf_dir):
+    """Benchmark-contamination screen: count documents containing each
+    probe trigram (an eval-set shingle), the filter a pretraining
+    pipeline runs before training on scraped data.
+
+    The probe set broadcasts as a literal array; each doc intersects its
+    distinct shingle set row-locally (word_shingles builds grams without
+    explode), so only the matched probes — bounded by |probes| per doc —
+    reach the explode + tiny hash agg.  Zero-match probes appear in
+    neither engine's output by construction.
+    """
+    from ..functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    probes = F.array(*[F.lit(p) for p in _CONTAM_PROBES])
+    hits = F.array_intersect(word_shingles(F.col("text"), 3), probes)
+    return (
+        d.select(F.explode(hits).alias("probe"))
+        .groupBy("probe")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
