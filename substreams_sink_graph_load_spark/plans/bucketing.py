@@ -1,0 +1,70 @@
+"""Bucketed-table helpers: co-located storage for shuffle-free joins.
+
+At 100 TB the dominant cost of a fact-to-fact equi-join is the shuffle of
+both sides onto the join key.  Spark's native bucketing pays that shuffle
+ONCE at write time: each side is hash-partitioned into a fixed number of
+buckets on the key (and optionally sorted within buckets), and every
+subsequent join or aggregation on that key reads co-located buckets with
+NO Exchange — the SortMergeJoin consumes bucket files directly, and the
+in-bucket sort order elides the Sort too.
+
+This is the storage-level complement of the AQE runtime gates the query
+plans rely on: AQE picks the best strategy per run; bucketing removes the
+need to choose at all for the keys a pipeline joins on every day (the
+reference's inject pipeline always COPYs per entity-id — the analogous
+hot key here).
+
+Pure Spark surface — `DataFrameWriter.bucketBy` + `saveAsTable` — so
+bucket pruning, bucketed scans and shuffle elision all come from
+Catalyst, not custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    *keys: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and by default in-bucket-sorted)
+    catalog table on ``keys``.
+
+    Both sides of a future join must use the SAME bucket count (Spark
+    only elides the shuffle when the partitionings match; with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` a 2:1 ratio
+    also works).  Pick ``buckets`` so one bucket of the LARGER table fits
+    an executor core's working memory at target scale — e.g. 100 TB /
+    4096 buckets ≈ 24 GB per bucket pre-projection, which a column-pruned
+    scan reduces to the joined columns only.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_tables(
+    spark: SparkSession,
+    database: str,
+    location: str,
+    frames: dict[str, tuple[DataFrame, int, tuple[str, ...]]],
+) -> None:
+    """Create ``database`` at ``location`` and write each named frame
+    bucketed: ``frames[name] = (df, buckets, keys)``.
+
+    A per-database location keeps bucketed warehouses explicit (no
+    implicit cwd `spark-warehouse/`) — on a cluster this is the lake path
+    the pipeline owns.
+    """
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{location}'"
+    )
+    for name, (df, buckets, keys) in frames.items():
+        write_bucketed(df, f"{database}.{name}", buckets, *keys)

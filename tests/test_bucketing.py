@@ -1,0 +1,102 @@
+"""Bucketed co-located joins: the write-once-shuffle-never storage path.
+
+Proves the two properties that matter at 100 TB: a join of two tables
+bucketed on the same key with the same bucket count plans with ZERO
+Exchange nodes (the shuffle happened at write time), and the results are
+identical to the plain shuffled join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from substreams_sink_graph_load_spark.plans.bucketing import (
+    bucketed_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketdb(spark, sf_dir, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucket_warehouse")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bucketed_tables(
+        spark,
+        "bucketdb",
+        str(loc),
+        {
+            "orders_b": (orders, 8, ("o_custkey",)),
+            "customer_b": (customer, 8, ("c_custkey",)),
+        },
+    )
+    yield "bucketdb"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_elides_all_exchanges(spark, bucketdb):
+    """With broadcast disabled (at real scale neither side fits), the
+    bucketed join must SortMergeJoin directly over co-located buckets —
+    zero Exchange nodes anywhere in the plan."""
+    o = spark.table(f"{bucketdb}.orders_b")
+    c = spark.table(f"{bucketdb}.customer_b")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        plan = _explain(joined)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketdb):
+    o = spark.table(f"{bucketdb}.orders_b")
+    c = spark.table(f"{bucketdb}.customer_b")
+    got = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    po = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pc = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = (
+        po.join(pc, po.o_custkey == pc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bucketed_aggregation_reuses_bucketing(spark, bucketdb):
+    """A groupBy on the bucket key also rides the write-time partitioning:
+    no Exchange before the aggregate."""
+    o = spark.table(f"{bucketdb}.orders_b")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    plan = _explain(agg)
+    assert "Exchange" not in plan, plan
