@@ -2803,6 +2803,73 @@ def contamination_probe(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_substring_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 8 THEN [text]
+                  ELSE list_transform(range(1, len(ws) - 6),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                         || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                         || ' ' || ws[i+6] || ' ' || ws[i+7]) END) AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents)),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    dup AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1)
+    SELECT s.doc_id,
+           cast(len(s.sh) AS bigint) AS n_grams,
+           cast(coalesce(d.dup_grams, 0) AS bigint) AS dup_grams
+    FROM s LEFT JOIN (SELECT doc_id, cast(count(*) AS bigint) AS dup_grams
+                      FROM ex JOIN dup USING (g)
+                      GROUP BY doc_id) d USING (doc_id)
+    """,
+)
+def dedup_substring_stats(spark, sf_dir):
+    """Per-document duplicated-span statistics: how many of a doc's
+    distinct word 8-grams occur in at least one OTHER document (same-doc
+    repeats don't count — shingles are distinct per doc).  The signal
+    behind exact-substring deduplication of training corpora (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a high
+    dup_grams/n_grams ratio marks boilerplate to strip before training.
+
+    Scale shape: shingles build row-local (no explode until the gram
+    table), the gram-frequency agg is partial-before-shuffle on the gram
+    hash, and the doc-level rollup shuffles only (doc_id, count) pairs.
+    At 100 TB the gram table is the big intermediate — the same
+    hash-sharded shape as dedup_exact, never a cross join.
+    """
+    from ..functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", word_shingles(F.col("text"), 8).alias("sh")
+    )
+    ex = s.select("doc_id", F.explode("sh").alias("g"))
+    dup = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    per_doc = (
+        ex.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_grams"))
+    )
+    return (
+        s.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias(
+                "dup_grams"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
