@@ -1,0 +1,69 @@
+"""Streaming exact deduplication: first-seen-wins across micro-batches.
+
+The continuous twin of the batch ``dedup_exact`` plan: content identity is
+``md5(text)``, the keeper for each hash is the first arrival in stream
+order (min id inside a single trigger — micro-batches carry no intra-batch
+order), and every later duplicate is dropped.  The seen-set lives in
+Spark's state store keyed by content hash (RocksDB-backed on a real
+cluster), so the dedup scales with DISTINCT content, shards with the
+group partitioning, and survives restarts with the checkpoint — exactly
+what a continuously-ingesting training-data pipeline needs ahead of its
+batch dedup sweeps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+STATE_SCHEMA = StructType([StructField("keeper_id", LongType())])
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+
+def _first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (content_hash,) = key
+    if state.exists:
+        return  # keeper already emitted in an earlier trigger: drop all
+    keeper: int | None = None
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            keeper = m if keeper is None else min(keeper, m)
+    if keeper is not None:
+        state.update((keeper,))
+        yield pd.DataFrame(
+            {"doc_id": [keeper], "content_hash": [content_hash]}
+        )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming (id, text) -> append stream of first-seen keeper rows
+    ``(doc_id, content_hash)``; duplicates across and within micro-batches
+    never emit.  Feed any streaming source; state is per content hash."""
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
