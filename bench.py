@@ -51,6 +51,13 @@ HEADLINE = [
     "q4_order_priority",
     "tfidf_top_terms",
     "dedup_clusters",
+    # round-4 additions
+    "fuzzy_pairs",
+    "split_train_eval",
+    "quality_gopher_rules",
+    "ngram_counts",
+    "contamination_probe",
+    "dedup_substring_stats",
 ]
 
 

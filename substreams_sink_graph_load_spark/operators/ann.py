@@ -105,3 +105,121 @@ def sample_queries(
         .collect()
     )
     return [(r[0], list(r[1])) for r in rows]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: ``centroids.parquet`` (cell, centroid) plus
+    the corpus re-written under ``vectors/`` PARTITIONED BY cell.
+
+    Build-once-probe-many is what makes IVF pay at 100 TB: the k-means
+    fit and the full-corpus assignment run once (Lloyd's via mergeable
+    partials + broadcast-centroid batch assignment, see
+    operators/cluster.py), and every later search prunes to its probed
+    cells at the PARTITION level — the scan never touches the other
+    cells' files, which `.explain` shows as PartitionFilters.
+
+    Deterministic by construction (centroid seeds = k lowest ids), so
+    rebuilding an index from the same corpus is reproducible.
+    """
+    from .cluster import kmeans_assign, kmeans_fit
+
+    cents = kmeans_fit(
+        corpus, n_cells, iters=iters, id_col=id_col, vec_col=emb_col
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = kmeans_assign(
+        corpus, cents, id_col=id_col, vec_col=emb_col
+    ).withColumnRenamed("cluster", "cell")
+    (
+        corpus.join(assigned, id_col)
+        .select(id_col, emb_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine/dot search against a persisted IVF index.
+
+    The driver ranks the (tiny) centroid table per query and probes the
+    union of the queries' top-``nprobe`` cells with ONE partition-pruned
+    scan; scoring reuses the batched-matmul partial-top-k shape, with a
+    per-query cell mask so a vector only scores against queries that
+    probed its cell.  Returns (q_id, neighbor_id, rank).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    crows = (
+        spark.read.parquet(f"{index_dir}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    cent = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cells = np.array([r["cell"] for r in crows], dtype=np.int64)
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    # per-query probed cells: top-nprobe by (dot desc, cell asc)
+    scores = q_mat @ cent.T  # Q x C
+    order = np.lexsort((cells[None, :].repeat(len(q_ids), 0), -scores), axis=1)
+    probed = cells[order[:, :nprobe]]  # Q x nprobe
+    probe_sets = [set(map(int, row)) for row in probed]
+    all_cells = sorted({c for s in probe_sets for c in s})
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors").where(
+        F.col("cell").isin(all_cells)
+    )
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vcells = pdf["cell"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            dots = mat @ q_mat.T  # B x Q
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & np.isin(
+                    vcells, list(probe_sets[qi])
+                )
+                cand_ids, cand = ids[mask], dots[mask, qi]
+                if not len(cand):
+                    continue
+                if len(cand) > k:
+                    top = np.argpartition(-cand, k)[:k]
+                else:
+                    top = np.arange(len(cand))
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": cand_ids[top],
+                        "dot": cand[top],
+                    }
+                )
+
+    partials = vectors.mapInPandas(partial, _PARTIAL_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
