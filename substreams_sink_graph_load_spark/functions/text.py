@@ -74,3 +74,48 @@ def quality_score_ppm(text: Column, stopwords: list[str]) -> Column:
     return (
         F.floor((stop_ppm + alpha_ppm + distinct_ppm) / 3).cast("long")
     )
+
+
+def exploded_shingles(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int,
+    short_doc_fallback: bool = True,
+):
+    """Word k-gram OCCURRENCES as rows ``(id_col, gram)`` via posexplode +
+    window ``lead`` — the codegen shape (higher-order array lambdas run
+    interpreted with no CSE; the lead-window formulation measured ~20x
+    faster at corpus scale, see minhash_sketch).  One shuffle on
+    ``id_col`` for the lead window.
+
+    ``short_doc_fallback=True`` mirrors :func:`word_shingles`: a doc with
+    fewer than ``k`` words contributes its whole text as its single gram
+    (the pos==0 row).  With ``False`` such docs contribute nothing.
+    Apply ``.distinct()`` for per-doc set semantics.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
+    tail = F.lead("w", k - 1).over(w)
+    g = ex.withColumn("gram", F.concat_ws(" ", *parts)).withColumn(
+        "_tail", tail
+    )
+    if short_doc_fallback:
+        g = g.where(
+            F.col("_tail").isNotNull() | (F.col("pos") == 0)
+        ).withColumn(
+            "gram",
+            F.when(F.col("_tail").isNull(), F.col("_text")).otherwise(
+                F.col("gram")
+            ),
+        )
+    else:
+        g = g.where(F.col("_tail").isNotNull())
+    return g.select(F.col(id_col), F.col("gram"))

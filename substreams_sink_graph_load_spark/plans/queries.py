@@ -2735,16 +2735,17 @@ def ngram_counts(spark, sf_dir):
     only the top-k crosses to the driver via a TakeOrdered with a full
     (count desc, gram) tiebreak — deterministic under any partitioning.
     """
+    from ..functions.text import exploded_shingles
+
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+    # bigram occurrences via posexplode + lead (codegen; the
+    # sequence/transform lambda variant ran interpreted, ~3x slower);
+    # no short-doc fallback — single-word docs contribute nothing
+    ex = exploded_shingles(
+        d, "doc_id", "text", 2, short_doc_fallback=False
     )
     return (
-        d.where(F.size(ws) >= 2)
-        .select(F.explode(grams).alias("gram"))
-        .groupBy("gram")
+        ex.groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "gram")
         .limit(20)
@@ -2785,19 +2786,21 @@ def contamination_probe(spark, sf_dir):
     probe trigram (an eval-set shingle), the filter a pretraining
     pipeline runs before training on scraped data.
 
-    The probe set broadcasts as a literal array; each doc intersects its
-    distinct shingle set row-locally (word_shingles builds grams without
-    explode), so only the matched probes — bounded by |probes| per doc —
-    reach the explode + tiny hash agg.  Zero-match probes appear in
-    neither engine's output by construction.
+    Trigram occurrences build via posexplode + lead (codegen — the
+    array_intersect-over-word_shingles variant ran its lambdas
+    interpreted, ~4x slower); the probe IN-filter prunes in the same
+    codegen stage before the distinct, so only (doc, probe) hits — at
+    most |probes| per doc — reach the shuffle.  Zero-match probes appear
+    in neither engine's output by construction.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     d = _t(spark, sf_dir, "documents")
-    probes = F.array(*[F.lit(p) for p in _CONTAM_PROBES])
-    hits = F.array_intersect(word_shingles(F.col("text"), 3), probes)
+    ex = exploded_shingles(d, "doc_id", "text", 3)
     return (
-        d.select(F.explode(hits).alias("probe"))
+        ex.where(F.col("gram").isin(_CONTAM_PROBES))
+        .select("doc_id", F.col("gram").alias("probe"))
+        .distinct()
         .groupBy("probe")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -2839,33 +2842,20 @@ def dedup_substring_stats(spark, sf_dir):
     At 100 TB the gram table is the big intermediate — the same
     hash-sharded shape as dedup_exact, never a cross join.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     d = _t(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id", word_shingles(F.col("text"), 8).alias("sh")
-    )
-    ex = s.select("doc_id", F.explode("sh").alias("g"))
-    dup = (
-        ex.groupBy("g")
-        .agg(F.count("*").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("g")
-    )
-    per_doc = (
-        ex.join(dup, "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dup_grams"))
-    )
+    # grams build via posexplode + lead (codegen) — the array-lambda
+    # word_shingles formulation measured 38s vs ~2s at sf0.1 here
+    # (interpreted lambdas, no CSE, and the gram set built twice)
+    ex = exploded_shingles(d, "doc_id", "text", 8).distinct()
+    nd = F.count("*").over(Window.partitionBy("gram"))
     return (
-        s.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias(
-                "dup_grams"
-            ),
+        ex.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_grams"),
         )
     )
 
