@@ -39,6 +39,24 @@ _PARTIAL_SCHEMA = StructType(
 )
 
 
+def _topk_tiesafe(cand: np.ndarray, cand_ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (value desc, id asc).
+
+    A bare ``argpartition(-cand, k)[:k]`` drops an ARBITRARY member of a
+    tie group straddling the k-th position — on corpora with duplicate
+    embeddings the batch-local cut could evict exactly the id the global
+    (dot desc, id asc) window would keep.  Select by value threshold
+    (O(B)), then order the k+ties survivors deterministically.
+    """
+    if len(cand) > k:
+        kth = np.partition(cand, len(cand) - k)[len(cand) - k]
+        sel = np.flatnonzero(cand >= kth)
+    else:
+        sel = np.arange(len(cand))
+    order = np.lexsort((cand_ids[sel], -cand[sel]))[:k]
+    return sel[order]
+
+
 def topk_matmul(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -69,11 +87,7 @@ def topk_matmul(
                 col = scores[:, qi]
                 mask = ids != q_ids[qi]
                 cand_ids, cand = ids[mask], col[mask]
-                if len(cand) > k:
-                    # argpartition: O(B) partial select, then exact order
-                    top = np.argpartition(-cand, k)[:k]
-                else:
-                    top = np.arange(len(cand))
+                top = _topk_tiesafe(cand, cand_ids, k)
                 yield pd.DataFrame(
                     {
                         "q_id": q_ids[qi],
@@ -128,7 +142,9 @@ def build_ivf_index(
     Deterministic by construction (centroid seeds = k lowest ids), so
     rebuilding an index from the same corpus is reproducible.
     """
-    from .cluster import kmeans_assign, kmeans_fit
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .cluster import _dist2, kmeans_fit
 
     cents = kmeans_fit(
         corpus, n_cells, iters=iters, id_col=id_col, vec_col=emb_col
@@ -138,12 +154,26 @@ def build_ivf_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    assigned = kmeans_assign(
-        corpus, cents, id_col=id_col, vec_col=emb_col
-    ).withColumnRenamed("cluster", "cell")
+    # assignment emits the embedding it already holds — a corpus⋈assignment
+    # self-join here would shuffle the whole corpus twice for nothing
+    data = corpus.select(id_col, emb_col)
+    out_schema = StructType(
+        data.schema.fields + [StructField("cell", IntegerType())]
+    )
+
+    def assign_vec(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmin(_dist2(block, cents), axis=1).astype(
+                "int32"
+            )
+            yield pdf
+
     (
-        corpus.join(assigned, id_col)
-        .select(id_col, emb_col, "cell")
+        data.mapInPandas(assign_vec, out_schema)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_dir}/vectors")
@@ -204,10 +234,7 @@ def ivf_search(
                 cand_ids, cand = ids[mask], dots[mask, qi]
                 if not len(cand):
                     continue
-                if len(cand) > k:
-                    top = np.argpartition(-cand, k)[:k]
-                else:
-                    top = np.arange(len(cand))
+                top = _topk_tiesafe(cand, cand_ids, k)
                 yield pd.DataFrame(
                     {
                         "q_id": q_ids[qi],

@@ -45,34 +45,15 @@ def minhash_sketch(
     Here everything after the explode is whole-stage codegen, and the
     group-by doubles as map-side partial aggregation.
     """
-    from pyspark.sql import Window
-
     from ..functions.hashing import perm_params
+    from ..functions.text import exploded_shingles
 
     rows = num_perm // bands
     # shingle via posexplode + window lead, not an array lambda: higher-order
     # functions evaluate interpreted, this stays codegen.  Duplicates are fine
     # (min over a multiset == min over its set); single-word docs fall back to
     # the whole text as their one shingle, matching word_shingles().
-    w = Window.partitionBy(id_col).orderBy("pos")
-    ex = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_text"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
-    tail = F.lead("w", k - 1).over(w)
-    grams = (
-        ex.withColumn("gram", F.concat_ws(" ", *parts))
-        .withColumn("_tail", tail)
-        # keep complete k-grams; a doc shorter than k keeps exactly its
-        # pos==0 row, whose shingle is the whole text (word_shingles parity)
-        .where(F.col("_tail").isNotNull() | (F.col("pos") == 0))
-        .withColumn(
-            "gram",
-            F.when(F.col("_tail").isNull(), F.col("_text")).otherwise(F.col("gram")),
-        )
-    )
+    grams = exploded_shingles(df, id_col, text_col, k)
     # md5 inline per occurrence: a hash-distinct-vocab + broadcast-join
     # variant (md5 once per distinct shingle) was measured SLOWER here —
     # the extra materialization + broadcast barrier + lost codegen fusion

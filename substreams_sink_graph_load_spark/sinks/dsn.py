@@ -109,13 +109,14 @@ def _parse_url(expanded: str, original: str) -> DSN:
         raise ValueError(
             f'invalid scheme {u.scheme!r}, should be "postgresql"'
         )
-    netloc = u.netloc.rsplit("@", 1)[-1]
-    port = 5432
-    if ":" in netloc:
-        try:
-            port = u.port or 0
-        except ValueError:
-            port = 0
+    # Port defaults to 5432 unless explicitly present.  (Deliberate
+    # deviation from dsn.go:36-39, which keys on ':' anywhere in the host
+    # and therefore renders port=0 for a bracketed IPv6 literal without a
+    # port; urlsplit's parsed port is authoritative here.)
+    try:
+        port = 5432 if u.port is None else u.port
+    except ValueError:
+        port = 0
     query = parse_qs(u.query, keep_blank_values=True)
     options = [f"{k}={','.join(query[k])}" for k in sorted(query)]
     return DSN(

@@ -147,11 +147,11 @@ def demux_jsonl(
     reference creates a bundler per schema entity up front (sinker.go:82-88)
     and rolls them all, so unseen entities still produce (empty) files.
 
-    Strict about its input: any staged row outside [first_block,
-    stop_block), or an entity dir the mover would not glob, raises before
-    teardown — the staged tree is deleted only once provably empty.
-    Callers that legitimately resume mid-chain (run_ingest) filter the
-    pre-start blocks themselves first.
+    Strict about its input: any row outside [first_block, stop_block)
+    raises (row-exact, one column-pruned pre-pass), any entity dir the
+    mover would not glob raises, and the staged tree is deleted only once
+    provably empty.  Callers that legitimately resume mid-chain
+    (run_ingest) filter the pre-start blocks themselves first.
     """
     # The router key: staged logs carry it as a parquet column (extracted
     # once at staging time, WireIngest.process_batch); a raw frame without
@@ -179,6 +179,18 @@ def demux_jsonl(
                 f"(normalized {snake!r})"
             )
         norm_map[raw_name] = snake
+
+    # Row-exact range guard (one column-pruned pass): the staging-dir
+    # audit below is bundle-granular, so a row below first_block but
+    # inside the first bundle's aligned range — or at/after a non-aligned
+    # stop but inside the last bundle's — would otherwise slip into a
+    # bundle file silently.
+    lo, hi = raw.agg(F.min("block_num"), F.max("block_num")).collect()[0]
+    if lo is not None and (lo < first_block or hi >= stop_block):
+        raise ValueError(
+            f"demux input carries blocks [{lo}, {hi}] outside "
+            f"[{first_block}, {stop_block}); truncate or filter upstream"
+        )
 
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(norm_map.items()) for x in kv]
@@ -245,6 +257,8 @@ def demux_jsonl(
                     for p in parts:
                         with open(p, "rb") as fh:
                             shutil.copyfileobj(fh, outfh)
+                        # consumed: the leftover audit below must not see it
+                        os.remove(p)
             files.append(target)
         out[snake] = files
     # Belt-and-braces: nothing with bytes in it may remain before teardown

@@ -104,3 +104,32 @@ def test_ivf_index_build_and_search(spark, sf_dir, emb, tmp_path):
         probe_df.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert probe_df.count() > 0
+
+
+def test_topk_tiesafe_keeps_lowest_ids_on_ties(spark):
+    """Duplicate embeddings straddling the k-th position must resolve by
+    (dot desc, id asc) — the batch-local cut may not evict an id the
+    global window would keep."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.ann import (
+        _topk_tiesafe,
+        topk_matmul,
+    )
+
+    cand = np.array([1.0, 0.5, 0.5, 0.5, 0.2])
+    ids = np.array([50, 40, 10, 30, 5])
+    top = _topk_tiesafe(cand, ids, 3)
+    assert ids[top].tolist() == [50, 10, 30]  # ties at 0.5 -> lowest ids
+
+    # end-to-end: 6 identical vectors + 1 query in ONE partition; top-3
+    # neighbors must be the three lowest other ids
+    rows = [(i, [1.0, 0.0]) for i in (9, 3, 7, 1, 5, 11)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    got = {
+        (r["rank"]): r["neighbor_id"]
+        for r in topk_matmul(df, [(1, [1.0, 0.0])], k=3).collect()
+    }
+    assert got == {1: 3, 2: 5, 3: 7}

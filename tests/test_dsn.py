@@ -83,3 +83,10 @@ def test_expand_dsn_does_not_resubstitute_secrets():
 def test_str_keeps_original():
     raw = "postgresql://u:${X}@h/db"
     assert str(parse_dsn(raw, env={"X": "1"})) == raw
+
+
+def test_ipv6_host_without_port_defaults():
+    d = parse_dsn("postgresql://u:p@[::1]/db?sslmode=disable", env={})
+    assert (d.host, d.port) == ("::1", 5432)
+    d2 = parse_dsn("postgresql://u@[2001:db8::2]:6432/db", env={})
+    assert (d2.host, d2.port) == ("2001:db8::2", 6432)

@@ -258,7 +258,7 @@ def test_demux_raises_on_block_past_stop(spark, tmp_path):
     from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
 
     raw = _raw_df(spark, [(10, 0), (2500, 1)])
-    with pytest.raises(ValueError, match="outside block range"):
+    with pytest.raises(ValueError, match="outside"):
         demux_jsonl(
             spark, raw, str(tmp_path / "d"), ["account"], stop_block=2000
         )
@@ -268,7 +268,7 @@ def test_demux_raises_on_block_below_first(spark, tmp_path):
     from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
 
     raw = _raw_df(spark, [(50, 0), (1200, 1)])
-    with pytest.raises(ValueError, match="outside block range"):
+    with pytest.raises(ValueError, match="outside"):
         demux_jsonl(
             spark,
             raw,
@@ -297,4 +297,22 @@ def test_demux_raises_on_entity_dir_escaping_mismatch(
     with pytest.raises(ValueError, match="unexpected entity dir"):
         demux_jsonl(
             spark, raw, str(tmp_path / "d"), ["account"], stop_block=1000
+        )
+
+
+def test_demux_raises_on_block_in_first_bundle_but_below_first(spark, tmp_path):
+    """Row-exact guard: block 1200 sits inside the ALIGNED first bundle
+    (1000-1999) when first_block=1500 — bundle-granular dir checks can't
+    see it, the pre-pass must."""
+    from substreams_sink_graph_load_spark.streaming.ingest import demux_jsonl
+
+    raw = _raw_df(spark, [(1200, 0), (1700, 1)])
+    with pytest.raises(ValueError, match="outside"):
+        demux_jsonl(
+            spark,
+            raw,
+            str(tmp_path / "d"),
+            ["account"],
+            stop_block=2000,
+            first_block=1500,
         )
