@@ -32,38 +32,66 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _first_seen(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (content_hash,) = key
-    if state.exists:
-        return  # keeper already emitted in an earlier trigger: drop all
-    keeper: int | None = None
-    for pdf in pdfs:
-        if len(pdf):
-            m = int(pdf["doc_id"].min())
-            keeper = m if keeper is None else min(keeper, m)
-    if keeper is not None:
-        state.update((keeper,))
-        yield pd.DataFrame(
-            {"doc_id": [keeper], "content_hash": [content_hash]}
-        )
+def _first_seen_fn(ttl_ms: int | None):
+    def _first_seen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (content_hash,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # horizon passed: forget this content hash
+            return
+        if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # refresh on every sight
+            return  # keeper already emitted in an earlier trigger: drop all
+        keeper: int | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keeper = m if keeper is None else min(keeper, m)
+        if keeper is not None:
+            state.update((keeper,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {"doc_id": [keeper], "content_hash": [content_hash]}
+            )
+
+    return _first_seen
 
 
 def streaming_exact_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming (id, text) -> append stream of first-seen keeper rows
     ``(doc_id, content_hash)``; duplicates across and within micro-batches
-    never emit.  Feed any streaming source; state is per content hash."""
+    never emit.  Feed any streaming source; state is per content hash.
+
+    ``state_ttl_minutes`` bounds the seen-set: a content hash unseen for
+    the TTL is evicted (processing-time timeout, refreshed on every
+    sighting), so state size tracks the RECENTLY-distinct content instead
+    of all content ever — the trade is an explicit dedup horizon (a dup
+    arriving after the TTL re-emits; the batch dedup sweep catches those).
+    With ``None`` the seen-set is exact and grows with distinct content.
+    """
     keyed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("content_hash"),
     )
+    ttl_ms = (
+        None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    )
     return keyed.groupBy("content_hash").applyInPandasWithState(
-        _first_seen,
+        _first_seen_fn(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -73,3 +73,30 @@ def test_streaming_dedup_first_seen(spark, doc_files, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_with_ttl_same_within_horizon(spark, doc_files, tmp_path):
+    """With a TTL far beyond the run, output matches the exact mode (no
+    premature eviction); the state store runs the ProcessingTimeTimeout
+    path end-to-end."""
+    stream = (
+        spark.readStream.format("json")
+        .schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(doc_files)
+    )
+    q = (
+        streaming_exact_dedup(stream, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("select * from dedup_ttl_out").collect()
+    }
+    assert got == {1, 3, 5}
