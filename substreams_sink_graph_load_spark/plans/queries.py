@@ -60,10 +60,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to UTC (session.py), so TIMESTAMP here carries the same wall
     values as the timezone-naive DuckDB oracle, and downstream consumers
     keep the ltz-only operators (``unix_micros``, bigint casts for RANGE
-    frames) that the r2-verified plans rely on."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(e.dtypes)["ts"]
+    frames) that the r2-verified plans rely on.
+
+    The legacy flag is SCOPED: saved, set for the read, and restored once
+    the schema is resolved.  Spark captures the flag at analysis time (the
+    footer is read when the DataFrame is created), so execution of the
+    returned lazy plan does not depend on the session value — verified by
+    test_events_nanos_flag_scoped, which collects a nanos fixture after
+    the restore.  A co-hosted workload that *wants* the nanos error keeps
+    getting it."""
+    flag = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(flag, None)
+    spark.conf.set(flag, "true")
+    try:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(e.dtypes)["ts"]  # forces footer read / analysis
+    finally:
+        if prior is None:
+            spark.conf.unset(flag)
+        else:
+            spark.conf.set(flag, prior)
     if ts_type == "bigint":
         return e.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
@@ -2837,10 +2853,17 @@ def dedup_substring_stats(spark, sf_dir):
     dup_grams/n_grams ratio marks boilerplate to strip before training.
 
     Scale shape: shingles build row-local (no explode until the gram
-    table), the gram-frequency agg is partial-before-shuffle on the gram
-    hash, and the doc-level rollup shuffles only (doc_id, count) pairs.
-    At 100 TB the gram table is the big intermediate — the same
-    hash-sharded shape as dedup_exact, never a cross join.
+    table), the gram doc-frequency is a partial-before-shuffle
+    ``groupBy(gram)`` — a boilerplate 8-gram present in half the corpus
+    collapses to ONE row per map task before it ever shuffles — and the
+    join back on ``gram`` is AQE-skew-splittable (the build side carries
+    exactly one row per duplicated gram, so a hot probe partition can be
+    split freely).  The earlier formulation used
+    ``count().over(Window.partitionBy("gram"))``, which buffers a hot
+    gram's whole group in ONE WindowExec task that AQE cannot split — the
+    exact failure mode this operator invites at 100 TB (boilerplate grams
+    are its point).  The doc-level rollup shuffles only (doc_id, count)
+    pairs.
     """
     from ..functions.text import exploded_shingles
 
@@ -2849,13 +2872,23 @@ def dedup_substring_stats(spark, sf_dir):
     # word_shingles formulation measured 38s vs ~2s at sf0.1 here
     # (interpreted lambdas, no CSE, and the gram set built twice)
     ex = exploded_shingles(d, "doc_id", "text", 8).distinct()
-    nd = F.count("*").over(Window.partitionBy("gram"))
+    # doc-frequency: partial agg collapses hot grams map-side; only
+    # grams seen in >1 doc survive to the join build side (most grams
+    # are unique, so the build input shrinks by ~the dup rate)
+    dup = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
     return (
-        ex.withColumn("nd", nd)
+        ex.join(dup, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("dup_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long")).alias(
+                "dup_grams"
+            ),
         )
     )
 
@@ -2864,7 +2897,8 @@ def dedup_substring_stats(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of 77 per round).  Export order therefore matters.  It is derived
+# (~50 of the registry — 82 as of r4; COVERAGE.md keeps the live count).
+# Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
 # report go first, then the always-reverified core-parity tier, then the
