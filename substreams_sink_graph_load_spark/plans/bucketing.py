@@ -21,6 +21,8 @@ Catalyst, not custom code.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -63,8 +65,15 @@ def bucketed_tables(
     implicit cwd `spark-warehouse/`) — on a cluster this is the lake path
     the pipeline owns.
     """
+    # SQL is assembled by interpolation (no parameter binding for DDL):
+    # constrain the database name to a plain identifier and escape quotes
+    # in the location so a hostile or merely unusual path cannot break
+    # out of the string literal.
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", database):
+        raise ValueError(f"invalid database identifier: {database!r}")
+    loc = location.replace("'", "''")
     spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{location}'"
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'"
     )
     for name, (df, buckets, keys) in frames.items():
         write_bucketed(df, f"{database}.{name}", buckets, *keys)

@@ -56,7 +56,18 @@ def envsubst(text: str, mapper: Callable[[str], str] | None = None) -> str:
             return val
         return val  # unreachable: the regex admits only the ops above
 
-    return _VAR.sub(repl, text)
+    out = _VAR.sub(repl, text)
+    # Malformed or unsupported ${...} forms (unclosed brace, operators
+    # outside the ported subset) fall through the regex untouched; the
+    # reference's envsubst.Eval errors on them, and silently passing a
+    # typo'd DSN to URL parsing hides the mistake.  Inspect the residue
+    # of the INPUT with every recognized form removed, so expansions
+    # whose *values* contain "${" never false-positive.
+    if "${" in _VAR.sub("", text):
+        raise ValueError(
+            f"variables expansion failed: malformed ${{...}} reference in {text!r}"
+        )
+    return out
 
 
 @dataclass
@@ -123,7 +134,9 @@ def _parse_url(expanded: str, original: str) -> DSN:
         original=original,
         host=u.hostname or "",
         port=port,
-        database=u.path.lstrip("/"),
+        # exactly ONE leading slash, like the reference's TrimPrefix
+        # (dsn.go): postgresql://h//db is dbname=/db, not dbname=db
+        database=u.path.removeprefix("/"),
         username=unquote(u.username or ""),
         password=unquote(u.password or ""),
         options=options,

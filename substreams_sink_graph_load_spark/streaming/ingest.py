@@ -148,10 +148,13 @@ def demux_jsonl(
     and rolls them all, so unseen entities still produce (empty) files.
 
     Strict about its input: any row outside [first_block, stop_block)
-    raises (row-exact, one column-pruned pre-pass), any entity dir the
-    mover would not glob raises, and the staged tree is deleted only once
-    provably empty.  Callers that legitimately resume mid-chain
-    (run_ingest) filter the pre-start blocks themselves first.
+    raises — out-of-envelope bundles via the metadata-only staged-tree
+    audit, unaligned-edge slivers via a pushed-down pre-pass that scans
+    only the edge bundles (and is skipped entirely when both boundaries
+    are bundle-aligned).  Any entity dir the mover would not glob raises,
+    and the staged tree is deleted only once provably empty.  Callers
+    that legitimately resume mid-chain (run_ingest) filter the pre-start
+    blocks themselves first.
     """
     # The router key: staged logs carry it as a parquet column (extracted
     # once at staging time, WireIngest.process_batch); a raw frame without
@@ -180,17 +183,41 @@ def demux_jsonl(
             )
         norm_map[raw_name] = snake
 
-    # Row-exact range guard (one column-pruned pass): the staging-dir
-    # audit below is bundle-granular, so a row below first_block but
-    # inside the first bundle's aligned range — or at/after a non-aligned
-    # stop but inside the last bundle's — would otherwise slip into a
-    # bundle file silently.
-    lo, hi = raw.agg(F.min("block_num"), F.max("block_num")).collect()[0]
-    if lo is not None and (lo < first_block or hi >= stop_block):
-        raise ValueError(
-            f"demux input carries blocks [{lo}, {hi}] outside "
-            f"[{first_block}, {stop_block}); truncate or filter upstream"
+    # Row-exact range guard, folded to the aligned-envelope edges.  The
+    # staged-tree audit below is bundle-granular: any row whose ALIGNED
+    # bundle falls outside [first_aligned, stop_block) surfaces there as
+    # an unexpected bundle_start dir, at metadata cost.  The only rows it
+    # cannot see are the two slivers inside legitimate edge bundles — a
+    # row below an unaligned first_block but inside the first aligned
+    # bundle, or at/after an unaligned stop_block but inside the last.
+    # Guard exactly those slivers with a pushed-down range filter
+    # (parquet row-group stats prune the scan to the edge bundles for
+    # staged logs) and skip the pass entirely for aligned boundaries —
+    # the previous full min/max aggregation re-scanned the whole log on
+    # every call, a real cost at the 100 TB target.
+    slivers = []
+    if first_block % bundle_size:
+        first_aligned = first_block - first_block % bundle_size
+        slivers.append(
+            (F.col("block_num") >= first_aligned)
+            & (F.col("block_num") < first_block)
         )
+    if stop_block % bundle_size:
+        last_start = stop_block - stop_block % bundle_size
+        slivers.append(
+            (F.col("block_num") >= stop_block)
+            & (F.col("block_num") < last_start + bundle_size)
+        )
+    if slivers:
+        cond = slivers[0]
+        for s in slivers[1:]:
+            cond = cond | s
+        bad = raw.where(cond).select("block_num").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"demux input carries block {bad[0]['block_num']} outside "
+                f"[{first_block}, {stop_block}); truncate or filter upstream"
+            )
 
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(norm_map.items()) for x in kv]

@@ -100,3 +100,23 @@ def test_bucketed_aggregation_reuses_bucketing(spark, bucketdb):
     agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
     plan = _explain(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_tables_rejects_hostile_identifiers(spark, tmp_path):
+    from substreams_sink_graph_load_spark.plans.bucketing import bucketed_tables
+
+    with pytest.raises(ValueError, match="invalid database identifier"):
+        bucketed_tables(spark, "x; DROP TABLE y", str(tmp_path), {})
+
+
+def test_bucketed_tables_escapes_quoted_location(spark, tmp_path):
+    from substreams_sink_graph_load_spark.plans.bucketing import bucketed_tables
+
+    loc = tmp_path / "it's a path"
+    bucketed_tables(spark, "quoted_loc_db", str(loc), {})
+    try:
+        row = spark.sql("DESCRIBE DATABASE quoted_loc_db").collect()
+        info = {r[0]: r[1] for r in row}
+        assert info["Location"].endswith("it's%20a%20path") or "it's a path" in info["Location"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS quoted_loc_db CASCADE")

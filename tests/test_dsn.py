@@ -90,3 +90,27 @@ def test_ipv6_host_without_port_defaults():
     assert (d.host, d.port) == ("::1", 5432)
     d2 = parse_dsn("postgresql://u@[2001:db8::2]:6432/db", env={})
     assert (d2.host, d2.port) == ("2001:db8::2", 6432)
+
+
+def test_double_slash_path_keeps_extra_slash():
+    # TrimPrefix semantics: exactly one leading slash is stripped
+    d = parse_dsn("postgresql://u:p@h//db", env={})
+    assert d.database == "/db"
+
+
+def test_malformed_var_forms_raise():
+    # unclosed brace / unsupported operator: the reference's envsubst
+    # errors instead of passing the typo through to URL parsing
+    for bad in (
+        "postgresql://u:${PG_PW@h/db",
+        "postgresql://u:${PG_PW%x}@h/db",
+        "${",
+    ):
+        with pytest.raises(ValueError, match="variables expansion failed"):
+            parse_dsn(bad, env={"PG_PW": "z"})
+
+
+def test_value_containing_brace_does_not_false_positive():
+    env = {"PG_PW": "we${ird"}
+    d = parse_dsn("postgresql://u:${PG_PW}@h:1/db", env)
+    assert d.password == "we${ird"
