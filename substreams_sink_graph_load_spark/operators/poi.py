@@ -25,11 +25,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..stablehash.poi import ProofOfIndexing, chain_block_states
+from ..stablehash.poi import (
+    ProofOfIndexing,
+    chain_block_states,
+    fold_runs_batched,
+    merge_block_states,
+    pause_block_state,
+)
 
 OP_DELETE = 3
 
 _STATE_SCHEMA = "block_num long, state binary, n_events long"
+_RUNS_SCHEMA = "block_num long, min_seq long, max_seq long, n long"
+_RUN_STATES_SCHEMA = _RUNS_SCHEMA + ", state binary"
 
 
 def _fold_events(block: int, events: list[tuple[int, str]]) -> bytes:
@@ -95,21 +103,263 @@ def poi_block_states(raw: DataFrame, num_partitions: int | None = None) -> DataF
     )
 
 
+def _discover_runs(it):
+    """Arrival-order run segmentation over (block_num, seq) — vectorized.
+
+    A run is a maximal consecutive same-block stretch of a partition's
+    rows; carries (block_num, min_seq, max_seq, n).  Run state threads
+    across Arrow batches, so a run spanning batch boundaries stays one
+    run."""
+    import numpy as np
+
+    prev = None  # (block, min_seq, max_seq, n)
+    out = []
+    for pdf in it:
+        b = pdf["block_num"].to_numpy()
+        s = pdf["seq"].to_numpy()
+        if len(b) == 0:
+            continue
+        cuts = np.flatnonzero(b[1:] != b[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(b)]))
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            blk = int(b[st])
+            seg = s[st:en]
+            mn, mx, n = int(seg.min()), int(seg.max()), en - st
+            if prev is not None and prev[0] == blk:
+                prev = (blk, min(prev[1], mn), max(prev[2], mx), prev[3] + n)
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = (blk, mn, mx, n)
+    if prev is not None:
+        out.append(prev)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["block_num", "min_seq", "max_seq", "n"]
+        )
+
+
+def _run_offsets(
+    runs: list[tuple[int, int, int, int]],
+) -> dict[tuple[int, int], int] | None:
+    """Within-block ordinal offset of every run, keyed (block, min_seq).
+
+    Valid only when each block's runs occupy pairwise-disjoint seq
+    intervals: disjointness guarantees that concatenating the runs by
+    ascending min_seq reproduces the block's global seq order, so the
+    offset of a run is the total event count of the runs before it.
+    Returns None when intervals overlap (physically interleaved input —
+    the caller falls back to the shuffle path)."""
+    by_block: dict[int, list[tuple[int, int, int]]] = {}
+    for blk, mn, mx, n in runs:
+        by_block.setdefault(blk, []).append((mn, mx, n))
+    offsets: dict[tuple[int, int], int] = {}
+    for blk, rs in by_block.items():
+        rs.sort()
+        off = 0
+        prev_max = None
+        for mn, mx, n in rs:
+            if prev_max is not None and mn <= prev_max:
+                return None
+            offsets[(blk, mn)] = off
+            off += n
+            prev_max = mx
+    return offsets
+
+
+def _make_fold_runs(offsets_bc):
+    """Pass-2 worker: re-segment arrival order into runs, fold each at
+    its broadcast ordinal offset, emit unpaused per-run states plus the
+    run fingerprint (min/max seq, count) the driver validates against
+    pass 1.  A run the offset map doesn't know emits state=NULL, which
+    the driver treats as a fallback signal."""
+
+    def fold_runs(it):
+        runs = []  # [block, min_seq, max_seq, [(seq, value), ...]]
+        cur = None
+        for pdf in it:
+            for b, s, v in zip(pdf["block_num"], pdf["seq"], pdf["value"]):
+                b, s = int(b), int(s)
+                if cur is None or b != cur[0]:
+                    if cur is not None:
+                        runs.append(cur)
+                    cur = [b, s, s, []]
+                if s < cur[1]:
+                    cur[1] = s
+                if s > cur[2]:
+                    cur[2] = s
+                cur[3].append((s, v))
+        if cur is not None:
+            runs.append(cur)
+        if not runs:
+            return
+        offsets = offsets_bc.value
+        # Same-block runs inside one partition would collide on the fold
+        # key — fold in waves by per-block occurrence index (a partition
+        # nearly always holds one run per block, so one wave).
+        waves: dict[int, list] = {}
+        seen: dict[int, int] = {}
+        for r in runs:
+            i = seen.get(r[0], 0)
+            seen[r[0]] = i + 1
+            waves.setdefault(i, []).append(r)
+        rows = []
+        for wave in waves.values():
+            batch = []
+            meta = {}
+            for blk, mn, mx, evs in wave:
+                off = offsets.get((blk, mn))
+                if off is None:
+                    rows.append(
+                        {
+                            "block_num": blk,
+                            "min_seq": mn,
+                            "max_seq": mx,
+                            "n": len(evs),
+                            "state": None,
+                        }
+                    )
+                    continue
+                batch.append(((blk, mn), blk, off, evs))
+                meta[(blk, mn)] = mx
+            for key, (state, n) in fold_runs_batched(batch).items():
+                rows.append(
+                    {
+                        "block_num": key[0],
+                        "min_seq": key[1],
+                        "max_seq": meta[key],
+                        "n": n,
+                        "state": state,
+                    }
+                )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return fold_runs
+
+
+def poi_block_states_sorted(
+    raw: DataFrame,
+    target_split_bytes: int = 4 << 20,
+    max_runs: int = 5_000_000,
+) -> list[tuple[int, bytes, int]] | None:
+    """SHUFFLE-FREE per-block paused POI states for physically seq-sorted
+    logs (the ``run`` stage's staged parquet: micro-batches append in
+    cursor order, so every scan split holds contiguous slices of the
+    global (block, seq) order).
+
+    Two scans, zero shuffles of the log:
+
+    1. a column-pruned (block_num, seq) pass segments each partition's
+       arrival order into per-block RUNS; the driver derives each run's
+       within-block ordinal offset — valid exactly when every block's
+       runs occupy disjoint seq intervals, which physically-sorted input
+       guarantees and interleaved input provably violates;
+    2. a fold pass hashes each run locally at its broadcast offset (the
+       event address bakes in the within-block ordinal, so offsets are
+       what make partial folds mergeable), emitting one unpaused 32-byte
+       state per run; the driver merges a block's partials under the
+       commutative FldMix mixer and applies the pause-time count write.
+
+    Compare the shuffle path (poi_block_states): repartition moves every
+    raw line across the network/disk before any hashing; here the log is
+    only ever read in place — at the 100 TB target that deletes a full
+    log-sized shuffle write+read and replaces it with one two-int-column
+    scan.  On local[32] the two are a wash (a 47 MB staged log's shuffle
+    never leaves RAM; measured 6.6-8.4s both paths at sf0.1/1.8M events)
+    — the payoff is the cluster shape, not the laptop number.  Returns
+    None when validation fails (pass-1/pass-2 run sets differ,
+    overlapping intervals, or run count above ``max_runs``) — callers
+    fall back to the shuffle path, so a wrong sortedness assumption
+    degrades to the old plan, never to a wrong digest.  ``max_runs``
+    bounds the driver collect exactly like the chain's own per-block
+    state collect (~32 B/block, millions are fine, billions are not).
+    ``target_split_bytes`` temporarily scopes
+    ``spark.sql.files.maxPartitionBytes`` so a compact staged log still
+    fans out across cores (at 16 MB a 47 MB log folds on 3 cores)."""
+    spark = raw.sparkSession
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(target_split_bytes))
+    try:
+        run_rows = (
+            raw.select("block_num", "seq")
+            .mapInPandas(_discover_runs, _RUNS_SCHEMA)
+            .collect()
+        )
+        if not run_rows:
+            return []
+        if len(run_rows) > max_runs:
+            return None
+        runs = [
+            (r["block_num"], r["min_seq"], r["max_seq"], r["n"])
+            for r in run_rows
+        ]
+        offsets = _run_offsets(runs)
+        if offsets is None:
+            return None
+        offsets_bc = spark.sparkContext.broadcast(offsets)
+        state_rows = (
+            raw.select("block_num", "seq", "value")
+            .mapInPandas(_make_fold_runs(offsets_bc), _RUN_STATES_SCHEMA)
+            .collect()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    # Cross-pass validation: the fold pass must have seen EXACTLY the run
+    # set the offsets were derived from (split planning is deterministic,
+    # but never assume it — a drifted run means wrong ordinals, and the
+    # failure mode must be fallback, not a wrong digest).
+    want = {(blk, mn): (mx, n) for blk, mn, mx, n in runs}
+    got: dict[tuple[int, int], tuple[int, int, bytes]] = {}
+    for r in state_rows:
+        key = (r["block_num"], r["min_seq"])
+        if r["state"] is None or key in got:
+            return None
+        got[key] = (r["max_seq"], r["n"], bytes(r["state"]))
+    if {k: v[:2] for k, v in got.items()} != want:
+        return None
+    by_block: dict[int, list[tuple[int, bytes]]] = {}
+    for (blk, _), (_, n, st) in got.items():
+        by_block.setdefault(blk, []).append((n, st))
+    out = []
+    for blk, parts in sorted(by_block.items()):
+        state = merge_block_states([st for _, st in parts])
+        total = sum(n for n, _ in parts)
+        out.append((blk, pause_block_state(blk, state, total), total))
+    return out
+
+
 def poi_chain(
     spark: SparkSession,
     raw: DataFrame,
     chain_id: str,
     start_poi: bytes | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Full digest chain with change-suppression: one row per block whose
     digest differs from the previous block's (the ``poi2$`` stream).
 
+    ``assume_sorted=True`` tries the shuffle-free fold
+    (poi_block_states_sorted) first — correct for the run stage's staged
+    log, validated with automatic fallback to the shuffle path.
+
     Returns (block_num long, id string, digest string hex).
     """
-    states = [
-        (r["block_num"], bytes(r["state"]))
-        for r in poi_block_states(raw).collect()
-    ]
+    states: list[tuple[int, bytes]] | None = None
+    if assume_sorted:
+        sorted_states = poi_block_states_sorted(raw)
+        if sorted_states is not None:
+            states = [(b, st) for b, st, _ in sorted_states]
+    if states is None:
+        states = [
+            (r["block_num"], bytes(r["state"]))
+            for r in poi_block_states(raw).collect()
+        ]
     chained = chain_block_states(states, start=start_poi)
     rows = []
     prev = start_poi
@@ -171,6 +421,7 @@ def poi_tocsv(
     bundle_size: int = 1000,
     start_poi: bytes | None = None,
     first_block: int = 0,
+    assume_sorted: bool = False,
 ) -> list[str]:
     """End-to-end poi2$ pipeline: interleaved change stream -> digest chain
     -> SCD-2 versions -> bundled ``poi2$`` CSV files (header
@@ -178,12 +429,16 @@ def poi_tocsv(
     (block_num, seq, value): the per-block event index that addresses the
     hash is global across entities (sinker.go:232-253).  ``first_block`` is
     the sinker start block: bundle enumeration begins at its aligned bundle
-    like the reference's bundlers."""
+    like the reference's bundlers.  ``assume_sorted`` enables the
+    shuffle-free fold for physically seq-sorted logs (validated, with
+    automatic fallback)."""
     import os
 
     from .bundles import write_bundled_csv
 
-    chain = poi_chain(spark, raw, chain_id, start_poi=start_poi)
+    chain = poi_chain(
+        spark, raw, chain_id, start_poi=start_poi, assume_sorted=assume_sorted
+    )
     versions = poi_entity_versions(chain)
     rendered = render_poi_csv(versions, bundle_size)
     dest = os.path.join(dest_dir, "poi2$")

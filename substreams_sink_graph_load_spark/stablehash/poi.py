@@ -185,23 +185,71 @@ class ProofOfIndexing:
 def fold_blocks_batched(
     blocks: dict[int, list[tuple[int, dict]]],
 ) -> dict[int, tuple[bytes, int]]:
-    """Fold MANY blocks' parsed entity changes into paused 32-byte states,
-    with the event-addressed fixed-length writes batched through the
-    numpy XXH3 kernels (xxh3_batch): per event only the entity/id string
-    writes stay scalar; the map-entry state mix-ins (32 B) and the
-    operation variant byte (1 B) — ~7 of ~9 hash calls — accumulate into
-    columns and hash in two vectorized passes.
+    """Fold MANY blocks' parsed entity changes into paused 32-byte states.
 
-    Bit-identical to per-event ``ProofOfIndexing`` folding: the FldMix
-    monoid is commutative, so deferring a subset of each block's writes
-    and mixing them in afterwards reaches the same state, and the write
-    COUNT is order-independent by construction.  ``blocks`` maps
-    block_num -> [(seq, event), ...] where each event is either the
-    parsed ``entity_change`` dict or the raw wire line (parsed here,
-    just-in-time: holding a whole partition's parsed dicts alive is ~10x
-    the memory of the raw strings and measured 4x slower end-to-end from
-    worker GC churn — parse-use-discard keeps them nursery-collected).
+    Thin wrapper over :func:`fold_runs_batched` for whole-block callers:
+    each block is one run at ordinal offset 0, and the pause-time count
+    write is applied here (the run fold leaves states unpaused so
+    partial runs of one block can be merged first).
     Returns block_num -> (state32, n_events).
+    """
+    runs = [(block, block, 0, evs) for block, evs in blocks.items()]
+    out: dict[int, tuple[bytes, int]] = {}
+    for key, (state, n) in fold_runs_batched(runs).items():
+        out[key] = (pause_block_state(key, state, n), n)
+    return out
+
+
+def pause_block_state(block: int, state32: bytes, total_events: int) -> bytes:
+    """Apply the pause-time count write to an UNPAUSED block state:
+    ``U64(total_events)`` hashed at the block address (poi.go:48-73).
+    Used by whole-block folds (total = the run's own length) and by the
+    shuffle-free path after merging a block's partial-run states."""
+    h = FastHasher.from_bytes(state32)
+    U64(total_events).stable_hash(
+        addr_children(ADDRESS_ROOT, (1, 0, block, 0)), h
+    )
+    return h.to_bytes()
+
+
+def merge_block_states(states: list[bytes]) -> bytes:
+    """Merge UNPAUSED partial states of ONE block: the FldMix mixer is
+    commutative and write counts add, so partial folds over disjoint
+    event subsets (each at its correct ordinal offsets) combine to the
+    same state as one sequential fold."""
+    h = FastHasher.from_bytes(states[0])
+    for s in states[1:]:
+        h.mixin(FastHasher.from_bytes(s))
+    return h.to_bytes()
+
+
+def fold_runs_batched(
+    runs: list[tuple[object, int, int, list[tuple[int, object]]]],
+) -> dict[object, tuple[bytes, int]]:
+    """Fold event RUNS into UNPAUSED 32-byte hasher states, with the
+    event-addressed fixed-length writes batched through the numpy XXH3
+    kernels (xxh3_batch): per event only the entity/id string writes stay
+    scalar; the map-entry state mix-ins (32 B) and the operation variant
+    byte (1 B) — ~7 of ~9 hash calls — accumulate into columns and hash
+    in two vectorized passes.
+
+    A run is ``(key, block_num, offset, [(seq, event), ...])``: a
+    contiguous slice of one block's seq-ordered event stream whose first
+    event sits at within-block ordinal ``offset``.  Event i of the run
+    hashes at address ``[1, 0, block_num, 0, offset + i]``.  Bit-identical
+    to per-event ``ProofOfIndexing`` folding: the FldMix monoid is
+    commutative, so deferring a subset of each block's writes and mixing
+    them in afterwards reaches the same state, and the write COUNT is
+    order-independent by construction.  The pause-time count write is NOT
+    applied — callers pause once per block with the TOTAL event count
+    (:func:`pause_block_state`) after merging partials.
+
+    Each event is either the parsed ``entity_change`` dict or the raw
+    wire line (parsed here, just-in-time: holding a whole partition's
+    parsed dicts alive is ~10x the memory of the raw strings and was
+    measured 4x slower end-to-end from worker GC churn —
+    parse-use-discard keeps them nursery-collected).
+    Returns key -> (unpaused_state32, n_events_in_run).
     """
     import json as _json
     import numpy as np
@@ -210,17 +258,17 @@ def fold_blocks_batched(
 
     M64 = (1 << 64) - 1
     M63 = (1 << 63) - 1
-    hashers: dict[int, FastHasher] = {}
-    n_events: dict[int, int] = {}
+    hashers: dict[object, FastHasher] = {}
+    n_events: dict[object, int] = {}
     s32_seed: list[int] = []
     s32_hi: list[int] = []
     s32_state: list[bytes] = []
-    s32_block: list[int] = []
+    s32_key: list[object] = []
     v_seed = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
     v_hi = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
-    v_block = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
+    v_key = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
 
-    for block, evs in blocks.items():
+    for key, block, offset, evs in runs:
         # Sort (seq, payload) exactly like the scalar twin's events.sort()
         # (operators/poi.py:_fold_events): with duplicate seqs a seq-only
         # stable sort would address events by arrival order and diverge
@@ -235,9 +283,9 @@ def fold_blocks_batched(
             )
         )
         h = FastHasher()
-        hashers[block] = h
-        n_events[block] = len(evs)
-        for idx, (_, ev) in enumerate(evs):
+        hashers[key] = h
+        n_events[key] = len(evs)
+        for idx, (_, ev) in enumerate(evs, start=offset):
             ch = ev if isinstance(ev, dict) else _json.loads(ev)["entity_change"]
             addr = addr_children(ADDRESS_ROOT, (1, 0, block, 0, idx))
             String(ch["entity"]).stable_hash(addr_child(addr, 0), h)
@@ -260,22 +308,18 @@ def fold_blocks_batched(
                     s32_seed.append(mseed)
                     s32_hi.append(mhi)
                     s32_state.append(_map_entry_state(name, typed))
-                    s32_block.append(block)
+                    s32_key.append(key)
             v_seed[variant].append(addr & M64)
             v_hi[variant].append((addr >> 64) & M63)
-            v_block[variant].append(block)
-        # the pause-time count write (scalar; one per block)
-        U64(len(evs)).stable_hash(
-            addr_children(ADDRESS_ROOT, (1, 0, block, 0)), h
-        )
+            v_key[variant].append(key)
 
     if s32_seed:
         lo, hi = hash32_seeded(
             np.frombuffer(b"".join(s32_state), dtype="<u8").reshape(-1, 4),
             np.array(s32_seed, dtype=np.uint64),
         )
-        for hi_part, blk, l, hh in zip(s32_hi, s32_block, lo.tolist(), hi.tolist()):
-            h = hashers[blk]
+        for hi_part, k, l, hh in zip(s32_hi, s32_key, lo.tolist(), hi.tolist()):
+            h = hashers[k]
             h.mixer = fldmix_combine(h.mixer, hi_part | (l << 64) | (hh << 128))
             h.count += 1
     for variant in (OP_REMOVE_VARIANT, OP_SET_VARIANT):
@@ -284,16 +328,16 @@ def fold_blocks_batched(
         lo, hi = hash1_seeded(
             variant, np.array(v_seed[variant], dtype=np.uint64)
         )
-        for hi_part, blk, l, hh in zip(
-            v_hi[variant], v_block[variant], lo.tolist(), hi.tolist()
+        for hi_part, k, l, hh in zip(
+            v_hi[variant], v_key[variant], lo.tolist(), hi.tolist()
         ):
-            h = hashers[blk]
+            h = hashers[k]
             h.mixer = fldmix_combine(h.mixer, hi_part | (l << 64) | (hh << 128))
             h.count += 1
     for h in hashers.values():
         h.count &= (1 << 64) - 1
     return {
-        blk: (h.to_bytes(), n_events[blk]) for blk, h in hashers.items()
+        key: (h.to_bytes(), n_events[key]) for key, h in hashers.items()
     }
 
 

@@ -376,10 +376,13 @@ def run_ingest(
     if chain_id is not None:
         from ..operators.poi import poi_tocsv
 
+        # The staged log is written in cursor order (micro-batch appends),
+        # so the shuffle-free POI fold applies; it validates the
+        # assumption and falls back to the shuffle path on any mismatch.
         files["poi2$"] = poi_tocsv(
             spark, staged, dest_dir, chain_id, stop_block,
             bundle_size=bundle_size, start_poi=start_poi,
-            first_block=first_block,
+            first_block=first_block, assume_sorted=True,
         )
 
     last = staged.agg(F.max("block_num")).collect()[0][0] or 0

@@ -228,3 +228,132 @@ def test_batched_fold_duplicate_seqs_match_scalar():
     want = _fold_events(7, list(lines))
     assert got[7][0] == want
     assert got[7][1] == len(lines)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-free sorted fold (poi_block_states_sorted)
+# ---------------------------------------------------------------------------
+
+
+def _synth_events(n_blocks=60, events_per_block=7):
+    """Cursor-ordered synthetic change stream: dense seq, several events
+    per block, mixed ops — the staged-log shape."""
+    rows = []
+    seq = 0
+    for b in range(1, n_blocks + 1):
+        for i in range(events_per_block):
+            op = 3 if (b + i) % 11 == 0 else (1 if i == 0 else 2)
+            fields = (
+                []
+                if op == 3
+                else [
+                    ("name", {"String_": f"v{b}-{i}"}),
+                    ("bal", {"Bigint": str(b * 1000 + i)}),
+                ]
+            )
+            rows.append((b, seq, _line(b, "Account", f"id{i%3}", op, fields)))
+            seq += 1
+    return rows
+
+
+def _write_sorted_parquet(spark, rows, path, files=4):
+    """Write rows as several parquet files in cursor order, like the
+    staged micro-batch appends (file k holds a contiguous seq range)."""
+    per = (len(rows) + files - 1) // files
+    for k in range(files):
+        chunk = rows[k * per : (k + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk, "block_num long, seq long, value string"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_sorted_fold_matches_shuffle_fold(spark, tmp_path):
+    from substreams_sink_graph_load_spark.operators.poi import (
+        poi_block_states_sorted,
+    )
+
+    rows = _synth_events()
+    path = str(tmp_path / "staged")
+    _write_sorted_parquet(spark, rows, path)
+    raw = spark.read.parquet(path)
+
+    # tiny splits force blocks to straddle split boundaries -> multi-run
+    # blocks exercise the offset + merge machinery
+    got = poi_block_states_sorted(raw, target_split_bytes=4096)
+    assert got is not None and len(got) == 60
+
+    want = {
+        r["block_num"]: (bytes(r["state"]), r["n_events"])
+        for r in poi_block_states(raw).collect()
+    }
+    assert {b: (st, n) for b, st, n in got} == want
+
+
+def test_sorted_chain_matches_sequential(spark, tmp_path):
+    path = str(tmp_path / "staged")
+    _write_sorted_parquet(spark, EVENTS, path, files=2)
+    raw = spark.read.parquet(path)
+    df = poi_chain(spark, raw, chain_id="test-chain", assume_sorted=True)
+    got = {(r["block_num"], r["digest"]) for r in df.collect()}
+    want = {(b, d.hex()) for b, d in _sequential_chain()}
+    assert got == want
+
+
+def test_interleaved_blocks_with_disjoint_intervals_still_exact(spark):
+    """Alternating single-event runs interleave blocks physically, but
+    every run's seq interval is a point — disjoint per block — so the
+    offset reconstruction is still valid and must match the shuffle
+    fold exactly (the validator accepts strictly more than physically
+    sorted input; what it accepts it must get right)."""
+    from substreams_sink_graph_load_spark.operators.poi import (
+        poi_block_states_sorted,
+    )
+
+    rows = []
+    seq = 0
+    for i in range(40):
+        b = 1 + (i % 2)
+        rows.append((b, seq, _line(b, "Account", "a", 1, [("n", {"String_": str(i)})])))
+        seq += 1
+    raw = spark.createDataFrame(rows, "block_num long, seq long, value string").coalesce(1)
+    got = poi_block_states_sorted(raw)
+    want = {
+        r["block_num"]: (bytes(r["state"]), r["n_events"])
+        for r in poi_block_states(raw).collect()
+    }
+    assert got is not None and {b: (st, n) for b, st, n in got} == want
+
+
+def test_sorted_fold_falls_back_on_overlapping_runs(spark):
+    """A block whose two arrival runs OVERLAP in seq space ([0,5] then
+    [2,3]) has no derivable run order — the sorted fold must refuse
+    (return None) and the chain must answer through the fallback."""
+    from substreams_sink_graph_load_spark.operators.poi import (
+        poi_block_states_sorted,
+    )
+
+    def ev(b, s):
+        return (b, s, _line(b, "Account", "a", 1, [("n", {"String_": str(s)})]))
+
+    rows = [ev(1, 0), ev(1, 5), ev(2, 1), ev(1, 2), ev(1, 3)]
+    raw = spark.createDataFrame(rows, "block_num long, seq long, value string").coalesce(1)
+    assert poi_block_states_sorted(raw) is None
+
+    df = poi_chain(spark, raw, chain_id="c", assume_sorted=True)
+    classic = poi_chain(spark, raw, chain_id="c", assume_sorted=False)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, classic.collect()))
+
+
+def test_sorted_fold_restores_split_conf(spark, tmp_path):
+    from substreams_sink_graph_load_spark.operators.poi import (
+        poi_block_states_sorted,
+    )
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(key, None)
+    path = str(tmp_path / "staged")
+    _write_sorted_parquet(spark, EVENTS, path, files=1)
+    poi_block_states_sorted(spark.read.parquet(path))
+    assert spark.conf.get(key, None) == prior
