@@ -306,10 +306,149 @@ PROTO_PARSED_SCHEMA = T.StructType(
 )
 
 
-def parse_change_protobuf(raw: DataFrame) -> DataFrame:
+_JVM_PROTOBUF_OK: bool | None = None
+
+
+def jvm_protobuf_available(spark) -> bool:
+    """True when the spark-protobuf module is usable in this session.
+
+    The Python API (``pyspark.sql.protobuf.functions``) always imports;
+    the JVM classes ship in the separate spark-protobuf jar, absent from
+    plain pip installs (and from this sandbox).  Probe by resolving a
+    tiny from_protobuf plan against the hand-built descriptor — analysis
+    raises when the jar is missing.  Cached per process."""
+    global _JVM_PROTOBUF_OK
+    if _JVM_PROTOBUF_OK is None:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            from .proto_descriptor import (
+                MESSAGE_FULL_NAME,
+                entity_changes_descriptor_set,
+            )
+
+            spark.range(1).select(
+                from_protobuf(
+                    F.lit(b"").alias("p"),
+                    MESSAGE_FULL_NAME,
+                    binaryDescriptorSet=entity_changes_descriptor_set(),
+                )
+            ).collect()
+            _JVM_PROTOBUF_OK = True
+        except Exception:
+            _JVM_PROTOBUF_OK = False
+    return _JVM_PROTOBUF_OK
+
+
+def _typed_scalar_col(v) -> F.Column:
+    """Map a JVM-decoded Value struct to the ``Typed`` scalar struct shape
+    (_SCALAR_TYPED_PY): oneof members are NULL unless set, bytes render
+    as padded base64 exactly like the wire codec's output."""
+    return F.struct(
+        v["string"].alias("String_"),
+        v["int32"].alias("Int32"),
+        v["bigint"].alias("Bigint"),
+        v["bigdecimal"].alias("Bigdecimal"),
+        F.base64(v["bytes"]).alias("Bytes"),
+        v["bool"].alias("Boolean"),
+        F.lit(None).cast("double").alias("Float"),
+    )
+
+
+def parse_change_protobuf_jvm(raw: DataFrame) -> DataFrame:
+    """JVM-side decode of ``(block_num, payload[, _file, seq])`` wire rows
+    via spark-protobuf's ``from_protobuf`` — same output schema as the
+    Python codec (PROTO_PARSED_SCHEMA), no Python in the data path.
+
+    This is the 100 TB shape for S2 (ref sinker.go:213-215 decodes with
+    generated Go bindings): the whole decode stays in the JVM, driven by
+    the hand-serialized descriptor (proto_descriptor.py).  Requires the
+    spark-protobuf jar; gate with :func:`jvm_protobuf_available` or call
+    :func:`parse_change_protobuf` with ``method="auto"``.
+
+    ``recursive.fields.max.depth`` bounds the Value->Array->Value
+    recursion at the one nesting level the engine's typed schema carries
+    (arrays of scalars — the reference model has no deeper shape);
+    ``enums.as.ints`` keeps ``operation`` an int like the wire codec."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    from .proto_descriptor import (
+        MESSAGE_FULL_NAME,
+        entity_changes_descriptor_set,
+    )
+
+    has_file = "_file" in raw.columns
+    has_seq = "seq" in raw.columns
+    msg = from_protobuf(
+        "payload",
+        MESSAGE_FULL_NAME,
+        binaryDescriptorSet=entity_changes_descriptor_set(),
+        options={"enums.as.ints": "true", "recursive.fields.max.depth": "2"},
+    )
+    ex = raw.select(
+        "block_num",
+        (F.col("_file") if has_file else F.lit(None).cast("string")).alias("_file"),
+        (F.col("seq") if has_seq else F.col("block_num")).cast("long").alias("seq"),
+        F.posexplode(msg["entity_changes"]).alias("_pos", "_c"),
+    )
+    c = F.col("_c")
+    fields_col = F.transform(
+        c["fields"],
+        lambda f: F.struct(
+            f["name"].alias("name"),
+            F.when(
+                f["new_value"].isNotNull(),
+                F.struct(
+                    F.struct(
+                        *(
+                            [
+                                _typed_scalar_col(f["new_value"])[sf.name].alias(
+                                    sf.name
+                                )
+                                for sf in _SCALAR_TYPED_PY.fields
+                            ]
+                            + [
+                                F.when(
+                                    f["new_value"]["array"].isNotNull(),
+                                    F.struct(
+                                        F.transform(
+                                            f["new_value"]["array"]["value"],
+                                            lambda q: F.struct(
+                                                _typed_scalar_col(q).alias("Typed")
+                                            ),
+                                        ).alias("value")
+                                    ),
+                                ).alias("Array")
+                            ]
+                        )
+                    ).alias("Typed")
+                ),
+            ).alias("new_value"),
+        ),
+    )
+    return ex.select(
+        F.col("block_num").cast("long"),
+        c["entity"].alias("entity"),
+        c["id"].alias("id"),
+        c["operation"].cast("int").alias("operation"),
+        fields_col.alias("fields"),
+        "_file",
+        (F.col("_pos") + 1).cast("int").alias("_line_no"),
+        "seq",
+    )
+
+
+def parse_change_protobuf(raw: DataFrame, method: str = "auto") -> DataFrame:
     """Decode ``(block_num, payload[, _file, seq])`` wire rows into the same
     row shape :func:`..sources.jsonl.parse_change_lines` produces, one row
     per entity change.
+
+    ``method``: ``"jvm"`` forces the spark-protobuf route
+    (:func:`parse_change_protobuf_jvm`), ``"python"`` the wire codec
+    below, ``"auto"`` (default) takes the JVM route when the jar is on
+    the classpath and falls back to the codec otherwise — so deployments
+    with spark-protobuf get the no-Python decode for free and this
+    sandbox (jar absent) keeps working.
 
     ``seq`` orders changes globally; absent, ``block_num`` is used (wire
     payloads are one-per-block, already totally ordered by block).  Change
@@ -317,6 +456,12 @@ def parse_change_protobuf(raw: DataFrame) -> DataFrame:
     reference's ``for _, change := range entityChanges.EntityChanges``
     (sinker.go:242).
     """
+    if method not in ("auto", "jvm", "python"):
+        raise ValueError(f"unknown protobuf decode method {method!r}")
+    if method == "jvm" or (
+        method == "auto" and jvm_protobuf_available(raw.sparkSession)
+    ):
+        return parse_change_protobuf_jvm(raw)
     has_file = "_file" in raw.columns
     has_seq = "seq" in raw.columns
 
