@@ -346,3 +346,180 @@ def test_stateful_with_rocksdb_store(spark, change_files, tmp_path):
         assert rows == {("a1", 1, 500), ("a1", 500, 2100), ("b1", 600, None)}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 successor API)
+# ---------------------------------------------------------------------------
+
+
+def _run_tws(spark, src_dir, ckpt, name):
+    from substreams_sink_graph_load_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        stateful_versions_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.format("json")
+            .schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+        )
+        q = (
+            stateful_versions_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    return {
+        (r["id"], r["block_range_start"], r["block_range_end"]): r["fields_json"]
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+@pytest.mark.skipif(
+    "not __import__('substreams_sink_graph_load_spark.streaming.stateful', fromlist=['x']).tws_available()",
+    reason="transformWithState needs the google.protobuf runtime (absent here)",
+)
+def test_tws_versions_match_applyinpandas_twin(spark, change_files, tmp_path):
+    rows = _run_tws(spark, change_files, str(tmp_path / "ckpt_tws"), "tws_out")
+    assert rows[("a1", 1, 500)] == '{"balance":"100","name":"alice"}'
+    assert rows[("a1", 500, 2100)] == '{"balance":"250","name":"alice"}'
+    assert rows[("b1", 600, None)] == '{"name":"bob"}'
+    assert ("c1", 2300, None) not in rows
+    assert len(rows) == 3
+
+
+@pytest.mark.skipif(
+    "not __import__('substreams_sink_graph_load_spark.streaming.stateful', fromlist=['x']).tws_available()",
+    reason="transformWithState needs the google.protobuf runtime (absent here)",
+)
+def test_tws_final_evicts_state(spark, tmp_path):
+    """After FINAL the key's state is GONE: a later CREATE for the same id
+    starts from nothing — it must NOT close a phantom [600, 2500) version
+    carried over from the pre-FINAL state."""
+    d = tmp_path / "changes2"
+    d.mkdir()
+    import time
+
+    history = [
+        [("b1", 600, 0, 1, {"name": "bob"}), ("b1", 2200, 1, 4, {})],  # FINAL
+        [("b1", 2500, 2, 1, {"name": "bob2"}), ("b1", 2600, 3, 3, {})],  # re-create, delete
+    ]
+    now = time.time()
+    for i, chunk in enumerate(history):
+        p = d / f"part-{i}.jsonl"
+        with open(p, "w") as fh:
+            for id_, block, seq, op, fields in chunk:
+                fh.write(
+                    json.dumps(
+                        {
+                            "id": id_,
+                            "block_num": block,
+                            "seq": seq,
+                            "operation": op,
+                            "fields_json": json.dumps(
+                                fields, sort_keys=True, separators=(",", ":")
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now + i, now + i))
+
+    rows = _run_tws(spark, str(d), str(tmp_path / "ckpt_evict"), "tws_evict")
+    assert rows == {
+        ("b1", 600, None): '{"name":"bob"}',       # FINAL emits open row
+        ("b1", 2500, 2600): '{"name":"bob2"}',     # fresh life, no phantom
+    }
+
+
+class _FakeValueState:
+    """Stand-in for the TWS ValueState: exists/get/update/clear over a dict
+    slot, so Scd2Processor's fold runs without the streaming runner (whose
+    protobuf runtime is absent in this sandbox)."""
+
+    def __init__(self, store, key):
+        self._store, self._key = store, key
+
+    def exists(self):
+        return self._key in self._store
+
+    def get(self):
+        return self._store[self._key]
+
+    def update(self, v):
+        self._store[self._key] = tuple(v)
+
+    def clear(self):
+        self._store.pop(self._key, None)
+
+
+def _drive_processor(batches):
+    """Feed per-trigger pandas batches through Scd2Processor with a fake
+    handle, mimicking the grouped per-key delivery of the real runner."""
+    import pandas as pd
+
+    from substreams_sink_graph_load_spark.streaming.stateful import (
+        Scd2Processor,
+    )
+
+    store = {}
+    out = []
+    for batch in batches:
+        df = pd.DataFrame(
+            batch, columns=["id", "block_num", "seq", "operation", "fields"]
+        )
+        df["fields_json"] = df["fields"].map(
+            lambda d: json.dumps(d, sort_keys=True, separators=(",", ":"))
+        )
+        for key, grp in df.groupby("id"):
+            proc = Scd2Processor()
+            proc._state = _FakeValueState(store, key)
+            for res in proc.handleInputRows((key,), iter([grp]), None):
+                out.extend(map(tuple, res.itertuples(index=False)))
+    return store, set(out)
+
+
+def test_scd2_processor_logic_matches_twin_semantics():
+    """The TWS processor's fold, driven through a fake handle on the same
+    event matrix as the applyInPandasWithState twin, emits identical
+    versions — and FINAL/DELETE leave no state behind."""
+    batches = [EVENTS[:3], EVENTS[3:]]
+    batches = [
+        [(i, b, s, o, f) for i, b, s, o, f in chunk] for chunk in batches
+    ]
+    store, rows = _drive_processor(batches)
+    assert rows == {
+        ("a1", 1, 500, '{"balance":"100","name":"alice"}'),
+        ("a1", 500, 2100, '{"balance":"250","name":"alice"}'),
+        ("b1", 600, None, '{"name":"bob"}'),
+    }
+    # b1 FINAL + a1 DELETE evicted; only c1's open version holds state
+    assert set(store) == {"c1"}
+
+
+def test_scd2_processor_final_evicts_state():
+    batches = [
+        [("b1", 600, 0, 1, {"name": "bob"}), ("b1", 2200, 1, 4, {})],
+        [("b1", 2500, 2, 1, {"name": "bob2"}), ("b1", 2600, 3, 3, {})],
+    ]
+    store, rows = _drive_processor(batches)
+    assert rows == {
+        ("b1", 600, None, '{"name":"bob"}'),
+        ("b1", 2500, 2600, '{"name":"bob2"}'),
+    }
+    assert store == {}
