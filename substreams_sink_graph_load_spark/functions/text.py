@@ -82,12 +82,19 @@ def exploded_shingles(
     text_col: str,
     k: int,
     short_doc_fallback: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ):
-    """Word k-gram OCCURRENCES as rows ``(id_col, gram)`` via posexplode +
-    window ``lead`` — the codegen shape (higher-order array lambdas run
-    interpreted with no CSE; the lead-window formulation measured ~20x
-    faster at corpus scale, see minhash_sketch).  One shuffle on
-    ``id_col`` for the lead window.
+    """Word k-gram OCCURRENCES as rows ``(id_col, *carry_cols, gram)`` via
+    posexplode + window ``lead`` — the codegen shape (higher-order array
+    lambdas run interpreted with no CSE; the lead-window formulation
+    measured ~20x faster at corpus scale, see minhash_sketch).  One
+    shuffle on ``(id_col, *carry_cols)`` for the lead window.
+
+    ``carry_cols`` ride along per row (constant within a doc, e.g. a
+    blocking key) so downstream per-doc aggregations need no join back to
+    the source; they join the window partition key, which is still
+    per-doc partitioning, and a following groupBy on the same columns
+    reuses the exchange.
 
     ``short_doc_fallback=True`` mirrors :func:`word_shingles`: a doc with
     fewer than ``k`` words contributes its whole text as its single gram
@@ -96,9 +103,10 @@ def exploded_shingles(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy(id_col, *carry_cols).orderBy("pos")
     ex = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col(text_col).alias("_text"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     )
@@ -118,4 +126,6 @@ def exploded_shingles(
         )
     else:
         g = g.where(F.col("_tail").isNotNull())
-    return g.select(F.col(id_col), F.col("gram"))
+    return g.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.col("gram")
+    )

