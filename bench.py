@@ -58,6 +58,10 @@ HEADLINE = [
     "ngram_counts",
     "contamination_probe",
     "dedup_substring_stats",
+    # round-5 additions
+    "dedup_ngram_jaccard",
+    "quality_repetition",
+    "events_funnel",
 ]
 
 

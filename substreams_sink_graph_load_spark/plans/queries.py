@@ -2916,6 +2916,108 @@ def dedup_substring_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "quality_repetition",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(ws) < 2 THEN [text]
+                        ELSE list_transform(range(len(ws) - 1),
+                                            i -> ws[i+1] || ' ' || ws[i+2])
+                        END) AS gram
+          FROM t),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           cast(sum(c) AS bigint) AS n_bigrams,
+           cast(max(c) AS bigint) AS top_bigram_n,
+           cast(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS bigint)
+             AS dup_bigram_n
+    FROM c GROUP BY doc_id
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """WITHIN-document repetition signals (Gopher rules 6-8 family,
+    Rae et al.): per doc, total word-bigram occurrences, the count of the
+    most frequent bigram, and how many occurrences belong to bigrams
+    repeated within the SAME doc.  High top/dup fractions mark template
+    spam and looping generations; the cross-document complement is
+    dedup_substring_stats.
+
+    Integer counts only — consumers divide, so no float ever crosses the
+    hash.  Scale shape: two partial-before-shuffle aggregations keyed
+    (doc, gram) then (doc) — per-doc keys can't be hotter than the
+    longest single document, no windows, no joins.
+    """
+    from ..functions.text import exploded_shingles
+
+    ex = exploded_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 2)
+    c = ex.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_bigram_n"),
+    )
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.tv
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc
+          GROUP BY e.user_id)
+    SELECT (SELECT cast(count(*) AS bigint) FROM v) AS users_view,
+           (SELECT cast(count(*) AS bigint) FROM c) AS users_click,
+           (SELECT cast(count(*) AS bigint) FROM p) AS users_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered three-stage funnel over the event stream: users whose
+    first view precedes a click that precedes a purchase.  The classic
+    product-analytics query a sink's warehouse serves.
+
+    Scale shape: three filtered partial aggregations, each stage joining
+    the previous stage's one-row-per-user table (shrinking monotonically,
+    broadcast-able) — never a per-user window, so a hot user costs max()
+    work, not a buffered WindowExec group.  Counts cross engines as
+    bigints; timestamps never leave the plan.
+    """
+    e = _events(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("users_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("users_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("users_purchase")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------

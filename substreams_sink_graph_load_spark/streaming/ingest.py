@@ -60,10 +60,13 @@ class WireIngest:
 
 def check_final_blocks_only(
     staged: DataFrame, chunk_width: int = 1_000_000
-) -> None:
+) -> int | None:
     """Reject any block below the running high-water mark in cursor order
     (ref sinker.go:291-293 — an undo/reorg signal is fatal; the sink
-    demands final blocks only).
+    demands final blocks only).  Returns the global max block (the final
+    high-water mark, None on empty input) so callers that need it — the
+    ``last_block.txt`` marker — don't re-scan the log for a number this
+    check already computed.
 
     Distributed: the cursor space splits into seq-range chunks so the
     non-decreasing property decomposes into (a) a running-max window check
@@ -121,6 +124,7 @@ def check_final_blocks_only(
                 f"mark {hwm} — the sink requires final blocks only"
             )
         hwm = row["_max"] if hwm is None else max(hwm, row["_max"])
+    return hwm
 
 
 def demux_jsonl(
@@ -360,8 +364,9 @@ def run_ingest(
     query.awaitTermination()
 
     staged = ingest.staged_df()
+    last: int | None = None
     if enforce_order:
-        check_final_blocks_only(staged)
+        last = check_final_blocks_only(staged)
     # The sinker start block: blocks below first_block belong to an
     # earlier run's bundles, so drop them HERE, deliberately and
     # documented — demux_jsonl itself treats any out-of-range row as a
@@ -385,7 +390,10 @@ def run_ingest(
             first_block=first_block, assume_sorted=True,
         )
 
-    last = staged.agg(F.max("block_num")).collect()[0][0] or 0
+    # the order check already computed the global max; only re-scan when
+    # it was skipped (enforce_order=False)
+    if last is None:
+        last = staged.agg(F.max("block_num")).collect()[0][0]
     with open(os.path.join(dest_dir, "last_block.txt"), "w") as fh:
-        fh.write(f"{last}:\n")
+        fh.write(f"{last or 0}:\n")
     return files
