@@ -62,6 +62,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "quality_repetition",
     "events_funnel",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "pii_scrub",
+    "dedup_cross_source",
 ]
 
 
@@ -88,6 +93,11 @@ SF1_SUBSET = [
     "ann_ivf_topk",
     "dedup_clusters",
     "text_stats",
+    # round-5: the heaviest of the new TPC-H shapes (two count-distinct
+    # folds over the full lineitem<->orders join) and the cross-source
+    # self-join
+    "q21_waiting_supplier",
+    "dedup_cross_source",
 ]
 
 
