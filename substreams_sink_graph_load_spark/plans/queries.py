@@ -3755,30 +3755,50 @@ _CORE = [
     "q5_region_revenue",
 ]
 
-_COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py)
-    "scalar_string_funcs": 0.24, "scalar_array_funcs": 0.3,
-    "text_stats": 0.3, "agg_rollup_orders": 0.3, "lang_id_heuristic": 0.3,
-    "scalar_math_funcs": 0.31, "quality_score": 0.32, "bundle_assign": 0.32,
-    "scalar_json_extract": 0.32, "token_count": 0.32,
-    "doc_fingerprint": 0.34, "agg_cube_part": 0.34,
-    "agg_grouping_sets": 0.34, "pg_csv_format": 0.35, "set_union": 0.36,
-    "q6_forecast_revenue": 0.36, "dedup_exact": 0.36,
-    "sort_limit_top10": 0.37, "agg_count_distinct": 0.38,
-    "scalar_date_funcs": 0.4, "set_intersect": 0.46,
-    "window_lag_delta": 0.46, "set_except": 0.46, "q1_pricing_summary": 0.47,
-    "events_tumbling_hour": 0.49, "ann_topk_matmul": 0.49,
-    "window_running_total": 0.49, "join_anti_customers": 0.51,
-    "join_semi_nations": 0.52, "decimal_arithmetic": 0.55,
-    "join_left_outer": 0.58, "events_sliding_window": 0.6,
-    "events_sessionize": 0.6, "join_broadcast_segments": 0.6,
-    "window_topk_per_segment": 0.61, "similarity_topk": 0.62,
-    "scd2_validate_ops": 0.62, "agg_salted": 0.63,
-    "q3_shipping_priority": 0.7, "scd2_immutable_rows": 0.7,
-    "scd2_versions": 0.76, "scd2_state_at_block": 0.79,
-    "dedup_minhash": 1.09, "q5_region_revenue": 1.16,
-    "agg_approx_distinct": 1.3, "dedup_ngram_jaccard": 1.35,
-    "dedup_minhash_pairs": 1.57, "dedup_embedding": 1.58,
-    "dedup_simhash": 2.16, "poi_chain": 2.36,
+_COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
+    "unpivot_metrics": 0.145, "text_stats": 0.146, "validate_notnull":
+    0.156, "sort_limit_top10": 0.165, "scalar_string_funcs": 0.186,
+    "scalar_array_funcs": 0.191, "agg_pivot": 0.198,
+    "scalar_json_extract": 0.2, "scalar_date_funcs": 0.207,
+    "quality_score": 0.213, "join_anti_customers": 0.218,
+    "quality_gopher_rules": 0.218, "token_count": 0.223,
+    "agg_rollup_orders": 0.236, "join_correlated_min": 0.237,
+    "window_ntile": 0.237, "lang_id_heuristic": 0.238, "dedup_exact":
+    0.246, "scalar_math_funcs": 0.247, "agg_count_distinct": 0.258,
+    "set_intersect": 0.258, "q6_forecast_revenue": 0.259,
+    "doc_fingerprint": 0.267, "filter_range": 0.267, "agg_percentiles":
+    0.289, "events_sliding_window": 0.293, "sample_stratified": 0.294,
+    "agg_grouping_sets": 0.296, "set_union": 0.296, "set_except": 0.303,
+    "window_running_total": 0.306, "events_tumbling_hour": 0.308,
+    "agg_cube_part": 0.324, "join_broadcast_segments": 0.324,
+    "bigdecimal_normalize": 0.327, "window_range_frame": 0.331,
+    "scd2_immutable_rows": 0.341, "bundle_assign": 0.344, "pii_scrub":
+    0.35, "window_topk_per_segment": 0.369, "window_lag_delta": 0.37,
+    "agg_approx_percentile": 0.371, "events_sessionize": 0.372,
+    "join_range": 0.379, "cluster_kmeans_assign": 0.381,
+    "split_train_eval": 0.383, "multimodal_features": 0.389,
+    "ann_topk_matmul": 0.39, "q4_order_priority": 0.393, "agg_salted":
+    0.401, "join_asof": 0.408, "join_semi_nations": 0.409,
+    "q18_large_orders": 0.418, "decimal_arithmetic": 0.424,
+    "q1_pricing_summary": 0.432, "join_left_outer": 0.438,
+    "typed_extract": 0.439, "normalize_names": 0.44, "dedup_cross_source":
+    0.482, "ngram_counts": 0.486, "similarity_topk": 0.492,
+    "q14_promo_revenue": 0.504, "q19_discounted_revenue": 0.526,
+    "q17_small_quantity": 0.542, "join_runtime_minmax": 0.544,
+    "q13_customer_distribution": 0.552, "q22_inactive_balance": 0.564,
+    "contamination_probe": 0.567, "q15_top_supplier": 0.578,
+    "fuzzy_pairs": 0.61, "q3_shipping_priority": 0.64, "q7_nation_volume":
+    0.656, "scd2_versions": 0.724, "tfidf_top_terms": 0.727,
+    "dedup_minhash": 0.727, "scd2_validate_ops": 0.748,
+    "scd2_state_at_block": 0.811, "q10_returned_items": 0.916,
+    "proto_roundtrip": 0.945, "q5_region_revenue": 1.028,
+    "agg_approx_distinct": 1.067, "q21_waiting_supplier": 1.069,
+    "dedup_ngram_jaccard": 1.085, "dedup_substring_stats": 1.149,
+    "dedup_minhash_pairs": 1.234, "pg_csv_format": 1.321, "poi_chain":
+    1.359, "q8_market_share": 1.565, "events_funnel": 1.675,
+    "cluster_kmeans_fit": 1.774, "dedup_embedding": 2.275, "ann_ivf_topk":
+    2.545, "dedup_clusters": 3.084, "dedup_simhash": 3.148,
+    "quality_repetition": 5.177
 }
 
 
