@@ -1,0 +1,111 @@
+"""Physical-plan assertions for the round-5 relational queries: the scale
+claims in PLANS.md (pushdown, single-scan, top-k lowering) verified
+against `.explain("formatted")` output, not prose."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from substreams_sink_graph_load_spark.plans import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return [m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)]
+
+
+def test_q21_scans_lineitem_once(spark, sf_dir):
+    """Both EXISTS tests ride one window — the fact table is read once
+    (the reference's correlated plan reads it three times)."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_part_side_of_disjunction_pushed(spark, sf_dir):
+    """The part-side implication of the OR'd predicate (brand IN ...,
+    size range) must reach the part scan, and the quantity-range union
+    must reach the lineitem scan."""
+    plan = plan_of(spark, sf_dir, "q19_discounted_revenue")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "In(p_brand" in pushed
+    assert "l_quantity" in pushed  # Catalyst derives the OR'd range union
+
+
+def test_q14_shipdate_window_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q14_promo_revenue")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+
+
+def test_q10_topk_before_dimension_join(spark, sf_dir):
+    """Aggregate-before-join: the top-20 lowers to TakeOrderedAndProject
+    and the returnflag/date filters reach their scans."""
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    pushed = " | ".join(pushed_filters(plan))
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q13_moves_rows_not_orders(spark, sf_dir):
+    """Aggregate-before-join: orders folds to one row per custkey before
+    the customer join — the orders scan reads only the two needed columns
+    and the priority filter is pushed."""
+    plan = plan_of(spark, sf_dir, "q13_customer_distribution")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in pushed
+    m = re.search(r"orders\.parquet.*?ReadSchema: ([^\n]*)", plan, re.S)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "o_custkey",
+        "o_orderpriority",
+    }
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """The scrub is a pure projection: no Exchange anywhere in the plan,
+    no Python (BatchEvalPython / ArrowEvalPython) stages."""
+    plan = plan_of(spark, sf_dir, "pii_scrub")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cross_source_dedups_before_self_join(spark, sf_dir):
+    """The (hash, source) distinct must run BEFORE the self-join: two
+    HashAggregate pairs (partial+final per side) feed the join, keeping a
+    shared prefix at sources^2 pairs, never docs^2."""
+    plan = plan_of(spark, sf_dir, "dedup_cross_source")
+    assert any(
+        j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    # each self-join side carries its own distinct (partial+final
+    # HashAggregate pairs) plus the final pair count: >= 5 aggregates,
+    # and exactly the two per-side scans — never an un-deduped join
+    assert plan.count("HashAggregate") >= 5
+    assert plan.count("documents.parquet") == 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q8_market_share", "q15_top_supplier", "q17_small_quantity", "q22_inactive_balance"],
+)
+def test_single_pass_aggregates_no_python(spark, sf_dir, name):
+    """None of the new relational queries may fall back to a Python row
+    path — everything stays in codegen'd JVM operators."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "EvalPython" not in plan
+    # (pre-execution AQE plans carry no WholeStageCodegen markers; the
+    # absence of Python eval nodes is the invariant that matters)
+    assert "HashAggregate" in plan
