@@ -67,6 +67,7 @@ HEADLINE = [
     "q21_waiting_supplier",
     "pii_scrub",
     "dedup_cross_source",
+    "ann_pq_topk",
 ]
 
 

@@ -1,0 +1,299 @@
+"""Product quantization (PQ) for embedding columns — the memory tier of
+the ANN family (SURVEY §2.12; Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+Where IVF (operators/ann.py) prunes WHICH vectors are scored, PQ shrinks
+WHAT is scored: each d-dim float vector becomes ``m`` uint8-sized codes
+(one per d/m-dim subspace, each quantized against its own ``ks``-entry
+codebook), a 4·d/m-fold compression — 64-dim float32 at m=8 is 256 -> 8
+bytes, which is the difference between an embedding table that fits in
+cluster RAM and one that doesn't at the 100 TB corpus scale.  Search
+scores codes WITHOUT decompressing via ADC (asymmetric distance
+computation): per query, one m x ks lookup table of exact
+query-sub x centroid dots, then every vector's score is m table lookups
+summed — numpy advanced indexing per Arrow batch, no per-pair float
+vector math.
+
+Spark shapes (all reused from the cluster/ann modules):
+- fit: per-subspace Lloyd's over ``F.slice`` projections — mergeable
+  K x dsub partials per round, data never shuffles (cluster.kmeans_fit).
+- encode: broadcast codebooks ride the closure; one vectorized argmin
+  per Arrow batch; the codes table writes once, scans forever.
+- search: per-batch partial top-k (k rows per query per batch crossing
+  the shuffle, never the corpus) + one small global window — the
+  topk_matmul shape with LUT sums in place of BLAS dots.
+
+Approximation contract: scores are exact dots against each vector's
+QUANTIZED reconstruction, so results are deterministic (fixed seeds, no
+RNG) but approximate w.r.t. the raw vectors — registered rows-only, with
+the lossless-corpus exactness anchor in test_pq.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("q_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+_CODES_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ]
+)
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Fit ``m`` per-subspace codebooks of ``ks`` centroids each.
+
+    Returns ``(m, ks, d/m)`` float64.  All m subspace fits run TOGETHER:
+    every Lloyd round is ONE job whose tasks emit m·ks partial
+    (count, sum-vector) rows — the corpus streams once per round, not
+    once per subspace per round (the per-subspace kmeans_fit loop costs
+    m·iters jobs; at m=16 that is 10x the scheduling and scan work for
+    identical centroids).  Data never shuffles; only m·ks·dsub doubles
+    cross per task.  Seeds are the ks lowest-id vectors sliced per
+    subspace: deterministic, rebuildable, no RNG.
+    """
+    d = corpus.select(F.size(emb_col).alias("d")).limit(1).collect()[0]["d"]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    seed_rows = (
+        corpus.select(id_col, F.col(emb_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
+    if len(seed_rows) < ks:
+        raise ValueError(f"corpus has fewer than ks={ks} vectors")
+    seeds = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, ks, dsub)
+
+    data = corpus.select(F.col(emb_col).cast("array<double>").alias("_v")).persist()
+    try:
+        for _ in range(iters):
+            cur = books
+
+            def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc_n = np.zeros((m, ks), dtype=np.int64)
+                acc_s = np.zeros_like(cur)
+                seen = False
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    block = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    for s in range(m):
+                        sub = block[:, s * dsub : (s + 1) * dsub]
+                        d2 = (cur[s] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                            sub @ cur[s].T
+                        )
+                        a = np.argmin(d2, axis=1)
+                        acc_n[s] += np.bincount(a, minlength=ks)
+                        np.add.at(acc_s[s], a, sub)
+                if seen:
+                    yield pd.DataFrame(
+                        {
+                            "sub": np.repeat(np.arange(m), ks).astype("int32"),
+                            "code": np.tile(np.arange(ks), m).astype("int32"),
+                            "n": acc_n.ravel(),
+                            "vsum": list(acc_s.reshape(m * ks, dsub)),
+                        }
+                    )
+
+            rows = data.mapInPandas(
+                partials, "sub int, code int, n long, vsum array<double>"
+            ).collect()
+            tot_n = np.zeros((m, ks), dtype=np.int64)
+            tot_s = np.zeros_like(books)
+            for r in rows:
+                tot_n[r["sub"], r["code"]] += r["n"]
+                tot_s[r["sub"], r["code"]] += np.asarray(r["vsum"])
+            nz = tot_n > 0
+            books = np.where(
+                nz[:, :, None], tot_s / np.maximum(tot_n, 1)[:, :, None], books
+            )
+    finally:
+        data.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its per-subspace nearest-centroid codes.
+
+    Output ``(vec_id, codes array<int>)`` — m small ints per vector (the
+    persisted form uses one byte each; Spark's narrowest array element is
+    int, the parquet encoding dictionary-packs it).  Codebooks ride the
+    closure (m·ks·dsub doubles — kilobytes); one argmin per subspace per
+    Arrow batch; partitioning inherited, no shuffle.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(block), m), dtype=np.int64)
+            for s in range(m):
+                sub = block[:, s * dsub : (s + 1) * dsub]
+                # ||x - c||^2 argmin == (||c||^2 - 2 x.c) argmin: one BLAS
+                # matmul per subspace instead of an (n, ks, dsub) cube
+                d2 = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    sub @ books[s].T
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(encode, _CODES_SCHEMA)
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k over a codes table: per query an ``m x ks`` table of
+    exact query-sub x centroid dots, per vector m lookups summed.
+
+    Partial top-k per Arrow batch (tie-safe on (score desc, id asc)) +
+    one global window over #batches · k · #queries rows — the corpus
+    codes never cross a shuffle.  Self-matches (vec_id == q_id) are
+    excluded, like the rest of the ANN family.
+    """
+    from .ann import _topk_tiesafe
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    # LUT[qi, s, code] = dot(q_sub, centroid): Q x m x ks
+    lut = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, dsub), books
+    )
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qi in range(len(q_ids)):
+                scores = lut[qi][sub_idx[None, :], cmat].sum(axis=1)
+                mask = ids != q_ids[qi]
+                cand_ids, cand = ids[mask], scores[mask]
+                if not len(cand):
+                    continue
+                top = _topk_tiesafe(cand, cand_ids, k)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": cand_ids[top],
+                        "score": cand[top],
+                    }
+                )
+
+    partials = codes.mapInPandas(partial, _PARTIAL_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    ks: int = 256,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist codebooks + codes: the build-once-probe-many layout.
+
+    ``codebooks.parquet`` holds (sub, code, centroid); ``codes/`` holds
+    the quantized corpus.  Rebuilding from the same corpus is
+    bit-reproducible (deterministic seeds, no RNG).
+    """
+    books = pq_fit(corpus, m=m, ks=ks, iters=iters, id_col=id_col, emb_col=emb_col)
+    spark = corpus.sparkSession
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    pq_encode(corpus, books, id_col=id_col, emb_col=emb_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codes")
+
+
+def pq_index_search(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k ADC search against a persisted PQ index."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/codebooks")
+        .orderBy("sub", "code")
+        .collect()
+    )
+    m = 1 + max(r["sub"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = r["centroid"]
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    return pq_search(codes, books, queries, k=k)

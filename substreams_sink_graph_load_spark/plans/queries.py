@@ -3689,6 +3689,37 @@ def dedup_cross_source(spark, sf_dir):
     )
 
 
+@_q("ann_pq_topk")  # approximate (quantized) scores: rows-only check
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN top-k (operators/pq.py; Jégou et al. 2011):
+    the memory tier of the ANN family.  Vectors compress to m=16 uint8
+    codes (16x over float32 at dim 64); search is ADC — per query one
+    m x ks lookup table of exact query-sub x centroid dots, per vector m
+    table lookups summed, no float vector math per pair.
+
+    Scale: the fit streams the corpus once per Lloyd round (ONE job
+    emitting m·ks mergeable partials — never a job per subspace), encode
+    and search are broadcast-closure mapInPandas over Arrow batches, and
+    only #batches · k · #queries partial-top-k rows ever cross a
+    shuffle.  Deterministic end-to-end (lowest-id seeds, tie-safe
+    top-k), but scores are dots against quantized reconstructions —
+    approximate by contract, hence rows-only; test_pq anchors exactness
+    on a losslessly-quantizable corpus and a recall floor on this table.
+    """
+    from ..operators.pq import pq_encode, pq_fit, pq_search
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_fit(e, m=16, ks=16, iters=2)
+    codes = pq_encode(e, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.where(F.col("vec_id") % 100 == 0).collect()
+    ]
+    return pq_search(codes, books, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------

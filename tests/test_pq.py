@@ -1,0 +1,126 @@
+"""Product quantization: exactness on a losslessly-quantizable corpus,
+reproducible builds, compression shape, and persisted-index parity."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from substreams_sink_graph_load_spark.operators.pq import (
+    build_pq_index,
+    pq_encode,
+    pq_fit,
+    pq_index_search,
+    pq_search,
+)
+
+M, KS, D = 4, 4, 8  # 4 subspaces of 2 dims, 4 codes each
+
+
+@pytest.fixture(scope="module")
+def lossless_corpus(spark):
+    """Vectors whose every subspace value IS one of ks cluster centers:
+    k-means recovers the centers exactly, quantization is lossless, so
+    PQ scores == exact dots and PQ top-k == brute-force top-k."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(M, KS, D // M)).round(1)
+    rows = []
+    for vid in range(200):
+        # the first KS vectors enumerate every center per subspace, so the
+        # deterministic lowest-id seeds start AT the true centers and
+        # Lloyd's keeps them there
+        picks = (
+            [vid] * M
+            if vid < KS
+            else [int(c) for c in rng.integers(0, KS, size=M)]
+        )
+        vec = np.concatenate([centers[s, picks[s]] for s in range(M)])
+        rows.append((vid, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def exact_topk(df, queries, k):
+    rows = df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows])
+    out = set()
+    for q_id, q in queries:
+        dots = mat @ np.array(q)
+        mask = ids != q_id
+        order = np.lexsort((ids[mask], -dots[mask]))[:k]
+        for rank, i in enumerate(order, 1):
+            out.add((q_id, int(ids[mask][i]), rank))
+    return out
+
+
+def test_pq_exact_on_lossless_corpus(spark, lossless_corpus):
+    books = pq_fit(lossless_corpus, m=M, ks=KS, iters=8)
+    codes = pq_encode(lossless_corpus, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in lossless_corpus.where(F.col("vec_id") % 50 == 0).collect()
+    ]
+    got = {
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in pq_search(codes, books, queries, k=5).collect()
+    }
+    want = exact_topk(lossless_corpus, queries, k=5)
+    assert got == want
+
+
+def test_pq_codes_shape_and_reproducibility(spark, lossless_corpus):
+    books1 = pq_fit(lossless_corpus, m=M, ks=KS, iters=4)
+    books2 = pq_fit(lossless_corpus, m=M, ks=KS, iters=4)
+    assert np.array_equal(books1, books2)  # deterministic seeds, no RNG
+    codes = pq_encode(lossless_corpus, books1).collect()
+    assert all(len(r["codes"]) == M for r in codes)  # m codes per vector
+    assert all(0 <= c < KS for r in codes for c in r["codes"])
+
+
+def test_pq_dim_not_divisible_raises(spark, lossless_corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(lossless_corpus, m=3, ks=KS, iters=1)
+
+
+def test_pq_index_roundtrip(spark, lossless_corpus, tmp_path):
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(lossless_corpus, idx, m=M, ks=KS, iters=8)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in lossless_corpus.where(F.col("vec_id") % 50 == 0).collect()
+    ]
+    books = pq_fit(lossless_corpus, m=M, ks=KS, iters=8)
+    codes = pq_encode(lossless_corpus, books)
+    direct = {
+        tuple(r) for r in pq_search(codes, books, queries, k=5).collect()
+    }
+    via_index = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, queries, k=5).collect()
+    }
+    assert via_index == direct
+
+
+def test_pq_recall_on_real_embeddings(spark, sf_dir):
+    """On the driver embeddings table (label-clustered, not losslessly
+    quantizable) PQ@16x16 must place the exact top-1 neighbor inside its
+    top-5 for most queries — a deterministic recall floor, not a flaky
+    sample.  (Parameter note, measured: at fixed bit budget more
+    subspaces beats more codes here — m=8/ks=64 recalls 0.4, m=16/ks=16
+    recalls 1.0 — because the label clusters separate per-coordinate.)"""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_fit(e, m=16, ks=16, iters=4)
+    codes = pq_encode(e, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.where(F.col("vec_id") % 100 == 0).collect()
+    ]
+    got = pq_search(codes, books, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    exact = exact_topk(e, queries, k=1)
+    hits = sum(1 for (q, n, _) in exact if n in by_q.get(q, set()))
+    assert hits / len(exact) >= 0.8
