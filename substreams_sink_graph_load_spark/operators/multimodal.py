@@ -104,6 +104,111 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("win", BinaryType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame, target_bytes: int = 64, fake: bool = True
+) -> DataFrame:
+    """Image-resize plumbing: decode -> resample to a fixed-size
+    representation -> re-emit as binary.  With real codecs this is
+    decode/PIL-thumbnail/encode; the deterministic stand-in resamples the
+    decoded BYTE stream to ``target_bytes`` by even-stride selection, so
+    output size, dtype, and batch shape match what a real resize emits.
+
+    Scale: mapInPandas over Arrow batches, 1:1 rows, partitioning
+    inherited — no shuffle; binary goes Python-side ONCE per batch (the
+    decode boundary is the documented Python-unavoidable step).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, sizes = [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = decode_payload(bytes(payload), mime, fake=fake)
+                if len(raw) <= target_bytes:
+                    small = raw
+                else:
+                    # even-stride resample: index i -> floor(i*len/target)
+                    small = bytes(
+                        raw[(i * len(raw)) // target_bytes]
+                        for i in range(target_bytes)
+                    )
+                ids.append(int(doc_id))
+                outs.append(small)
+                sizes.append(len(small))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": outs, "n_bytes": sizes}
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def audio_windows(
+    df: DataFrame,
+    window_bytes: int = 32,
+    hop_bytes: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio-style overlapping windows over the decoded byte stream (the
+    STFT-frame shape: window w, hop h -> windows overlap by w-h), each
+    with an integer energy (sum of byte values) — the feature a real
+    pipeline thresholds for silence trimming.
+
+    Output fans out 1->N like sample_frames; a payload of n bytes emits
+    ceil(max(n - w, 0)/h) + 1 windows (the trailing partial window is
+    kept, as torchaudio/librosa do with their padding modes).
+    """
+    if hop_bytes <= 0 or window_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, wins, energies = [], [], [], []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = decode_payload(bytes(payload), mime, fake=fake)
+                starts = list(
+                    range(0, max(len(raw) - window_bytes, 0) + 1, hop_bytes)
+                ) or [0]
+                if starts[-1] + window_bytes < len(raw):
+                    starts.append(starts[-1] + hop_bytes)  # trailing partial
+                for wi, start in enumerate(starts):
+                    chunk = raw[start : start + window_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(wi)
+                    wins.append(chunk)
+                    energies.append(int(sum(chunk)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": idxs,
+                    "win": wins,
+                    "energy": energies,
+                }
+            )
+
+    return df.mapInPandas(batches, WINDOW_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, frame_size: int = 64, every_n: int = 4, fake: bool = True
 ) -> DataFrame:
