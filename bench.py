@@ -68,6 +68,8 @@ HEADLINE = [
     "pii_scrub",
     "dedup_cross_source",
     "ann_pq_topk",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 ]
 
 

@@ -3574,6 +3574,393 @@ def q22_inactive_balance(spark, sf_dir):
     )
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    fp AS (SELECT p_partkey, p_type FROM part
+           WHERE p_size = 7 AND p_type = 'STANDARD'),
+    eu AS (SELECT s_suppkey, s_name, n_name,
+                  cast(round(s_acctbal*100) AS bigint) AS cost_cents
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+    cand AS (SELECT p_partkey, s_name, n_name, cost_cents
+             FROM fp JOIN rel ON l_partkey = p_partkey
+                     JOIN eu  ON s_suppkey = l_suppkey),
+    mn AS (SELECT p_partkey AS m_partkey, min(cost_cents) AS min_cents
+           FROM cand GROUP BY p_partkey)
+    SELECT p_partkey, s_name, n_name, cost_cents/100.0 AS s_acctbal
+    FROM cand JOIN mn ON p_partkey = m_partkey AND cost_cents = min_cents
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the region-local
+    supplier(s) achieving the minimum cost — the correlated-min-subquery
+    plan lowered to aggregate + join-back on (part, min).  Adapted: the
+    part<->supplier relation derives from DISTINCT lineitem pairs (no
+    partsupp table) and s_acctbal stands in for ps_supplycost; EUROPE /
+    size 7 / STANDARD mirror the reference's region/size/type predicate.
+    All min-ties survive, exactly like the reference semantics, so no
+    LIMIT tiebreak is needed.
+
+    Scale: the part filter prunes FIRST (pushed to the parquet scan) and
+    semi-shrinks the distinct pair relation before any supplier attaches;
+    the relation dedup is one partial-agg distinct on the composite key.
+    The min is a partkey-keyed aggregation joined back on the same key —
+    AQE reuses the co-partitioning, and no window appears, so a hot part
+    costs a mergeable partial.  region x nation is the only compile-time
+    broadcast; supplier scales with SF so its join is AQE-gated.  Cost
+    compares are exact cents (bigint), never float.
+    """
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fp = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 7) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nr = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents(F.col("s_acctbal")).alias("cost_cents"),
+        )
+    )
+    cand = (
+        fp.join(rel, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "n_name", "cost_cents")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return cand.join(
+        mn,
+        (F.col("p_partkey") == F.col("m_partkey"))
+        & (F.col("cost_cents") == F.col("min_cents")),
+    ).select(
+        "p_partkey",
+        "s_name",
+        "n_name",
+        (F.col("cost_cents") / 100.0).alias("s_acctbal"),
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+    WITH amt AS (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             cast(round(l_extendedprice*100) AS bigint)
+               * (100 - cast(round(l_discount*100) AS bigint))
+             - cast(round(l_quantity) AS bigint)
+               * cast(round(p_retailprice*100) AS bigint) * 10 AS amount
+      FROM lineitem
+        JOIN part     ON p_partkey  = l_partkey
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%')
+    SELECT nation, cast(o_year AS bigint) AS o_year,
+           cast(sum(amount) AS bigint) AS profit_e4
+    FROM amt GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation x order year over parts
+    matching a name pattern — the widest join fan in the suite (lineitem
+    + part + supplier + nation + orders).  Adapted: profit = revenue -
+    quantity x 0.1 x p_retailprice (no ps_supplycost; the retail-derived
+    pseudo-cost keeps the amount expression's fact x dim arithmetic), and
+    ``p_name LIKE '%red%'`` keeps the non-anchored LIKE that defeats
+    index pruning in the reference.
+
+    Scale: everything runs in e4 fixed-point (cents x percent) so the
+    sum is exact and order-independent; quantities are whole numbers so
+    ``round()`` is lossless.  The name filter prunes part before its join
+    (a contains-LIKE can't push to parquet stats, but column pruning
+    keeps the scan at 3 columns); lineitem co-shuffles once on orderkey
+    and once on partkey/suppkey per AQE's choice; supplier x nation
+    pre-joins into a narrow (suppkey, nation) side.  The final agg keys
+    on ~25 nations x 7 years — collapsed map-side.
+    """
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("retail_cents")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    amt = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            "o_year",
+            (
+                _cents(F.col("l_extendedprice"))
+                * (100 - _cents(F.col("l_discount")))
+                - F.round(F.col("l_quantity")).cast("long")
+                * F.col("retail_cents")
+                * 10
+            ).alias("amount"),
+        )
+    )
+    return amt.groupBy("nation", "o_year").agg(
+        F.sum("amount").cast("long").alias("profit_e4")
+    )
+
+
+@_q(
+    "q11_important_value",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    v AS (SELECT l_partkey AS partkey,
+                 cast(sum(cast(round(s_acctbal*100) AS bigint)) AS bigint) AS val_cents
+          FROM rel JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey),
+    tot AS (SELECT cast(sum(val_cents) AS bigint) AS t,
+                   cast(count(*) AS bigint) AS c FROM v)
+    SELECT partkey, val_cents
+    FROM v, tot WHERE val_cents * c * 4 > 3 * t
+    """,
+)
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape: per-part "stock value" restricted to one
+    nation's suppliers, keeping parts whose value exceeds a fixed
+    fraction of the global total — the group-agg + scalar-total-subquery
+    + HAVING plan.  Adapted: value(part) = sum of s_acctbal over its
+    NATION_3 suppliers via the DISTINCT lineitem relation (no partsupp /
+    availqty), and the threshold is 0.75x the MEAN per-part value
+    rather than the reference's fixed fraction of the total — a fixed
+    fraction selects ever fewer parts as the catalog grows (the
+    reference compensates with its 0.0001/SF knob); comparing to the
+    mean keeps the selected fraction SF-stable with no knob.
+
+    Scale: the nation filter shrinks supplier before the relation join;
+    the per-part value is one partkey-keyed partial agg; the total is a
+    one-row aggregate broadcast-cross-joined back (never a collect).
+    The HAVING compare is exact bigint x 500 vs bigint — no float
+    threshold anywhere, so engines can't disagree on boundary rows.
+    """
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", _cents(F.col("s_acctbal")).alias("bal_cents"))
+    )
+    v = (
+        rel.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("bal_cents").cast("long").alias("val_cents"))
+    )
+    tot = v.agg(
+        F.sum("val_cents").cast("long").alias("t"),
+        F.count("*").cast("long").alias("c"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("val_cents") * F.col("c") * 4 > 3 * F.col("t"))
+        .select("partkey", "val_cents")
+    )
+
+
+@_q(
+    "q12_priority_shipmode",
+    """
+    SELECT l_linestatus,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: lines shipped in a year, bucketed by a line
+    attribute, counting high- vs low-priority orders per bucket with a
+    conditional two-sum aggregate.  Adapted: l_linestatus stands in for
+    l_shipmode and the shipdate year-window for the commit/receipt date
+    sandwich (neither column exists in the driver schema) — the
+    fact-filter + join + CASE-split aggregation plan is intact.
+
+    Scale: the date window pushes to the lineitem scan (min/max row-group
+    stats prune whole files); the join co-shuffles the filtered fact with
+    orders on orderkey; both CASE sums fold map-side into 2 groups.
+    Nothing here exceeds one shuffle beyond the join.
+    """
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_relation",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (SELECT l_partkey, l_suppkey FROM rel
+           WHERE l_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand, p_type, cast(p_size AS bigint) AS p_size,
+           cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+    FROM ok JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    over the part<->supplier relation, excluding some part classes and a
+    NOT-IN "complaint supplier" subquery.  Adapted: the relation derives
+    from DISTINCT lineitem pairs (no partsupp) and negative account
+    balance stands in for the LIKE '%Complaints%' comment filter.
+
+    Scale: the complaint exclusion is a left-anti join against a tiny
+    filtered supplier side (broadcast-able at any SF — it's a fraction of
+    suppliers); the part predicate prunes before its join (size IN-list
+    and brand/type inequalities all reach the scan); count(DISTINCT)
+    expands to the standard two-phase partial-distinct aggregate keyed on
+    (brand, type, size, suppkey) then (brand, type, size) — bounded by
+    25 x 6 x 8 groups, no windows, no skew hazard.
+    """
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ok = rel.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", F.col("p_size").cast("long"))
+    return (
+        ok.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_part_promotion",
+    """
+    WITH q AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING cast(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                           THEN cast(round(l_quantity) AS bigint) ELSE 0 END) AS bigint) * 2
+             > cast(sum(cast(round(l_quantity) AS bigint)) AS bigint))
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (SELECT l_suppkey FROM q)
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who moved more than half
+    their volume of name-filtered parts inside the target year — the
+    nested-aggregate + IN-subquery (semi-join) plan.  Adapted: without
+    ps_availqty, "availability > 0.5 x year quantity" becomes "1997
+    quantity > 0.5 x all-time quantity" per (supplier, part), keeping
+    both the inner grouped HAVING and the outer semi-join; 'small%' /
+    NATION_4 mirror the reference's 'forest%' / CANADA.
+
+    Scale: the part-name prefix filter prunes before the fact join; the
+    inner agg folds lineitem to one row per (suppkey, partkey) with both
+    sums computed in ONE pass (a CASE-split, never two scans); the
+    qualifying suppkeys collapse via the semi-join's build side.  The
+    outer side is nation-filtered supplier — a fraction of an already
+    SF-linear table.  All threshold math is exact bigint (x2 vs sum),
+    so boundary pairs can't flip between engines.
+    """
+    fp = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    q = (
+        l.join(fp, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, qty).otherwise(0)).cast("long").alias("q97"),
+            F.sum(qty).cast("long").alias("qall"),
+        )
+        .where(F.col("q97") * 2 > F.col("qall"))
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4").select(
+        "n_nationkey", "n_name"
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    return s.join(
+        q, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "n_name")
+
+
 # ---------------------------------------------------------------------------
 # Round 5: pipeline additions — PII scrubbing and cross-source contamination
 # ---------------------------------------------------------------------------
@@ -3724,7 +4111,7 @@ def ann_pq_topk(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 95 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 102 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -3835,7 +4222,10 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     1.359, "q8_market_share": 1.565, "events_funnel": 1.675,
     "cluster_kmeans_fit": 1.774, "dedup_embedding": 2.275, "ann_ivf_topk":
     2.545, "dedup_clusters": 3.084, "dedup_simhash": 3.148,
-    "quality_repetition": 5.177
+    "quality_repetition": 5.177, "q12_priority_shipmode": 0.736,
+    "q20_part_promotion": 1.042, "q16_supplier_relation": 1.23,
+    "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
+    "q11_important_value": 2.592
 }
 
 

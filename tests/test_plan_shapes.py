@@ -99,7 +99,18 @@ def test_cross_source_dedups_before_self_join(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q8_market_share", "q15_top_supplier", "q17_small_quantity", "q22_inactive_balance"],
+    [
+        "q8_market_share",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q22_inactive_balance",
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_value",
+        "q12_priority_shipmode",
+        "q16_supplier_relation",
+        "q20_part_promotion",
+    ],
 )
 def test_single_pass_aggregates_no_python(spark, sf_dir, name):
     """None of the new relational queries may fall back to a Python row
@@ -109,3 +120,72 @@ def test_single_pass_aggregates_no_python(spark, sf_dir, name):
     # (pre-execution AQE plans carry no WholeStageCodegen markers; the
     # absence of Python eval nodes is the invariant that matters)
     assert "HashAggregate" in plan
+
+
+def test_q12_date_window_pushed(spark, sf_dir):
+    """The shipdate year-window reaches the lineitem scan (row-group
+    stats prune whole files) and the scan reads only the 2 used cols."""
+    plan = plan_of(spark, sf_dir, "q12_priority_shipmode")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    m = re.search(r"lineitem\.parquet.*?ReadSchema: ([^\n]*)", plan, re.S)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "l_orderkey",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_q9_part_filter_before_join(spark, sf_dir):
+    """The contains-LIKE lands on the part scan (StringContains pushed),
+    and the part side reads only the 2 needed columns."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "StringContains(p_name,red)" in pushed
+    m = re.search(r"part\.parquet.*?ReadSchema: ([^\n]*)", plan, re.S)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+    }
+
+
+def test_q20_prefix_like_pushed_and_semi_join(spark, sf_dir):
+    """'small%' pushes as StringStartsWith (range-prunable, unlike a
+    contains) and the qualifying-supplier set attaches as a SEMI join —
+    never an inner join that could duplicate suppliers."""
+    plan = plan_of(spark, sf_dir, "q20_part_promotion")
+    pushed = " | ".join(pushed_filters(plan))
+    assert "StringStartsWith(p_name,small)" in pushed
+    assert "LeftSemi" in plan
+
+
+def test_q16_complaint_exclusion_is_anti_join(spark, sf_dir):
+    """The NOT-IN subquery lowers to a left-anti join against the
+    filtered supplier side, and the distinct-supplier count expands to
+    the two-phase aggregate — no window anywhere."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_relation")
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    pushed = " | ".join(pushed_filters(plan))
+    assert "In(p_size" in pushed
+
+
+def test_q2_min_is_aggregate_not_window(spark, sf_dir):
+    """The correlated min lowers to aggregate + join-back — a Window
+    over partkey would buffer a hot part's whole candidate set."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Window" not in plan
+    pushed = " | ".join(pushed_filters(plan))
+    assert "EqualTo(p_size,7)" in pushed
+    assert "EqualTo(p_type,STANDARD)" in pushed
+
+
+def test_q11_total_is_broadcast_not_collect(spark, sf_dir):
+    """The scalar total/count joins back as a broadcast one-row side
+    (BroadcastNestedLoopJoin), never a driver collect, and the per-part
+    value fold carries no window."""
+    plan = plan_of(spark, sf_dir, "q11_important_value")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
