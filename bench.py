@@ -70,6 +70,8 @@ HEADLINE = [
     "ann_pq_topk",
     "q2_min_cost_supplier",
     "q9_product_profit",
+    "dedup_paragraphs",
+    "mix_temperature",
 ]
 
 

@@ -4107,11 +4107,210 @@ def ann_pq_topk(spark, sf_dir):
     return pq_search(codes, books, queries, k=5)
 
 
+@_q(
+    "mix_temperature",
+    """
+    WITH c AS (SELECT lang, cast(count(*) AS bigint) AS n_l
+               FROM documents GROUP BY lang),
+    m AS (SELECT min(n_l) AS n_min FROM c),
+    thr AS (SELECT lang, n_l,
+                   cast(floor(sqrt(n_min * 1.0 / n_l) * 1048576) AS bigint) AS thr
+            FROM c, m),
+    d AS (SELECT lang, n_chars,
+                 CAST(('0x' || substr(md5('mix' || cast(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1048576 AS b
+          FROM documents)
+    SELECT d.lang,
+           cast(count(*) AS bigint) AS n_in,
+           cast(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           cast(sum(CASE WHEN b < thr THEN n_chars ELSE 0 END) AS bigint) AS chars_kept
+    FROM d JOIN thr ON d.lang = thr.lang
+    GROUP BY d.lang
+    """,
+)
+def mix_temperature(spark, sf_dir):
+    """Temperature resampling of the language mixture (T=2, the
+    multilingual-pretraining standard): keep-rate per language is
+    sqrt(n_min/n_l), so the head language is downsampled toward the
+    flattened n^(1/T) mixture while the rarest keeps everything.  The
+    keep decision is a salted md5 bucket against a per-language
+    threshold — reproducible across engines, runs, and data order, and
+    appending docs never flips old decisions (unlike rand()-seeded
+    sampling).
+
+    Scale: language counts are a 5-row aggregate; the threshold
+    ``floor(sqrt(n_min/n_l) * 2^20)`` is computed ONCE on that tiny side
+    (IEEE-754 sqrt/floor on exact int inputs — engine-identical) and
+    broadcast; each doc then does one integer compare in the scan stage.
+    No per-row float math, no window, one final 5-group aggregate.
+    """
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    m = c.agg(F.min("n_l").alias("n_min"))
+    thr = c.crossJoin(F.broadcast(m)).select(
+        F.col("lang").alias("t_lang"),
+        F.floor(
+            F.sqrt(F.col("n_min") * F.lit(1.0) / F.col("n_l")) * 1048576
+        ).cast("long").alias("thr"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1048576
+    )
+    kept = F.col("b") < F.col("thr")
+    return (
+        d.select("lang", "n_chars", b.alias("b"))
+        .join(F.broadcast(thr), F.col("lang") == F.col("t_lang"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_in"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+    )
+
+
+@_q(
+    "dedup_paragraphs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws,
+                 unnest(range(cast(ceil(len(ws) / 25.0) AS bigint))) AS pos
+          FROM t),
+    ch AS (SELECT doc_id, pos,
+                  array_to_string(list_slice(ws, pos*25 + 1, pos*25 + 25), ' ') AS chunk,
+                  doc_id * 1024 + pos AS wkey
+           FROM g),
+    w AS (SELECT md5(chunk) AS h, min(wkey) AS keep_key
+          FROM ch GROUP BY md5(chunk))
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_chunks,
+           cast(sum(CASE WHEN wkey = keep_key THEN 0 ELSE 1 END) AS bigint) AS n_dropped,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                          FILTER (WHERE wkey = keep_key), '')) AS cleaned_md5
+    FROM ch JOIN w ON md5(chunk) = w.h
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level (fixed 25-word chunk) first-seen deduplication
+    with document reassembly: every chunk of every doc hashes, the
+    globally-first occurrence (lowest (doc_id, pos)) survives, repeats
+    are cut, and each doc re-joins its surviving chunks in order.  The
+    sub-document complement of dedup_exact — what pipelines run to strip
+    shared boilerplate blocks while keeping the unique remainder (the
+    corpus has no newlines, so fixed word windows stand in for
+    paragraph breaks; the operator is break-rule-agnostic).
+
+    Scale: the winner per chunk-hash is a groupBy(hash).min(key)
+    aggregation — mergeable partials, so a boilerplate chunk present in
+    half the corpus collapses map-side and never buffers a WindowExec
+    group (the hot-gram lesson from dedup_substring_stats).  The
+    join-back keys on the same 16-byte hash (AQE splits residual skew),
+    and the reassembly is one doc-keyed aggregation: sort_array over a
+    (pos, chunk) struct, never a window.  Chunking itself is JVM slice/
+    array_join in the scan stage — no Python, no shuffle.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(25.0)).cast("long")
+    g = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("pos"),
+    )
+    ch = g.select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(F.col("ws"), F.col("pos").cast("int") * 25 + 1, 25), " "
+        ).alias("chunk"),
+        (F.col("doc_id") * 1024 + F.col("pos")).alias("wkey"),
+    ).withColumn("h", F.md5("chunk"))
+    w = ch.groupBy("h").agg(F.min("wkey").alias("keep_key"))
+    j = ch.join(w, "h")
+    kept = F.col("wkey") == F.col("keep_key")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+@_q(
+    "shard_manifest",
+    """
+    WITH d AS (SELECT n_chars,
+                      CAST(('0x' || substr(md5('shard' || cast(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h60
+               FROM documents)
+    SELECT h60 % 64 AS shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars,
+           bit_xor(h60) AS content_digest
+    FROM d GROUP BY h60 % 64
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Deterministic 64-way shard manifest for a training-data export:
+    each doc routes to md5-hash-mod-64 and every shard reports its row
+    count, character volume, and an order-insensitive xor content
+    digest.  The manifest is what a downstream loader checks before
+    trusting an export — and because assignment is content-hashed, a
+    re-export after appending docs only ever ADDS to shards, never
+    reshuffles existing ones.
+
+    Scale: hash + mod evaluate in the scan stage; the aggregate keys on
+    64 shards with map-side partials (count/sum/xor all mergeable), so
+    the shuffle carries 64 rows per task regardless of corpus size.
+    The xor digest is associative/commutative — partition order can
+    never change it.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("n_chars", h60.alias("h60"))
+        .groupBy((F.col("h60") % 64).alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.bit_xor("h60").alias("content_digest"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 102 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 105 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -4225,7 +4424,8 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "quality_repetition": 5.177, "q12_priority_shipmode": 0.736,
     "q20_part_promotion": 1.042, "q16_supplier_relation": 1.23,
     "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
-    "q11_important_value": 2.592
+    "q11_important_value": 2.592, "shard_manifest": 0.499,
+    "dedup_paragraphs": 1.72, "mix_temperature": 1.859
 }
 
 

@@ -182,6 +182,38 @@ def test_q2_min_is_aggregate_not_window(spark, sf_dir):
     assert "EqualTo(p_type,STANDARD)" in pushed
 
 
+def test_dedup_paragraphs_winner_is_aggregate_not_window(spark, sf_dir):
+    """The first-seen winner per chunk-hash must be a groupBy.min
+    aggregation (mergeable partials collapse hot boilerplate chunks
+    map-side) — never a Window over the hash, which would buffer a hot
+    chunk's every occurrence in one task.  No Python anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_paragraphs")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    # winner agg + doc reassembly agg (partial+final pairs) >= 3
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 3
+
+
+def test_mix_temperature_threshold_is_broadcast(spark, sf_dir):
+    """The per-language threshold is a tiny aggregate attached by
+    broadcast; the per-doc side does one integer compare in the scan
+    stage — no window, no Python."""
+    plan = plan_of(spark, sf_dir, "mix_temperature")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_shard_manifest_single_aggregate(spark, sf_dir):
+    """Hash + mod evaluate in the scan stage and the only shuffle is the
+    64-group aggregate with map-side partials."""
+    plan = plan_of(spark, sf_dir, "shard_manifest")
+    # one Exchange node (formatted output names each node twice: once in
+    # the tree, once in the detail section — count detail headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "EvalPython" not in plan
+
+
 def test_q11_total_is_broadcast_not_collect(spark, sf_dir):
     """The scalar total/count joins back as a broadcast one-row side
     (BroadcastNestedLoopJoin), never a driver collect, and the per-part
