@@ -103,6 +103,12 @@ SF1_SUBSET = [
     # self-join
     "q21_waiting_supplier",
     "dedup_cross_source",
+    # round-5 late additions: the distinct part<->supplier relation
+    # (60M-pair dedup at sf1), the 5-table join fan, and the chunk-hash
+    # dedup with document reassembly
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "dedup_paragraphs",
 ]
 
 

@@ -4306,11 +4306,81 @@ def shard_manifest(spark, sf_dir):
     )
 
 
+@_q(
+    "pack_sequences",
+    """
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+                      CAST(('0x' || substr(md5('shard' || cast(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h60
+               FROM documents),
+    c AS (SELECT doc_id, tok, h60 % 64 AS shard,
+                 sum(tok) OVER (PARTITION BY h60 % 64
+                                ORDER BY h60, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(tok) AS bigint) AS total_tokens,
+           cast((max(cum) + 511) // 512 AS bigint) AS n_windows,
+           cast(sum(CASE WHEN (cum - tok) // 512 < (cum - 1) // 512
+                         THEN 1 ELSE 0 END) AS bigint) AS n_split_docs
+    FROM c GROUP BY shard
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest: docs concatenate in deterministic hash
+    order within their shard and cut into fixed 512-token context
+    windows — the last step before a trainer reads the corpus.  Per
+    shard: docs, tokens, how many windows the shard packs into, and how
+    many docs straddle a window boundary (the loss-masking cost of
+    packing).  Hash-ordered packing is reproducible across engines,
+    runs, and partitionings, unlike any order-of-arrival packing.
+
+    Scale: the running total is a window over the SHARD key — per-group
+    state by design, because packing is inherently sequential within an
+    output stream.  The shard count (64 here) is the explicit
+    parallelism knob: real exports size it so a shard is one output file
+    (~256 MB), which bounds every window group to file size regardless
+    of corpus scale — the documented difference from a hot-KEY window,
+    where one key's group grows with the data.  Everything else is scan-
+    stage hash math and a 64-group aggregate.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        h60.alias("h60"),
+    ).withColumn("shard", F.col("h60") % 64)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h60", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = base.withColumn("cum", F.sum("tok").over(w))
+    straddles = (
+        F.floor((F.col("cum") - F.col("tok")) / 512)
+        < F.floor((F.col("cum") - 1) / 512)
+    )
+    return c.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.floor((F.max("cum") + 511) / 512).cast("long").alias("n_windows"),
+        F.sum(F.when(straddles, 1).otherwise(0)).cast("long").alias("n_split_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 105 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 106 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any

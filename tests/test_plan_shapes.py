@@ -214,6 +214,18 @@ def test_shard_manifest_single_aggregate(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_pack_sequences_windows_on_shard_only(spark, sf_dir):
+    """The packing cumsum is the ONE window, partitioned by the shard
+    routing key (explicit parallelism knob, file-sized groups) — never
+    by a data-scaled key; one final 64-group aggregate; no Python."""
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "EvalPython" not in plan
+    # the window's partition expression is the shard hash-mod, not doc_id
+    m = re.search(r"Arguments: \[sum\(tok[^\]]*windowspecdefinition\(shard", plan)
+    assert m is not None
+
+
 def test_q11_total_is_broadcast_not_collect(spark, sf_dir):
     """The scalar total/count joins back as a broadcast one-row side
     (BroadcastNestedLoopJoin), never a driver collect, and the per-part
