@@ -4495,7 +4495,8 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "q20_part_promotion": 1.042, "q16_supplier_relation": 1.23,
     "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
     "q11_important_value": 2.592, "shard_manifest": 0.499,
-    "dedup_paragraphs": 1.72, "mix_temperature": 1.859
+    "dedup_paragraphs": 1.72, "mix_temperature": 1.859,
+    "pack_sequences": 1.025
 }
 
 
