@@ -244,7 +244,7 @@ def ngram_jaccard_pairs(
     ex = exploded_shingles(df, id_col, text_col, k, carry_cols=bucket_cols)
     g = ex.groupBy(id_col, *bucket_cols).agg(
         F.collect_set("gram").alias("grams")
-    )
+    ).withColumn("n_grams", F.size("grams"))
     if length_band:
         g = g.withColumn(
             "_band", F.length(F.size("grams").cast("string")).cast("long")
@@ -286,7 +286,10 @@ def ngram_jaccard_pairs(
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    # sets: |A u B| = |A| + |B| - |A n B| — one array pass per pair
+    # instead of two (array_union re-walks both arrays; measured ~2x on
+    # the pair stage at sf0.1)
+    union = F.col("a.n_grams") + F.col("b.n_grams") - inter
     jac = F.floor(1000000.0 * inter / union).cast("long")
     return (
         a.join(b, cond)
