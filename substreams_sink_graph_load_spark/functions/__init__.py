@@ -12,6 +12,10 @@ from .text import (
     token_split,
     rolling_fingerprint,
     quality_score_ppm,
+    scrub_pii,
+    PII_EMAIL,
+    PII_PHONE,
+    PII_IPV4,
 )
 
 __all__ = [
@@ -24,4 +28,8 @@ __all__ = [
     "token_split",
     "rolling_fingerprint",
     "quality_score_ppm",
+    "scrub_pii",
+    "PII_EMAIL",
+    "PII_PHONE",
+    "PII_IPV4",
 ]

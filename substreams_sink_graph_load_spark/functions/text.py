@@ -129,3 +129,26 @@ def exploded_shingles(
     return g.select(
         F.col(id_col), *[F.col(c) for c in carry_cols], F.col("gram")
     )
+
+
+# PII patterns shared by the pii_scrub query and the curation pipeline.
+# RE2-safe subset (no backrefs/lookaround) so Spark's Java regex and any
+# RE2-based oracle engine agree byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholders — three JVM ``regexp_replace`` calls in one codegen
+    stage, no shuffle, no Python."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )

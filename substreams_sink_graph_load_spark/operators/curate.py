@@ -1,0 +1,160 @@
+"""End-to-end training-corpus curation pipeline (SURVEY §2.12 capstone).
+
+The composition a pretraining data team actually runs, as ONE lazy
+DataFrame DAG: PII scrub → quality gate → exact dedup → language-mixture
+temperature resampling → deterministic sharding → materialized shards +
+manifest.  Each stage is the corresponding standalone registry operator
+(pii_scrub / quality_gopher_rules / dedup_exact / mix_temperature /
+shard_manifest) applied in sequence; this module owns the ORDER and the
+hand-offs (dedup runs on the scrubbed text; mixture thresholds are
+computed on the post-gate, post-dedup language counts, so upstream
+filtering can never skew the target mixture).
+
+Everything is built-ins — the whole pipeline is one Catalyst plan with
+no Python in any row path, so a 100 TB run is: one scan (scrub + gate +
+hash in the codegen stage), one 16-byte-key dedup shuffle, a 5-row
+broadcast for the mixture thresholds, and one partitioned write.
+
+Determinism: every decision keys on content hashes (md5) — reruns,
+repartitionings, and input reordering produce byte-identical shards and
+manifests, and appending new docs never flips an old doc's gate, dedup
+winner (first-seen is lowest doc_id, not arrival order), mixture draw,
+or shard.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+from ..functions.text import scrub_pii
+
+# 2^20 buckets for the mixture draw: thresholds resolve to ~1e-6 rate
+# granularity, and bucket values stay far below int64 limits.
+MIX_BUCKETS = 1 << 20
+
+
+def curate(
+    df: DataFrame,
+    *,
+    min_words: int = 20,
+    max_words: int = 2000,
+    min_distinct_ppm: int = 300_000,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Curated corpus: one row per surviving doc with its shard.
+
+    Input needs columns ``doc_id`` (unique int), ``lang``, ``source``,
+    ``text``.  Output: ``doc_id, lang, source, text`` (scrubbed),
+    ``n_words, shard``.
+
+    Stages (order matters and is part of the contract):
+
+    1. **Scrub** — emails/phones/IPv4 → typed placeholders
+       (:func:`..functions.text.scrub_pii`), so every later signal (word
+       counts, hashes) sees the text a trainer would.
+    2. **Quality gate** — Gopher-style bounds on the scrubbed text:
+       word count in ``[min_words, max_words]`` and distinct-word share
+       ≥ ``min_distinct_ppm`` (exact integer ppm).
+    3. **Exact dedup** — first-seen by content: winner per
+       ``md5(scrubbed)`` is the LOWEST doc_id (a groupBy.min aggregation,
+       never a window — a viral duplicate collapses map-side).
+    4. **Mixture resample** — T=2 temperature over the post-dedup
+       language counts: per-lang threshold ``floor(sqrt(n_min/n_l) *
+       2^20)`` from a tiny broadcast aggregate; each doc keeps iff its
+       salted md5 bucket falls below its language's threshold.
+    5. **Shard** — ``h60('shard' || doc_id) % n_shards``; the knob that
+       sizes output files (and bounds any downstream per-shard
+       sequential work, see ``pack_sequences``).
+    """
+    scrubbed = df.select(
+        "doc_id",
+        "lang",
+        "source",
+        scrub_pii(F.col("text")).alias("text"),
+    ).withColumn("ws", F.split(F.col("text"), " "))
+
+    n_words = F.size("ws").cast("long")
+    distinct_ppm = F.floor(
+        1000000.0 * F.size(F.array_distinct("ws")) / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    gated = (
+        scrubbed.withColumn("n_words", n_words)
+        .where(
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (distinct_ppm >= min_distinct_ppm)
+        )
+        .drop("ws")
+        .withColumn("h", F.md5("text"))
+    )
+
+    winners = gated.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    deduped = (
+        gated.join(winners, "h")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("h", "keep_id")
+    )
+
+    counts = deduped.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        F.col("lang").alias("t_lang"),
+        F.floor(
+            F.sqrt(F.col("n_min") * F.lit(1.0) / F.col("n_l")) * MIX_BUCKETS
+        ).cast("long").alias("thr"),
+    )
+    bucket = h60(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % MIX_BUCKETS
+    mixed = (
+        deduped.withColumn("b", bucket)
+        .join(F.broadcast(thr), F.col("lang") == F.col("t_lang"))
+        .where(F.col("b") < F.col("thr"))
+        .drop("b", "t_lang", "thr")
+    )
+
+    shard = (
+        h60(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))) % n_shards
+    ).alias("shard")
+    return mixed.select("doc_id", "lang", "source", "text", "n_words", shard)
+
+
+def manifest_of(curated: DataFrame) -> DataFrame:
+    """Per-shard manifest of a :func:`curate` result: doc count, word
+    volume, and an order-insensitive ``bit_xor`` digest of the doc-id
+    hashes — recomputable from the written shards, so a loader can
+    verify an export without trusting the writer."""
+    return curated.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.bit_xor(h60(F.col("doc_id").cast("string"))).alias("content_digest"),
+    )
+
+
+def curate_to_parquet(
+    df: DataFrame,
+    out_dir: str,
+    **curate_kwargs,
+) -> DataFrame:
+    """Materialize the curated corpus as shard-partitioned parquet and
+    return the manifest (also written to ``<out_dir>/_manifest``).
+
+    The write is ``partitionBy(shard)`` — one directory per shard, so a
+    trainer (or :func:`pack_sequences`-style packer) streams exactly the
+    shards it owns, and the shard count is the file-size knob.  The
+    manifest is computed from the SAME DataFrame lineage before the
+    write, then verified against nothing here — re-derive it from the
+    written files with ``manifest_of(spark.read.parquet(out_dir))`` to
+    audit an export end-to-end (tests do exactly that).
+    """
+    curated = curate(df, **curate_kwargs)
+    curated.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = curated.sparkSession
+    written = spark.read.parquet(out_dir)
+    manifest = manifest_of(written)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest")
+    )
+    return manifest

@@ -4376,11 +4376,68 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@_q(
+    "curate_manifest",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang, text,
+             cast(len(string_split(text, ' ')) AS bigint) AS n_words,
+             md5(text) AS h
+      FROM s
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000
+        AND floor(1000000.0 * len(list_distinct(string_split(text, ' ')))
+                  / greatest(len(string_split(text, ' ')), 1)) >= 300000),
+    dd AS (
+      SELECT g.* FROM g
+      JOIN (SELECT h, min(doc_id) AS keep_id FROM g GROUP BY h) w
+        ON g.h = w.h AND g.doc_id = w.keep_id),
+    c AS (SELECT lang, cast(count(*) AS bigint) AS n_l FROM dd GROUP BY lang),
+    m AS (SELECT min(n_l) AS n_min FROM c),
+    thr AS (SELECT lang, cast(floor(sqrt(n_min * 1.0 / n_l) * 1048576) AS bigint) AS thr
+            FROM c, m),
+    mixed AS (
+      SELECT dd.doc_id, dd.n_words FROM dd JOIN thr ON dd.lang = thr.lang
+      WHERE CAST(('0x' || substr(md5('mix' || cast(dd.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1048576 < thr.thr)
+    SELECT CAST(('0x' || substr(md5('shard' || cast(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 64 AS shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_words) AS bigint) AS sum_words,
+           bit_xor(CAST(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT)) AS content_digest
+    FROM mixed GROUP BY 1
+    """,
+)
+def curate_manifest(spark, sf_dir):
+    """The full curation pipeline (operators/curate.py) end-to-end,
+    reported as its shard manifest: scrub → quality gate → exact dedup →
+    T=2 mixture resample → 64-way shard.  The DuckDB oracle replays
+    every stage in SQL, so this row hash-checks the COMPOSITION — stage
+    order, hand-offs (dedup on scrubbed text, mixture on post-dedup
+    counts), and the manifest digest — not just each operator alone.
+
+    Scale: the whole pipeline is one Catalyst plan — scrub/gate/hash in
+    the scan's codegen stage, one dedup shuffle on the 16-byte content
+    hash, a 5-row broadcast for mixture thresholds, one 64-group
+    manifest aggregate.  No window, no Python, nothing driver-side.
+    """
+    from ..operators.curate import curate, manifest_of
+
+    return manifest_of(curate(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 106 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 107 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -4496,7 +4553,7 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
     "q11_important_value": 2.592, "shard_manifest": 0.499,
     "dedup_paragraphs": 1.72, "mix_temperature": 1.859,
-    "pack_sequences": 1.025
+    "pack_sequences": 1.025, "curate_manifest": 3.545
 }
 
 
