@@ -4433,11 +4433,203 @@ def curate_manifest(spark, sf_dir):
     return manifest_of(curate(_t(spark, sf_dir, "documents")))
 
 
+@_q(
+    "dedup_substring_remove",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w,
+                 unnest(range(1, len(ws) + 1)) AS pos
+          FROM t),
+    g AS (SELECT doc_id,
+                 unnest(range(1, len(ws) - 6)) AS pos,
+                 unnest(list_transform(range(1, len(ws) - 6),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                          || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                          || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gram
+          FROM t WHERE len(ws) >= 8),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    st AS (SELECT doc_id, pos, 1 AS isd FROM g JOIN dup USING (gram)),
+    m AS (SELECT w.doc_id, w.pos, w.w, coalesce(st.isd, 0) AS isd
+          FROM w LEFT JOIN st ON w.doc_id = st.doc_id AND w.pos = st.pos),
+    c AS (SELECT doc_id, pos, w,
+                 max(isd) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS cov
+          FROM m)
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_words,
+           cast(sum(cov) AS bigint) AS n_removed,
+           md5(coalesce(string_agg(w, ' ' ORDER BY pos)
+                          FILTER (WHERE cov = 0), '')) AS kept_md5
+    FROM c GROUP BY doc_id
+    """,
+)
+def dedup_substring_remove(spark, sf_dir):
+    """Exact-substring DEDUPLICATION as a transformation, not just a
+    report: every word covered by any word 8-gram that occurs more than
+    once in the corpus (within- or cross-document) is cut, and each doc
+    re-joins its surviving words in order (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the removal their
+    suffix-array tool performs, re-expressed relationally at a fixed
+    gram width).  dedup_substring_stats is the audit; this is the
+    rewrite that produces the training corpus.  Output is (n_words,
+    n_removed, md5-of-cleaned-text) per doc so the driver hash pins the
+    exact reconstruction byte-for-byte.
+
+    Scale shape: grams build via posexplode + lead in a doc-keyed window
+    (bounded by doc length); the duplicated-gram set is a
+    partial-before-shuffle ``groupBy(gram)`` — a boilerplate gram in
+    half the corpus collapses to one row per map task (the hot-gram
+    lesson) — filtered to count>1 so the join build side carries ONLY
+    duplicated grams (~the dup rate, not the corpus); the join back on
+    ``gram`` is AQE-skew-splittable; coverage is a per-doc 8-row sliding
+    ``max`` window (never wider than the doc); reassembly is one
+    doc-keyed sort_array aggregation, the dedup_paragraphs shape.  No
+    Python anywhere.
+    """
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    words = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    parts = [F.col("w")] + [F.lead("w", j).over(wdoc) for j in range(1, 8)]
+    g = words.withColumn(
+        "gram",
+        F.when(
+            F.lead("w", 7).over(wdoc).isNotNull(), F.concat_ws(" ", *parts)
+        ),
+    )
+    dup = (
+        g.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("nocc"))
+        .where(F.col("nocc") > 1)
+        .select("gram", F.lit(1).alias("isd"))
+    )
+    m = g.join(dup, "gram", "left").withColumn(
+        "isd", F.coalesce(F.col("isd"), F.lit(0))
+    )
+    cov = F.max("isd").over(wdoc.rowsBetween(-7, 0))
+    c = m.withColumn("cov", cov)
+    return c.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("cov").cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("cov") == 0, F.struct("pos", "w"))
+                        )
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@_q(
+    "quality_lm_bigram",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS gram
+          FROM t WHERE len(ws) >= 2),
+    c AS (SELECT gram, count(*) AS cf FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           cast(count(*) AS bigint) AS n_bigrams,
+           cast(sum(CASE WHEN c.cf = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS oov_bigrams,
+           cast(sum(floor(log2(c.cf))) AS bigint) AS sum_log2_freq
+    FROM g JOIN c USING (gram) GROUP BY g.doc_id
+    """,
+)
+def quality_lm_bigram(spark, sf_dir):
+    """Corpus-language-model quality signal, integer-exact: fit the
+    trivial corpus bigram frequency table, then score every document by
+    (a) how many of its bigram occurrences are corpus-unique (the OOV /
+    hapax fraction — high on garbled text) and (b) the summed
+    floor(log2(corpus frequency)) of its bigrams — a Zipf-scaled
+    "how ordinary is this text" measure, the cheap stand-in for the
+    KenLM perplexity gate every curation pipeline runs.  All-integer
+    outputs: floor(log2(bigint)) is exact in IEEE doubles far beyond any
+    reachable count, so the hash is engine-stable; consumers divide by
+    n_bigrams for the per-token score.
+
+    Scale shape: the frequency table is ONE partial-before-shuffle
+    ``groupBy(gram)`` over lead-window shingles ("the of" at 10^9
+    occurrences collapses map-side); the score join keys on ``gram``
+    with a data-scaled but per-key-tiny build side under AQE skew
+    handling; the doc rollup shuffles (doc_id, 3 ints).  This is the
+    model-fit-then-score pattern at its smallest: the same two-pass
+    shape a distributed KenLM scorer uses, minus the Python.
+    """
+    from ..functions.text import exploded_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    ex = exploded_shingles(d, "doc_id", "text", 2, short_doc_fallback=False)
+    cnt = ex.groupBy("gram").agg(F.count("*").alias("cf"))
+    return (
+        ex.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("cf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("oov_bigrams"),
+            F.sum(F.floor(F.log2("cf"))).cast("long").alias("sum_log2_freq"),
+        )
+    )
+
+
+@_q(
+    "events_retention",
+    """
+    WITH u AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort FROM u GROUP BY user_id)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           cast(datediff('day', f.cohort, u.day) AS bigint) AS day_offset,
+           cast(count(*) AS bigint) AS n_users
+    FROM u JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users cohorted by
+    their first active day, counted at every (cohort, day-offset) cell —
+    the standard product-analytics triangle (and, for a training-data
+    pipeline, the freshness/engagement audit of a feedback corpus).
+
+    Scale shape: activity dedups to (user, day) first — a partial-agg
+    distinct, so a user with 10^6 events on one day collapses map-side —
+    then the cohort is a user-keyed min.  The activity⋈cohort join keys
+    on user_id; both sides just left user-keyed exchanges, so AQE reuses
+    the partitioning, and no user is hotter than its distinct-day count
+    (bounded by the calendar).  The final cell rollup is
+    (cohort, offset)-keyed with mergeable counts: each user contributes
+    at most one row per cell by construction, so ``count(*)`` IS
+    count-distinct-users with no distinct aggregate.
+    """
+    e = _events(spark, sf_dir)
+    u = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = u.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        u.join(f, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 107 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 110 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any

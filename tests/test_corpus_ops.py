@@ -1,0 +1,130 @@
+"""Semantic unit tests for the round-5 corpus operators on crafted
+inputs where the expected output is hand-computable: exact-substring
+removal (dedup_substring_remove), the corpus bigram-LM quality signal
+(quality_lm_bigram), and the cohort retention matrix (events_retention).
+Cross-engine parity at testdata scale is pinned separately by
+test_oracle_parity; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pytest
+
+from substreams_sink_graph_load_spark.plans.queries import QUERIES
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    """A documents.parquet with the driver schema and a corpus whose
+    duplicated-8-gram structure is hand-checkable."""
+    rows = [
+        # docs 1 and 2 share the 8-gram "a b c d e f g h" at position 0:
+        # words 0..7 are covered in both, the 3-word tails survive
+        (1, "a b c d e f g h x y z", "en", "s0"),
+        (2, "a b c d e f g h p q r", "en", "s0"),
+        # 7 words: no 8-gram exists, nothing can be removed
+        (3, "one two three four five six seven", "en", "s0"),
+        # within-doc repeat: the gram at pos 0 recurs at pos 8, so BOTH
+        # spans are covered and the whole doc is cut
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8", "en", "s0"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_substring_remove_semantics(spark, doc_dir):
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_remove"](spark, doc_dir).collect()
+    }
+    assert out[1]["n_words"] == 11 and out[1]["n_removed"] == 8
+    assert out[1]["kept_md5"] == _md5("x y z")
+    assert out[2]["n_words"] == 11 and out[2]["n_removed"] == 8
+    assert out[2]["kept_md5"] == _md5("p q r")
+    # too short for any 8-gram: untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["kept_md5"] == _md5("one two three four five six seven")
+    # within-doc duplication counts: everything removed
+    assert out[4]["n_words"] == 16 and out[4]["n_removed"] == 16
+    assert out[4]["kept_md5"] == _md5("")
+
+
+@pytest.fixture()
+def lm_dir(spark, tmp_path):
+    rows = [
+        (1, "the cat sat", "en", "s0"),
+        (2, "the cat ran", "en", "s0"),
+        (3, "dog", "en", "s0"),  # 1 word: no bigram, absent from output
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_lm_bigram_semantics(spark, lm_dir):
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["quality_lm_bigram"](spark, lm_dir).collect()
+    }
+    # corpus frequencies: "the cat"=2, "cat sat"=1, "cat ran"=1
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_bigrams"] == 2
+        assert out[d]["oov_bigrams"] == 1
+        # floor(log2(2)) + floor(log2(1)) = 1
+        assert out[d]["sum_log2_freq"] == 1
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    def ts(day, hour=0):
+        return datetime.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: first day Jan 1 (two events that day), then Jan 2, Jan 4
+        (0, ts(1, 1), 1, "view", 1.0, "{}"),
+        (1, ts(1, 9), 1, "click", 1.0, "{}"),
+        (2, ts(2), 1, "view", 1.0, "{}"),
+        (3, ts(4), 1, "view", 1.0, "{}"),
+        # user 2: first day Jan 2, then Jan 4
+        (4, ts(2), 2, "view", 1.0, "{}"),
+        (5, ts(4), 2, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_retention_semantics(spark, events_dir):
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in QUERIES["events_retention"](spark, events_dir).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,  # user 1, multiple same-day events count once
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,  # user 2
+        ("2024-01-02", 2): 1,
+    }
