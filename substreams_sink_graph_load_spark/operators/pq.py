@@ -297,3 +297,209 @@ def pq_index_search(
         books[r["sub"], r["code"]] = r["centroid"]
     codes = spark.read.parquet(f"{index_dir}/codes")
     return pq_search(codes, books, queries, k=k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + product-quantized residuals (Jégou et al. §V)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CODES_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cell", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ]
+)
+
+
+def ivfpq_residuals(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-assign every vector (squared-L2 argmin — the same
+    association ``kmeans_fit`` trains under) and emit its residual
+    against the assigned centroid: ``(vec_id, cell, residual)``.
+
+    Centroids ride the closure (n_cells x d doubles — kilobytes); one
+    BLAS distance matrix + one subtraction per Arrow batch; partitioning
+    inherited, no shuffle.
+    """
+    from .cluster import _dist2
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def rez(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            cell = np.argmin(_dist2(block, cents), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cell.astype("int32"),
+                    "residual": list(block - cents[cell]),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", IntegerType()),
+            StructField("residual", ArrayType(DoubleType())),
+        ]
+    )
+    return corpus.select(id_col, emb_col).mapInPandas(rez, schema)
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    cell_iters: int = 3,
+    pq_iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the two quantizers of an IVF-PQ index: the coarse cell
+    centroids (``(n_cells, d)``) and the PQ codebooks over RESIDUALS
+    (``(m, ks, d/m)``).
+
+    Quantizing residuals instead of raw vectors is what makes the
+    combination better than either part (Jégou et al. 2011, §V): the
+    coarse quantizer removes the between-cell variance, so the ks codes
+    per subspace only have to cover the within-cell spread.  Both fits
+    are the mergeable-partials Lloyd's loops (cluster.kmeans_fit /
+    pq_fit) — the corpus streams once per round, nothing shuffles, and
+    seeds are lowest-id vectors so the build is deterministic.
+    """
+    from .cluster import kmeans_fit
+
+    cents = np.asarray(
+        kmeans_fit(
+            corpus, n_cells, iters=cell_iters, id_col=id_col, vec_col=emb_col
+        ),
+        dtype=np.float64,
+    )
+    resid = ivfpq_residuals(corpus, cents, id_col=id_col, emb_col=emb_col)
+    books = pq_fit(
+        resid, m=m, ks=ks, iters=pq_iters, id_col="vec_id", emb_col="residual"
+    )
+    return cents, books
+
+
+def ivfpq_encode(
+    residuals: DataFrame, codebooks: np.ndarray
+) -> DataFrame:
+    """Quantize residuals to per-subspace codes, carrying the cell:
+    ``(vec_id, cell, codes)`` — the row an IVF-PQ index persists
+    (PARTITIONED BY cell in the on-disk layout, so probes prune at the
+    partition level exactly like operators/ann.build_ivf_index)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(block), m), dtype=np.int64)
+            for s in range(m):
+                sub = block[:, s * dsub : (s + 1) * dsub]
+                d2 = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    sub @ books[s].T
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return residuals.select("vec_id", "cell", "residual").mapInPandas(
+        encode, _IVFPQ_CODES_SCHEMA
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k dot-product search over IVF-PQ codes.
+
+    Per query the driver ranks the (tiny) centroid table and probes its
+    top-``nprobe`` cells; the scan filters to the union of probed cells
+    BEFORE any Python runs (against a cell-partitioned codes table this
+    is partition pruning — the other cells' files are never read).
+    Scoring decomposes exactly: dot(q, v̂) = dot(q, c_cell) + dot(q, r̂),
+    where the residual term is m ADC table lookups — so each query pays
+    one m x ks LUT build and each candidate m integer gathers + one add,
+    never a float vector op.  Tie-safe partial top-k per Arrow batch +
+    one global window over #batches · k · #queries rows, the family
+    shape.  Self-matches excluded.
+    """
+    from .ann import _topk_tiesafe
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cents = np.asarray(centroids, dtype=np.float64)
+    cells = np.arange(len(cents), dtype=np.int64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    qdotc = q_mat @ cents.T  # Q x C — also the probe ranking
+    order = np.lexsort((cells[None, :].repeat(len(q_ids), 0), -qdotc), axis=1)
+    probed = cells[order[:, :nprobe]]  # Q x nprobe
+    probe_sets = [set(map(int, row)) for row in probed]
+    all_cells = sorted({c for s in probe_sets for c in s})
+    lut = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, dsub), books
+    )
+
+    pruned = codes.where(F.col("cell").isin([int(c) for c in all_cells]))
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vcells = pdf["cell"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & np.isin(
+                    vcells, list(probe_sets[qi])
+                )
+                if not mask.any():
+                    continue
+                scores = (
+                    lut[qi][sub_idx[None, :], cmat[mask]].sum(axis=1)
+                    + qdotc[qi, vcells[mask]]
+                )
+                cand_ids, cand = ids[mask], scores
+                top = _topk_tiesafe(cand, cand_ids, k)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": cand_ids[top],
+                        "score": cand[top],
+                    }
+                )
+
+    partials = pruned.mapInPandas(partial, _PARTIAL_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )

@@ -124,3 +124,95 @@ def test_pq_recall_on_real_embeddings(spark, sf_dir):
     exact = exact_topk(e, queries, k=1)
     hits = sum(1 for (q, n, _) in exact if n in by_q.get(q, set()))
     assert hits / len(exact) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse cells + residual PQ)
+# ---------------------------------------------------------------------------
+
+from substreams_sink_graph_load_spark.operators.pq import (  # noqa: E402
+    ivfpq_encode,
+    ivfpq_fit,
+    ivfpq_residuals,
+    ivfpq_search,
+)
+
+
+def test_ivfpq_exact_on_lossless_corpus(spark, lossless_corpus):
+    """n_cells=1: every residual subvector still takes one of KS values
+    (all vectors shift by the same single centroid), so residual PQ is
+    lossless and dot(q, c) + ADC == the exact dot — IVF-PQ must equal
+    brute force."""
+    cents, books = ivfpq_fit(
+        lossless_corpus, n_cells=1, m=M, ks=KS, cell_iters=2, pq_iters=8
+    )
+    codes = ivfpq_encode(ivfpq_residuals(lossless_corpus, cents), books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in lossless_corpus.where(F.col("vec_id") % 50 == 0).collect()
+    ]
+    got = {
+        tuple(r)
+        for r in ivfpq_search(
+            codes, cents, books, queries, k=5, nprobe=1
+        ).collect()
+    }
+    assert got == exact_topk(lossless_corpus, queries, k=5)
+
+
+def test_ivfpq_reproducible_and_code_shape(spark, lossless_corpus):
+    c1, b1 = ivfpq_fit(lossless_corpus, n_cells=2, m=M, ks=KS)
+    c2, b2 = ivfpq_fit(lossless_corpus, n_cells=2, m=M, ks=KS)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
+    rows = ivfpq_encode(ivfpq_residuals(lossless_corpus, c1), b1).collect()
+    assert all(len(r["codes"]) == M for r in rows)
+    assert all(0 <= c < KS for r in rows for c in r["codes"])
+    assert all(0 <= r["cell"] < 2 for r in rows)
+
+
+def test_ivfpq_recall_on_real_embeddings(spark, sf_dir):
+    """Full probe (nprobe = n_cells) isolates the residual-PQ error.
+    Measured: this corpus's label offsets are weak against isotropic
+    noise (residual norm ~0.95 of the vector norm at any n_cells), so
+    the residual codebooks need ks=64 for the recall raw PQ gets from
+    ks=16 — at that budget exact top-1 must land inside top-5 for >=
+    80% of queries (deterministic, not sampled)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents, books = ivfpq_fit(e, n_cells=16, m=16, ks=64, cell_iters=4, pq_iters=4)
+    codes = ivfpq_encode(ivfpq_residuals(e, cents), books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.where(F.col("vec_id") % 100 == 0).collect()
+    ]
+    got = ivfpq_search(codes, cents, books, queries, k=5, nprobe=16).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    exact = exact_topk(e, queries, k=1)
+    hits = sum(1 for (q, n, _) in exact if n in by_q.get(q, set()))
+    assert hits / len(exact) >= 0.8
+
+
+def test_ivfpq_probe_prunes_cells(spark, sf_dir):
+    """nprobe=1 must only ever return neighbors from each query's own
+    best cell — the pruning contract the partition filter relies on."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents, books = ivfpq_fit(e, n_cells=4, m=16, ks=16)
+    res = ivfpq_residuals(e, cents)
+    codes = ivfpq_encode(res, books)
+    cell_of = {r["vec_id"]: r["cell"] for r in res.collect()}
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.where(F.col("vec_id") % 200 == 0).collect()
+    ]
+    got = ivfpq_search(codes, cents, books, queries, k=3, nprobe=1).collect()
+    q_mat = {q: np.array(v) for q, v in queries}
+    for r in got:
+        best_cell = int(
+            np.argmax(cents @ q_mat[r["q_id"]])
+        )  # probe ranking is max-dot, ties to lowest cell
+        assert cell_of[r["neighbor_id"]] == best_cell
