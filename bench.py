@@ -72,6 +72,13 @@ HEADLINE = [
     "q9_product_profit",
     "dedup_paragraphs",
     "mix_temperature",
+    # round-5 late additions: substring REMOVAL (stats' heavier sibling —
+    # adds the coverage window + reassembly), the corpus bigram-LM score,
+    # cohort retention, and the composed IVF-PQ ANN tier
+    "dedup_substring_remove",
+    "quality_lm_bigram",
+    "events_retention",
+    "ann_ivf_pq_topk",
 ]
 
 
@@ -109,12 +116,24 @@ SF1_SUBSET = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "dedup_paragraphs",
+    # round-5 latest: the substring-removal rewrite (gram frequency +
+    # per-doc coverage window + reassembly) and the bigram-LM score join
+    # are the two new shuffle-bearing corpus ops
+    "dedup_substring_remove",
+    "quality_lm_bigram",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # the default 8g heap is tuned for tests (local[4]); a 32-thread
+    # local JVM driving 50+ queries per pass accumulates enough shuffle/
+    # broadcast state that GC pauses inflate late-pass timings by 2-3x
+    # (measured: dedup_clusters 1.7s warm-isolated vs 4.3s min-of-3
+    # in-pass at 8g). 24g keeps the old-gen churn off the timings.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
     from substreams_sink_graph_load_spark.session import get_spark
     from substreams_sink_graph_load_spark.plans import QUERIES
@@ -150,6 +169,9 @@ def main() -> None:
             # each other rent
             spark.catalog.clearCache()
         pass_totals.append(round(pass_total, 3))
+        # settle the JVM between passes so pass N's garbage doesn't bill
+        # pass N+1 (caches were cleared per query; this compacts the heap)
+        spark.sparkContext._jvm.System.gc()
 
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     spreads = {name: max(ts) - min(ts) for name, ts in samples.items()}
