@@ -4787,7 +4787,9 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
     "q11_important_value": 2.592, "shard_manifest": 0.499,
     "dedup_paragraphs": 1.72, "mix_temperature": 1.859,
-    "pack_sequences": 1.025, "curate_manifest": 3.545
+    "pack_sequences": 1.025, "curate_manifest": 3.545,
+    "events_retention": 0.441, "quality_lm_bigram": 0.777,
+    "dedup_substring_remove": 1.331, "ann_ivf_pq_topk": 2.7
 }
 
 
