@@ -2372,28 +2372,34 @@ def dedup_clusters(spark, sf_dir):
     SELECT event_id, user_id,
            sum(cast(round(value * 100) AS bigint))
              OVER (PARTITION BY user_id
-                   ORDER BY cast(epoch(ts) AS bigint)
-                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
-             AS sum_1h
+                   ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             / 100.0 AS sum_1h
     FROM events
     """,
 )
 def window_range_frame(spark, sf_dir):
     """Time-range window frame: per user, the rolling 1-hour sum of
-    ``value`` ending at each event — RANGE BETWEEN on the epoch-seconds
+    ``value`` ending at each event — RANGE BETWEEN on the epoch-MICROS
     key, so frame membership is defined by TIME distance, not row count
     (rows-frames silently break on irregular event spacing).
 
     One hash(user_id) exchange + one sort serves the whole frame; values
     sum as exact integer cents so any accumulation order hash-matches.
-    Both engines order and frame by the same integer epoch key, making
-    peer groups (RANGE includes ties) identical."""
+    The frame key is integer microseconds on BOTH engines
+    (``unix_micros`` / ``epoch_us``): the earlier epoch-SECONDS key hid
+    a cross-engine boundary bug — Spark's timestamp->long cast truncates
+    fractional seconds while DuckDB's epoch()->bigint cast rounds, so an
+    event .5s inside the hour sat in different frames, which surfaced
+    only at sf1 event density (0.025% of rows).  Integer micros involve
+    no rounding step anywhere, and peer groups (RANGE includes ties) are
+    exact-timestamp ties in both engines."""
     e = _events(spark, sf_dir)
-    key = F.col("ts").cast("long")
+    key = F.unix_micros(F.col("ts"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(key)
-        .rangeBetween(-3600, 0)
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
