@@ -128,3 +128,54 @@ def test_retention_semantics(spark, events_dir):
         ("2024-01-02", 0): 1,  # user 2
         ("2024-01-02", 2): 1,
     }
+
+
+def test_substring_remove_matches_python_reference(spark, tmp_path):
+    """Randomized differential: 80 docs over a 12-word vocabulary (heavy
+    gram collisions by construction) vs a direct Python replay of the
+    rule — any word covered by a corpus-duplicated 8-gram is cut."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for d in range(80):
+        n = rng.randint(0, 30)
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    # plant guaranteed cross-doc duplicate spans
+    span = "a b c d e f g h"
+    docs[80] = f"{span} tail80"
+    docs[81] = f"head81 {span}"
+
+    spark.createDataFrame(
+        [(d, t, "en", "s0", len(t)) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    from collections import Counter
+
+    k = 8
+    words = {d: t.split(" ") for d, t in docs.items()}
+    grams = Counter()
+    for ws in words.values():
+        for i in range(len(ws) - k + 1):
+            grams[" ".join(ws[i : i + k])] += 1
+    want = {}
+    for d, ws in words.items():
+        cov = [False] * len(ws)
+        for i in range(len(ws) - k + 1):
+            if grams[" ".join(ws[i : i + k])] > 1:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = " ".join(w for w, c in zip(ws, cov) if not c)
+        want[d] = (len(ws), sum(cov), _md5(kept))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["kept_md5"])
+        for r in QUERIES["dedup_substring_remove"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == want
