@@ -79,6 +79,7 @@ HEADLINE = [
     "quality_lm_bigram",
     "events_retention",
     "ann_ivf_pq_topk",
+    "events_gapfill",
 ]
 
 

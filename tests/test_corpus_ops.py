@@ -179,3 +179,39 @@ def test_substring_remove_matches_python_reference(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_gapfill_semantics(spark, tmp_path):
+    """Crafted gaps: missing hours materialize with cnt=0 and carry the
+    last observed value forward; hours before a type's first observation
+    fill 0 (grid spans the CORPUS hour range, not per-type)."""
+    import datetime as dt
+
+    rows = [
+        # "view": hours 0 and 3 observed; 1-2 are gaps
+        (0, dt.datetime(2024, 1, 1, 0, 15), 1, "view", 1.50, "{}"),
+        (1, dt.datetime(2024, 1, 1, 3, 5), 1, "view", 2.25, "{}"),
+        # "click": first observed at hour 2 — hours 0-1 must fill 0
+        (2, dt.datetime(2024, 1, 1, 2, 40), 2, "click", 4.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        (r["event_type"], r["hour"]): (r["cnt"], r["filled_cents"])
+        for r in QUERIES["events_gapfill"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("view", "2024-01-01 00:00:00"): (1, 150),
+        ("view", "2024-01-01 01:00:00"): (0, 150),   # gap: LOCF
+        ("view", "2024-01-01 02:00:00"): (0, 150),
+        ("view", "2024-01-01 03:00:00"): (1, 225),
+        ("click", "2024-01-01 00:00:00"): (0, 0),    # before first obs
+        ("click", "2024-01-01 01:00:00"): (0, 0),
+        ("click", "2024-01-01 02:00:00"): (1, 400),
+        ("click", "2024-01-01 03:00:00"): (0, 400),
+    }
