@@ -22,6 +22,9 @@ AUDIT = [
     # round-2 additions
     "q4_order_priority", "join_correlated_min", "agg_pivot",
     "tfidf_top_terms", "sample_stratified", "join_runtime_minmax",
+    # round-5 continuation: the new corpus/time-series operators
+    "dedup_substring_remove", "quality_lm_bigram", "events_retention",
+    "events_gapfill",
 ]
 
 
