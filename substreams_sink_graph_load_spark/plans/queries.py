@@ -4632,6 +4632,39 @@ def quality_lm_bigram(spark, sf_dir):
     )
 
 
+@_q("dedup_semantic_clusters")  # float-threshold membership: rows-only
+def dedup_semantic_clusters(spark, sf_dir):
+    """Semantic deduplication end-to-end (the SemDeDup recipe, Abbas et
+    al. 2023 shape): embedding near-dup pairs (banded sign-LSH + exact
+    in-bucket cosine, the dedup_embedding operator) feed connected
+    components, and every vector maps to its cluster representative —
+    the smallest vec_id in its component, the row a curation pipeline
+    keeps while dropping the rest.  Completes the symmetry with the
+    lexical chain (dedup_minhash_pairs -> dedup_clusters): one CC
+    operator serves both candidate graphs.
+
+    Scale: pair enumeration is per-(band, bucket) BLAS, never
+    corpus-wide; the candidate graph is orders smaller than the corpus,
+    so CC takes the adaptive path (driver union-find under 5M edges,
+    star-contraction above — operators/dedup.py connected_components).
+    Vectors with no near-dup never enter the edge list and are absent
+    here by design (singletons are the identity mapping).  Rows-only:
+    the cosine threshold boundary is float-sensitive cross-engine, the
+    same contract as dedup_embedding; determinism within the engine is
+    anchored by test_dedup's CC suite and the banded-LSH determinism.
+    """
+    from ..operators.dedup import connected_components, embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        e, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
+        min_cos_ppm=400_000,
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    return connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("cluster_id").alias("keep_id")
+    )
+
+
 @_q(
     "events_gapfill",
     """
@@ -4760,7 +4793,7 @@ def events_retention(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 112 as of r5; COVERAGE.md keeps the live count).
+# (~50 of the registry — 113 as of r5; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -4878,7 +4911,7 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "dedup_paragraphs": 1.72, "mix_temperature": 1.859,
     "pack_sequences": 1.025, "curate_manifest": 3.545,
     "events_retention": 0.441, "quality_lm_bigram": 0.777,
-    "events_gapfill": 0.784,
+    "events_gapfill": 0.784, "dedup_semantic_clusters": 1.667,
     "dedup_substring_remove": 1.331, "ann_ivf_pq_topk": 2.7
 }
 

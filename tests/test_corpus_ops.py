@@ -215,3 +215,41 @@ def test_gapfill_semantics(spark, tmp_path):
         ("click", "2024-01-01 02:00:00"): (1, 400),
         ("click", "2024-01-01 03:00:00"): (0, 400),
     }
+
+
+def test_semantic_clusters_semantics(spark, tmp_path):
+    """Planted embedding near-dup groups must cluster to their lowest
+    vec_id; unrelated vectors must not appear in the output."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # two planted groups: ids (0,1,2) share one direction, (10,11) another
+    base_a = rng.normal(size=64)
+    base_b = rng.normal(size=64)
+    for vid, base in [(0, base_a), (1, base_a), (2, base_a),
+                      (10, base_b), (11, base_b)]:
+        v = base + rng.normal(scale=0.01, size=64)
+        v = v / np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v], 0))
+    # 30 isolated random vectors (pairwise cosine ~N(0, 1/8) — far
+    # below the 0.4 threshold)
+    for vid in range(100, 130):
+        v = rng.normal(size=64)
+        v = v / np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r["vec_id"]: r["keep_id"]
+        for r in QUERIES["dedup_semantic_clusters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[10] == 10 and out[11] == 10
+    # isolated vectors never entered the candidate graph
+    assert all(v < 100 for v in out)
