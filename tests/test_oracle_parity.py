@@ -79,3 +79,30 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n)
+
+
+def test_approx_percentile_rank_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must return values whose
+    empirical CDF brackets the requested quantile within 2% rank error
+    (the sketch's guarantee is n/accuracy, far tighter at test sizes)."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.plans import QUERIES
+
+    got = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    data = {}
+    for r in l.select("l_returnflag", "l_quantity").collect():
+        data.setdefault(r["l_returnflag"], []).append(r["l_quantity"])
+    for flag, (p25, p50, p75) in got.items():
+        xs = np.sort(np.array(data[flag], dtype=float))
+        n = len(xs)
+        for q, v in ((0.25, p25), (0.5, p50), (0.75, p75)):
+            # fraction of data strictly below / at-or-below the returned
+            # value must bracket q (within 2% rank slack)
+            lo = np.searchsorted(xs, v, side="left") / n
+            hi = np.searchsorted(xs, v, side="right") / n
+            assert lo - 0.02 <= q <= hi + 0.02, (flag, q, v, lo, hi)
