@@ -36,10 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("run", help="wire stream -> bundled JSONL + poi2$ + last_block.txt")
-    sp.add_argument("wire"), sp.add_argument("dest"), sp.add_argument("schema")
+    sp.add_argument("wire"), sp.add_argument("dest")
+    sp.add_argument("schema", nargs="?", default=None)
     sp.add_argument("stop_block", type=int)
     sp.add_argument("--bundle-size", type=int, default=1000)
     sp.add_argument("--chain-id", default=None)
+    # reference run.go:48-52 flag parity
+    sp.add_argument("--entities", default=None,
+                    help="comma-separated entity list (alternative to the schema arg)")
+    sp.add_argument("--start-block", type=int, default=None,
+                    help="start at this block (must align to --bundle-size)")
+    sp.add_argument("--start-poi", default=None,
+                    help="hex POI digest of the last block before --start-block")
+    sp.add_argument("--working-dir", default=None,
+                    help="local staging directory (default: temp dir)")
 
     sp = sub.add_parser("tocsv", help="bundled JSONL -> versioned CSV bundles")
     sp.add_argument("src"), sp.add_argument("dest"), sp.add_argument("entity")
@@ -123,15 +133,58 @@ def main(argv: list[str] | None = None) -> int:
         from .schema.entities import parse_schema_file
         from .streaming.ingest import run_ingest
 
+        # exactly one of schema / --entities (ref run.go:126-136)
+        if args.schema and args.entities:
+            raise SystemExit(
+                "you must only use one of: the schema argument or '--entities'"
+            )
+        if args.schema:
+            entities = sorted(parse_schema_file(args.schema))
+        elif args.entities:
+            entities = sorted(
+                s.strip() for s in args.entities.split(",") if s.strip()
+            )
+        else:
+            raise SystemExit(
+                "you must set one of: the schema argument or '--entities'"
+            )
+        # resume contract (ref run.go:76-99): start block aligns to the
+        # bundle boundary and carries the prior POI digest
+        start_poi = None
+        first_block = 0
+        if args.start_block is not None:
+            if args.start_block % args.bundle_size:
+                raise SystemExit(
+                    f"provided startBlock {args.start_block!r} is not aligned "
+                    f"with the bundleSize boundary {args.bundle_size}"
+                )
+            if not args.start_poi:
+                raise SystemExit(
+                    "when providing a start-block, you must also provide "
+                    "the start-poi"
+                )
+            try:
+                start_poi = bytes.fromhex(args.start_poi)
+            except ValueError as exc:
+                raise SystemExit(
+                    f"cannot decode startPOI {args.start_poi!r}: {exc}"
+                )
+            first_block = args.start_block
+        elif args.start_poi:
+            raise SystemExit("start-poi requires --start-block")
+
         spark = _spark()
         files = run_ingest(
             spark,
             args.dest,
-            entities=sorted(parse_schema_file(args.schema)),
+            entities=entities,
             stop_block=args.stop_block,
             wire_path=args.wire,
             bundle_size=args.bundle_size,
             chain_id=args.chain_id,
+            start_poi=start_poi,
+            first_block=first_block,
+            workdir=args.working_dir,
         )
         for ent, fs in sorted(files.items()):
             print(f"{ent}: {len(fs)} bundles")

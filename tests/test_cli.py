@@ -114,3 +114,36 @@ def test_tocsv_all_command(spark, schema_file, tmp_path):
     rc, out = run_cli("tocsv-all", str(src), str(tmp_path / "csv"), str(sf), "3000")
     assert rc == 0
     assert "account: 3 bundles" in out and "transfer: 3 bundles" in out
+
+
+def test_run_entities_flag_and_resume_validation(spark, tmp_path):
+    """Reference run.go:48-52/76-99 flag parity: --entities replaces the
+    schema argument (exactly one required), --start-block must align to
+    the bundle size and carries a hex --start-poi."""
+    import json as _json
+
+    wire = tmp_path / "wire2.jsonl"
+    with open(wire, "w") as fh:
+        fh.write(_json.dumps({
+            "entity_change": {"entity": "Account", "id": "a", "operation": 1,
+                              "fields": [{"name": "name",
+                                          "new_value": {"Typed": {"String_": "x"}}}]},
+            "block_num": 1}) + "\n")
+    dest = str(tmp_path / "out_ent")
+    # --entities alternative works without a schema file
+    rc, out = run_cli("run", str(wire), dest, "1000", "--entities", "account")
+    assert rc == 0 and "account: 1 bundles" in out
+    # neither / both -> the reference's errors
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="must set one of"):
+        run_cli("run", str(wire), dest, "1000")
+    with _pytest.raises(SystemExit, match="not aligned"):
+        run_cli("run", str(wire), dest, "1000", "--entities", "account",
+                "--start-block", "77", "--start-poi", "ab")
+    with _pytest.raises(SystemExit, match="must also provide"):
+        run_cli("run", str(wire), dest, "1000", "--entities", "account",
+                "--start-block", "1000")
+    with _pytest.raises(SystemExit, match="cannot decode"):
+        run_cli("run", str(wire), dest, "1000", "--entities", "account",
+                "--start-block", "1000", "--start-poi", "zz")
