@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("extract-index")
     sp.add_argument("pg_schema")
+    sp.add_argument("dsn", nargs="?", default=None,
+                    help="when given, fetch live from this Postgres instead of printing the SQL")
+    sp.add_argument("schema", nargs="?", default=None,
+                    help="GraphQL schema: restrict to its entity tables (ref extract-indexes.go:98-104)")
+    sp.add_argument("--save", action="store_true",
+                    help="write index defs to ./create_indexes.ddl (ref extract-indexes.go:141-147)")
 
     sp = sub.add_parser("drop-index")
     sp.add_argument("pg_schema"), sp.add_argument("schema")
@@ -103,7 +109,34 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "extract-index":
         from .sinks.ddl import extract_index_sql
 
-        print(extract_index_sql(args.pg_schema))
+        if args.dsn is None:
+            # print-SQL mode: pipe to psql (no live server assumed)
+            print(extract_index_sql(args.pg_schema))
+            return 0
+        # live mode, reference-format output (extract-indexes.go:31-45);
+        # defs are collected with the trailing ';' the save file needs
+        from .sinks.ddl import list_entities
+        from .sinks.postgres import run_sql
+
+        tables = set(list_entities(args.schema)) if args.schema else None
+        by_table: dict[str, list[tuple[str, str]]] = {}
+        for tablename, indexname, indexdef in run_sql(
+            args.dsn, extract_index_sql(args.pg_schema)
+        ):
+            if tables is not None and tablename not in tables:
+                continue
+            by_table.setdefault(tablename, []).append(
+                (indexname, indexdef + ";")
+            )
+        for tbl in sorted(by_table):
+            print("====> table ", tbl)
+            for name, idef in by_table[tbl]:
+                print(f"=> indexName {name} indexDef {idef}")
+        if args.save:
+            with open("./create_indexes.ddl", "w") as fh:
+                for tbl in sorted(by_table):
+                    for _, idef in by_table[tbl]:
+                        fh.write(idef + "\n")
         return 0
 
     if args.cmd == "drop-index":

@@ -253,3 +253,43 @@ def test_copy_error_surfaces(pg_dsn, tmp_path):
     p.write_text("id,n\nrow1,notanumber\n")
     with pytest.raises(RuntimeError, match="invalid input syntax"):
         _psql_copy(pg_dsn, build_copy_sql("err", "t", ["id", "n"], []), str(p))
+
+
+def test_extract_index_cli_live(pg_dsn, tmp_path, monkeypatch):
+    """CLI extract-index against the live catalog: reference-format
+    output, schema-table filtering, and --save's create_indexes.ddl
+    (ref extract-indexes.go:31-45, 98-104, 141-147)."""
+    import contextlib
+    import io
+
+    from substreams_sink_graph_load_spark.cli import main as cli_main
+
+    run_sql(pg_dsn, 'CREATE SCHEMA IF NOT EXISTS "xidx"')
+    run_sql(
+        pg_dsn,
+        'CREATE TABLE "xidx"."pair" ("id" text NOT NULL, "token0" text, '
+        "CONSTRAINT xpair_pkey PRIMARY KEY (id))",
+    )
+    run_sql(pg_dsn, 'CREATE INDEX xpair_token0_idx ON "xidx"."pair" (token0)')
+    # a table OUTSIDE the graphql schema must be filtered out
+    run_sql(pg_dsn, 'CREATE TABLE "xidx"."noise" ("id" text PRIMARY KEY)')
+
+    sdl = tmp_path / "pair.graphql"
+    sdl.write_text("type Pair @entity {\n  id: ID!\n  token0: String\n}\n")
+    monkeypatch.chdir(tmp_path)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["extract-index", "xidx", pg_dsn, str(sdl), "--save"]
+        )
+    out = buf.getvalue()
+    assert rc == 0
+    assert "====> table  pair" in out
+    assert "=> indexName xpair_pkey" in out
+    assert "xpair_token0_idx" in out
+    assert "noise" not in out  # schema filter applied
+
+    ddl = (tmp_path / "create_indexes.ddl").read_text()
+    assert "xpair_token0_idx" in ddl and ddl.strip().endswith(";")
+    assert "noise" not in ddl
