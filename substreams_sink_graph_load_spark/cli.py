@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "create-index":
         from .sinks.ddl import create_index_sql
 
+        if not args.ddl_file.endswith(".ddl"):
+            # ref create-indexes.go:30-32
+            raise SystemExit("create indexes file is not a ddl file")
         with open(args.ddl_file) as fh:
             defs = [l.strip().rstrip(";") for l in fh if l.strip()]
         for lane_no, lane in enumerate(create_index_sql(defs, args.connections)):

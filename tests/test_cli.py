@@ -53,7 +53,7 @@ def test_index_commands(schema_file, tmp_path):
     assert rc == 0
     assert out.strip() == 'DROP INDEX IF EXISTS "sgd9"."attr_0_x";'
 
-    ddl = tmp_path / "idx.sql"
+    ddl = tmp_path / "idx.ddl"
     ddl.write_text("CREATE INDEX a ON t(x);\nCREATE INDEX b ON t(y);\n")
     rc, out = run_cli("create-index", str(ddl), "--connections", "2")
     assert rc == 0 and out.count("CREATE INDEX") == 2
@@ -147,3 +147,13 @@ def test_run_entities_flag_and_resume_validation(spark, tmp_path):
     with _pytest.raises(SystemExit, match="cannot decode"):
         run_cli("run", str(wire), dest, "1000", "--entities", "account",
                 "--start-block", "1000", "--start-poi", "zz")
+
+
+def test_create_index_rejects_non_ddl(tmp_path):
+    """ref create-indexes.go:30-32: the input must be a .ddl file."""
+    import pytest as _pytest
+
+    f = tmp_path / "idx.sql"
+    f.write_text("CREATE INDEX a ON t(x);\n")
+    with _pytest.raises(SystemExit, match="not a ddl file"):
+        run_cli("create-index", str(f))
