@@ -115,13 +115,29 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         # live mode, reference-format output (extract-indexes.go:31-45);
         # defs are collected with the trailing ';' the save file needs
-        from .sinks.ddl import list_entities
+        from .sinks.ddl import deployment_schema_sql, list_entities
         from .sinks.postgres import run_sql
 
+        # sgd schema passes through; a Qm deployment hash is resolved via
+        # public.deployment_schemas; anything else is an error
+        # (ref extract-indexes.go:74-92, schema/utils.go:9-19)
+        pg_schema = args.pg_schema
+        if pg_schema.startswith("Qm"):
+            rows = run_sql(args.dsn, deployment_schema_sql(pg_schema))
+            if not rows:
+                raise SystemExit(
+                    f"no schema found for deployment hash {pg_schema!r}"
+                )
+            pg_schema = rows[0][0]
+        elif not pg_schema.startswith("sgd"):
+            raise SystemExit(
+                f"invalid value for first parameter: {pg_schema!r}, should be "
+                "either a postgresql schema (ex: sgd1) or a deployment Qm hash"
+            )
         tables = set(list_entities(args.schema)) if args.schema else None
         by_table: dict[str, list[tuple[str, str]]] = {}
         for tablename, indexname, indexdef in run_sql(
-            args.dsn, extract_index_sql(args.pg_schema)
+            args.dsn, extract_index_sql(pg_schema)
         ):
             if tables is not None and tablename not in tables:
                 continue

@@ -460,8 +460,11 @@ def ivfpq_search(
     qdotc = q_mat @ cents.T  # Q x C — also the probe ranking
     order = np.lexsort((cells[None, :].repeat(len(q_ids), 0), -qdotc), axis=1)
     probed = cells[order[:, :nprobe]]  # Q x nprobe
-    probe_sets = [set(map(int, row)) for row in probed]
-    all_cells = sorted({c for s in probe_sets for c in s})
+    # boolean Q x C membership matrix: per-batch candidate masks become
+    # probe_mat[qi, vcells] (one gather), not an np.isin over a Python set
+    probe_mat = np.zeros((len(q_ids), len(cents)), dtype=bool)
+    probe_mat[np.arange(len(q_ids))[:, None], probed] = True
+    all_cells = sorted(int(c) for c in np.unique(probed))
     lut = np.einsum(
         "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, dsub), books
     )
@@ -476,10 +479,12 @@ def ivfpq_search(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             vcells = pdf["cell"].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            batch_cells = np.unique(vcells)
             for qi in range(len(q_ids)):
-                mask = (ids != q_ids[qi]) & np.isin(
-                    vcells, list(probe_sets[qi])
-                )
+                # skip queries whose probe set is disjoint from this batch
+                if not probe_mat[qi, batch_cells].any():
+                    continue
+                mask = (ids != q_ids[qi]) & probe_mat[qi, vcells]
                 if not mask.any():
                     continue
                 scores = (

@@ -59,6 +59,38 @@ def test_index_commands(schema_file, tmp_path):
     assert rc == 0 and out.count("CREATE INDEX") == 2
 
 
+def test_extract_index_live_resolves_qm_hash(schema_file, monkeypatch):
+    """Live mode: a Qm deployment hash resolves to its sgdN schema via
+    public.deployment_schemas before pg_indexes is queried, and non-sgd/
+    non-Qm values are rejected (ref extract-indexes.go:74-92)."""
+    import substreams_sink_graph_load_spark.sinks.postgres as pg
+
+    calls = []
+
+    def fake_run_sql(dsn, sql):
+        calls.append(sql)
+        if "deployment_schemas" in sql:
+            assert "QmHashABC" in sql
+            return [("sgd42",)]
+        assert "pg_indexes" in sql and "sgd42" in sql
+        return [("account", "attr_0_x", "CREATE INDEX attr_0_x ON account(x)")]
+
+    monkeypatch.setattr(pg, "run_sql", fake_run_sql)
+    rc, out = run_cli("extract-index", "QmHashABC", "postgres://x", schema_file)
+    assert rc == 0
+    assert len(calls) == 2
+    assert "====> table  account" in out and "attr_0_x" in out
+
+    # unknown hash -> loud error
+    monkeypatch.setattr(pg, "run_sql", lambda dsn, sql: [])
+    with pytest.raises(SystemExit, match="no schema found"):
+        run_cli("extract-index", "QmMissing", "postgres://x")
+
+    # invalid prefix -> reference's error text
+    with pytest.raises(SystemExit, match="invalid value for first parameter"):
+        run_cli("extract-index", "bogus", "postgres://x")
+
+
 def test_inject_csv_print_sql(schema_file, tmp_path):
     d = tmp_path / "csv" / "account"
     d.mkdir(parents=True)
