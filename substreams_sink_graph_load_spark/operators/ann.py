@@ -155,15 +155,84 @@ def sample_queries(
     modulus: int = 100,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    limit: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The deterministic query sample used by the top-k queries
-    (vec_id % modulus == 0), collected driver-side (tiny by contract)."""
-    rows = (
-        df.where(F.col(id_col) % modulus == 0)
-        .select(id_col, F.col(emb_col).cast("array<double>"))
-        .collect()
+    (vec_id % modulus == 0), collected driver-side.
+
+    ``limit`` caps the collect at the first ``limit`` ids (ascending) so
+    driver memory is O(limit) CHOSEN, not corpus-scaled — at 100x the
+    corpus a bare modulus filter would collect 100x the rows.  Registry
+    shapes always pass a limit; their oracles mirror it with
+    ``ORDER BY vec_id LIMIT n``."""
+    q = df.where(F.col(id_col) % modulus == 0).select(
+        id_col, F.col(emb_col).cast("array<double>")
     )
+    if limit is not None:
+        q = q.orderBy(id_col).limit(limit)
+    rows = q.collect()
     return [(r[0], list(r[1])) for r in rows]
+
+
+def fold_dot(a, b) -> F.Column:
+    """Dot product as a JVM LEFT FOLD over zipped arrays.
+
+    Summation order is index order — bit-identical to DuckDB's
+    ``list_inner_product`` sequential sum, which is what lets fold-scored
+    rankings hash-match a SQL oracle exactly (a BLAS matmul's pairwise/
+    SIMD accumulation differs in the last ulps and can flip near-ties).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over a candidate shortlist: re-score (q_id, neighbor_id)
+    pairs with the fold dot product and rank by (dot desc, neighbor_id).
+
+    The refinement stage of a production ANN pipeline (shortlist from the
+    approximate tier, final ranking from true scores) — and the stage that
+    makes the approximate tiers ORACLE-EXACT: when the shortlist provably
+    contains the true top-k, the reranked output equals brute force, and
+    the fold's summation order matches a SQL fold bit-for-bit, so a DuckDB
+    brute-force window is a valid hash oracle for the whole approximate
+    pipeline (a broken sketch/probe wrecks the shortlist and the hash).
+
+    Scale: candidates are O(#queries * shortlist) rows — both sides of
+    the join are broadcast (candidates into the corpus scan, queries into
+    the projection); the corpus is scanned once, nothing shuffles but the
+    tiny reranked set.
+    """
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in queries],
+        "q_id long, q_emb array<double>",
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).cast("array<double>").alias("_emb"),
+        )
+        .join(F.broadcast(candidates.select("q_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "neighbor_id", fold_dot(F.col("_emb"), F.col("q_emb")).alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank")
+    )
 
 
 def build_ivf_index(

@@ -133,3 +133,38 @@ def test_topk_tiesafe_keeps_lowest_ids_on_ties(spark):
         for r in topk_matmul(df, [(1, [1.0, 0.0])], k=3).collect()
     }
     assert got == {1: 3, 2: 5, 3: 7}
+
+
+def test_exact_rerank_refines_shortlist(spark, sf_dir, emb):
+    """exact_rerank over a shortlist that contains the true top-k must
+    equal the brute-force baseline — and the fold dot must rank
+    candidates the same way the crossJoin fold does (bit-identical
+    summation order)."""
+    from substreams_sink_graph_load_spark.operators.ann import (
+        exact_rerank,
+        topk_matmul,
+    )
+
+    qs = sample_queries(emb, 100, limit=8)
+    brute = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in QUERIES["similarity_topk"](spark, sf_dir).collect()
+        if any(r["q_id"] == q[0] for q in qs)
+    }
+    shortlist = topk_matmul(emb, qs, k=5 + 8)
+    got = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in exact_rerank(emb, shortlist, qs, k=5).collect()
+    }
+    assert got == brute
+
+
+def test_sample_queries_limit_bounds_collect(spark, emb):
+    """limit=n caps the driver collect at the n lowest matching ids —
+    the registry contract that keeps driver memory O(chosen), not
+    corpus-scaled."""
+    all_qs = sample_queries(emb, 10)
+    capped = sample_queries(emb, 10, limit=3)
+    assert len(capped) == 3
+    assert [q[0] for q in capped] == sorted(q[0] for q in all_qs)[:3]
+    assert dict((q[0], q[1]) for q in all_qs)[capped[0][0]] == capped[0][1]
