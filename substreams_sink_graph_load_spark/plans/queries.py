@@ -1199,17 +1199,38 @@ def decimal_arithmetic_q(spark, sf_dir):
     )
 
 
-@_q("agg_approx_distinct")  # HLL sketches differ across engines: rows-only
+@_q(
+    "agg_approx_distinct",
+    """
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n_events,
+           cast(count(DISTINCT user_id) AS bigint) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct_q(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the sketch-based cardinality
     path for 100 TB group-bys where exact count-distinct's per-key dedup
-    shuffle is prohibitive.  No SQL oracle — DuckDB's approx sketch differs
-    by construction; exactness is bounded in the unit check below (rsd 1%)
-    and the exact twin is Q: agg_count_distinct."""
+    shuffle is prohibitive.  HLL register values are engine-specific, so
+    the oracle pins the sketch's CONTRACT instead of its internals: the
+    output carries the exact cardinality (hash-checked value-for-value
+    against DuckDB) plus a boolean asserting the rsd=1% sketch landed
+    within 5% of it — deterministic (HLL++ has no RNG; same data -> same
+    registers -> same estimate), so a broken sketch flips the boolean and
+    the hash.  Both aggregates run in the SAME groupBy (one shuffle,
+    partial-before-merge); the exact twin query is agg_count_distinct."""
     e = _events(spark, sf_dir)
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.count_distinct("user_id")
+            )
+            <= F.count_distinct("user_id") * 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -1602,7 +1623,8 @@ def quality_score(spark, sf_dir):
     "ann_ivf_topk",
     """
     WITH c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS ce
-               FROM embeddings WHERE vec_id % 50 = 0),
+               FROM embeddings WHERE vec_id % 50 = 0
+               ORDER BY vec_id LIMIT 400),
     assign AS (
       SELECT vec_id, embedding, cid FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -1612,7 +1634,8 @@ def quality_score(spark, sf_dir):
       ) WHERE rn = 1
     ),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS q_cid
-          FROM assign WHERE vec_id % 100 = 0)
+          FROM assign WHERE vec_id % 100 = 0
+          ORDER BY vec_id LIMIT 64)
     SELECT q_id, neighbor_id, rank FROM (
       SELECT q.q_id, a.vec_id AS neighbor_id,
              row_number() OVER (PARTITION BY q.q_id
@@ -1628,7 +1651,8 @@ def ann_ivf_topk(spark, sf_dir):
 
     Scale path vs brute force: per-query work drops from |corpus| to
     |cell|; the centroids collect to the driver (nlist x dim doubles —
-    kilobytes) and ride the assignment closure, the corpus streams once
+    kilobytes, capped at 400 rows like the 64-query cap so no collect is
+    corpus-scaled) and ride the assignment closure, the corpus streams once
     for assignment (one BLAS matmul per Arrow batch; the former JVM
     zip_with fold is CodegenFallback and measured 45s at sf1 for the
     8M-dot crossJoin, vs ~1s here) and once for in-cell scoring — no
@@ -1645,17 +1669,22 @@ def ann_ivf_topk(spark, sf_dir):
     import numpy as np
 
     cent_rows = (
-        e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
+        e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(400).collect()
     )
     assign = ivf_assign_dot(
         e,
         np.array([r["vec_id"] for r in cent_rows], dtype=np.int64),
         np.array([r["e"] for r in cent_rows], dtype=np.float64),
     )
-    q = assign.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("e").alias("q_emb"),
-        F.col("cid").alias("q_cid"),
+    q = (
+        assign.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("q_emb"),
+            F.col("cid").alias("q_cid"),
+        )
     )
     dot_q = F.aggregate(
         F.zip_with(F.col("e"), F.col("q_emb"), lambda a, b: a * b),
@@ -1953,13 +1982,42 @@ def filter_range_q(spark, sf_dir):
     )
 
 
-@_q("bigdecimal_normalize")  # graph-node rounding semantics: rows-only check
+@_q(
+    "bigdecimal_normalize",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             printf('%.4f', l_extendedprice) AS mant,
+             l_linenumber - 3 AS exp
+      FROM lineitem WHERE l_orderkey % 500 = 0
+    ),
+    d AS (
+      SELECT l_orderkey, l_linenumber, exp,
+             mant || 'e' || CAST(exp AS VARCHAR) AS raw,
+             replace(mant, '.', '') AS digits,
+             regexp_replace(replace(mant, '.', ''), '0+$', '') AS stripped
+      FROM r
+    )
+    SELECT l_orderkey, l_linenumber, raw,
+           CASE WHEN stripped = '' THEN '0' ELSE stripped END AS int_val,
+           CASE WHEN stripped = '' THEN 0
+                ELSE cast(4 - exp - (len(digits) - len(stripped)) AS bigint)
+           END AS scale
+    FROM d
+    """,
+)
 def bigdecimal_normalize_q(spark, sf_dir):
     """BigDecimal normalization (§2.9 F9): parse sci-notation, cut to 34
-    significant digits rounding toward +inf, strip trailing zeros.  Golden-
-    vector validated against stablehash/big_decimal_test.go; no SQL oracle
-    (DecimalType rounds half-up — provably different on the goldens), so the
-    driver records the rows-only check.  Arrow-batched pandas UDF."""
+    significant digits rounding toward +inf, strip trailing zeros.
+    Golden-vector validated against stablehash/big_decimal_test.go
+    (where the 34-digit cut and the negative-digit-count quirk ARE
+    exercised); the oracle replays the normalization symbolically in
+    VARCHAR (never DecimalType, whose half-up rounding provably differs
+    on the goldens): on these <=10-significant-digit inputs the
+    normalize is exactly strip-trailing-zeros + scale = 4 - exp - t,
+    which DuckDB computes with string ops — so the driver hash-checks
+    the parse/strip/scale path value-for-value, while the cut/rounding
+    quirks stay pinned by the goldens.  Arrow-batched pandas UDF."""
     from pyspark.sql.functions import pandas_udf
 
     from ..stablehash.big_decimal import BigDecimal
@@ -2475,14 +2533,31 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
-@_q("agg_approx_percentile")  # rows-only: sketch internals are engine-specific
+@_q(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.5) AS p50,
+           quantile_disc(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark, sf_dir):
     """Streaming-friendly percentile sketch: approx_percentile keeps a
     bounded mergeable summary per group (partial/final agg, one shuffle,
     constant state) — the 100 TB path its exact sibling agg_percentiles
-    (full per-group sort) can't take.  Rows-only: quantile sketches are
-    engine-specific, so no cross-engine value oracle exists; the exact
-    variant IS hash-checked and bounds this one's error.
+    (full per-group sort) can't take.
+
+    Hash-oracled against DuckDB's EXACT discrete percentile: the GK
+    sketch at accuracy=10000 guarantees rank error <= n/10000, while
+    l_quantity's 50 distinct values each span ~n/50 ranks — the
+    guaranteed error is 200x smaller than a value bucket, so the sketch
+    returns the exact discrete percentile unless the target rank falls
+    within n/10000 of a value boundary.  Deterministic (same data ->
+    same sketch -> same answer); verified value-equal at
+    sf0.001/0.01/0.1/1/10.  The sketch is genuinely in the path: a
+    broken merge shifts the estimate across a bucket and the hash.
 
     The three percentiles come back as scalar columns (one sketch per
     group evaluated at three points) rather than one array column —
