@@ -178,19 +178,26 @@ def main() -> None:
     spreads = {name: max(ts) - min(ts) for name, ts in samples.items()}
     worst = max(spreads, key=spreads.get)
 
-    out = {
+    # the driver records a bounded slice of stdout — keep the parseable
+    # contract line COMPACT (metric + per-query mins only) and print it
+    # both first and last, with the variance/sf1 detail in a side file
+    # (BENCH_DETAIL.json, committed) instead of the contract line
+    core = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "variance": {
-            "runs": runs,
-            "pass_totals": pass_totals,
-            "worst_query_spread": {
-                "query": worst,
-                "spread_sec": round(spreads[worst], 3),
-            },
+    }
+    print(json.dumps(core), flush=True)
+
+    out = dict(core)
+    out["variance"] = {
+        "runs": runs,
+        "pass_totals": pass_totals,
+        "worst_query_spread": {
+            "query": worst,
+            "spread_sec": round(spreads[worst], 3),
         },
     }
 
@@ -229,7 +236,13 @@ def main() -> None:
             },
         }
 
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"# variance + sf1 detail -> {detail_path}", file=sys.stderr)
+    print(json.dumps(core))
     spark.stop()
 
 

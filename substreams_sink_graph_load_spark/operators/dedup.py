@@ -544,6 +544,18 @@ def connected_components(
     """
     spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # the small_graph_rows gate sizes the driver collect assuming 16 B/edge
+    # (two longs) — a string-id edge list could be 10x that and silently
+    # blow the driver, so non-integral ids are rejected loudly; callers
+    # with string keys should dense-rank them to longs first (the LSH
+    # producers in this module already emit long ids)
+    for f in e.schema.fields:
+        if f.dataType.typeName() not in ("long", "integer", "short", "byte"):
+            raise TypeError(
+                f"connected_components requires integral node ids; column "
+                f"{f.name!r} is {f.dataType.simpleString()} — dense-rank "
+                "string keys to longs before calling"
+            )
     try:
         n_pairs = e.count()
         if n_pairs <= small_graph_rows:

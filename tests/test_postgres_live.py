@@ -258,21 +258,23 @@ def test_copy_error_surfaces(pg_dsn, tmp_path):
 def test_extract_index_cli_live(pg_dsn, tmp_path, monkeypatch):
     """CLI extract-index against the live catalog: reference-format
     output, schema-table filtering, and --save's create_indexes.ddl
-    (ref extract-indexes.go:31-45, 98-104, 141-147)."""
+    (ref extract-indexes.go:31-45, 98-104, 141-147; the schema is
+    sgd-prefixed because live mode validates the sgd/Qm prefix like
+    extract-indexes.go:74-92)."""
     import contextlib
     import io
 
     from substreams_sink_graph_load_spark.cli import main as cli_main
 
-    run_sql(pg_dsn, 'CREATE SCHEMA IF NOT EXISTS "xidx"')
+    run_sql(pg_dsn, 'CREATE SCHEMA IF NOT EXISTS "sgd77x"')
     run_sql(
         pg_dsn,
-        'CREATE TABLE "xidx"."pair" ("id" text NOT NULL, "token0" text, '
+        'CREATE TABLE "sgd77x"."pair" ("id" text NOT NULL, "token0" text, '
         "CONSTRAINT xpair_pkey PRIMARY KEY (id))",
     )
-    run_sql(pg_dsn, 'CREATE INDEX xpair_token0_idx ON "xidx"."pair" (token0)')
+    run_sql(pg_dsn, 'CREATE INDEX xpair_token0_idx ON "sgd77x"."pair" (token0)')
     # a table OUTSIDE the graphql schema must be filtered out
-    run_sql(pg_dsn, 'CREATE TABLE "xidx"."noise" ("id" text PRIMARY KEY)')
+    run_sql(pg_dsn, 'CREATE TABLE "sgd77x"."noise" ("id" text PRIMARY KEY)')
 
     sdl = tmp_path / "pair.graphql"
     sdl.write_text("type Pair @entity {\n  id: ID!\n  token0: String\n}\n")
@@ -281,7 +283,7 @@ def test_extract_index_cli_live(pg_dsn, tmp_path, monkeypatch):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = cli_main(
-            ["extract-index", "xidx", pg_dsn, str(sdl), "--save"]
+            ["extract-index", "sgd77x", pg_dsn, str(sdl), "--save"]
         )
     out = buf.getvalue()
     assert rc == 0
