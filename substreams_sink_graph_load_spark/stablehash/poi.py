@@ -254,7 +254,7 @@ def fold_runs_batched(
     import json as _json
     import numpy as np
 
-    from .xxh3_batch import hash1_seeded, hash32_seeded
+    from .xxh3_batch import hash1_seeded, hash32_seeded, hash_bytes_seeded
 
     M64 = (1 << 64) - 1
     M63 = (1 << 63) - 1
@@ -264,6 +264,13 @@ def fold_runs_batched(
     s32_hi: list[int] = []
     s32_state: list[bytes] = []
     s32_key: list[object] = []
+    # entity/id string writes (2 per event) batch through the
+    # variable-length short-string kernels — the last scalar xxh3 calls
+    # on the per-event path (~15 us each pure-Python; ~0.5 us batched)
+    str_data: list[bytes] = []
+    str_seed: list[int] = []
+    str_hi: list[int] = []
+    str_key: list[object] = []
     v_seed = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
     v_hi = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
     v_key = {OP_REMOVE_VARIANT: [], OP_SET_VARIANT: []}
@@ -288,8 +295,22 @@ def fold_runs_batched(
         for idx, (_, ev) in enumerate(evs, start=offset):
             ch = ev if isinstance(ev, dict) else _json.loads(ev)["entity_change"]
             addr = addr_children(ADDRESS_ROOT, (1, 0, block, 0, idx))
-            String(ch["entity"]).stable_hash(addr_child(addr, 0), h)
-            String(ch["id"]).stable_hash(addr_child(addr, 1), h)
+            # String.stable_hash == one write of the utf-8 bytes at the
+            # child address, SKIPPED for empty strings (values.py Bytes)
+            ent = ch["entity"].encode("utf-8")
+            if ent:
+                a0 = addr_child(addr, 0)
+                str_data.append(ent)
+                str_seed.append(a0 & M64)
+                str_hi.append((a0 >> 64) & M63)
+                str_key.append(key)
+            eid = ch["id"].encode("utf-8")
+            if eid:
+                a1 = addr_child(addr, 1)
+                str_data.append(eid)
+                str_seed.append(a1 & M64)
+                str_hi.append((a1 >> 64) & M63)
+                str_key.append(key)
             op = ch.get("operation")
             # 3 = the wire protocol's OPERATION_DELETE (operators/poi.py
             # OP_DELETE); everything else maps to SetEntity, matching
@@ -313,6 +334,16 @@ def fold_runs_batched(
             v_hi[variant].append((addr >> 64) & M63)
             v_key[variant].append(key)
 
+    if str_data:
+        lo, hi = hash_bytes_seeded(
+            str_data, np.array(str_seed, dtype=np.uint64)
+        )
+        for hi_part, k, l, hh in zip(
+            str_hi, str_key, lo.tolist(), hi.tolist()
+        ):
+            h = hashers[k]
+            h.mixer = fldmix_combine(h.mixer, hi_part | (l << 64) | (hh << 128))
+            h.count += 1
     if s32_seed:
         lo, hi = hash32_seeded(
             np.frombuffer(b"".join(s32_state), dtype="<u8").reshape(-1, 4),

@@ -103,3 +103,154 @@ def hash1_seeded(byte_val: int, seeds: np.ndarray):
     lo = _xxh64_avalanche(combined_l ^ bitflip_l)
     hi = _xxh64_avalanche(combined_h ^ bitflip_h)
     return lo, hi
+
+
+# --- variable-length short-string kernels (lengths 1..16) -------------------
+#
+# The POI fold's remaining scalar hash calls are the entity/id STRING
+# writes — two per event, ~15 us each through the pure-Python scalar path.
+# Entity names and ids are short (4-16 bytes in every observed schema), so
+# the same batching that rescued the fixed-length writes applies: extract
+# each string's XXH3 input words once (cheap int.from_bytes), group rows
+# by length class, and run each class's arithmetic as uint64 column math.
+# Same differential contract as above: bit-equal to xxh3.xxh3_128_seed,
+# pinned by test_stablehash's randomized sweep over all lengths 0..40.
+
+_S64_16 = _U(np.frombuffer(K_SECRET[16:24], dtype="<u8")[0])
+_S64_24 = _U(np.frombuffer(K_SECRET[24:32], dtype="<u8")[0])
+_S64_32 = _U(np.frombuffer(K_SECRET[32:40], dtype="<u8")[0])
+_S64_40 = _U(np.frombuffer(K_SECRET[40:48], dtype="<u8")[0])
+_S64_48 = _U(np.frombuffer(K_SECRET[48:56], dtype="<u8")[0])
+_S64_56 = _U(np.frombuffer(K_SECRET[56:64], dtype="<u8")[0])
+_P64_12 = _U(0x9FB21C651E98DF25)
+_P32_2M1 = _U(0x85EBCA77 - 1)
+
+
+def _mul128(a: np.ndarray, b: np.ndarray):
+    """(low64, high64) of the elementwise 128-bit product."""
+    ah, al = a >> _U(32), a & _M32
+    bh, bl = b >> _U(32), b & _M32
+    albl = al * bl
+    mid1 = ah * bl
+    mid2 = al * bh
+    carry = ((albl >> _U(32)) + (mid1 & _M32) + (mid2 & _M32)) >> _U(32)
+    high = ah * bh + (mid1 >> _U(32)) + (mid2 >> _U(32)) + carry
+    return a * b, high
+
+
+def _swap32_arr(x: np.ndarray) -> np.ndarray:
+    x = x & _M32
+    return (
+        ((x & _U(0xFF)) << _U(24))
+        | ((x & _U(0xFF00)) << _U(8))
+        | ((x >> _U(8)) & _U(0xFF00))
+        | (x >> _U(24))
+    )
+
+
+def hash1to3_seeded(c1, c2, c3, n, seeds):
+    """XXH3-128 for 1-3 byte inputs: c1=d[0], c2=d[n>>1], c3=d[n-1]."""
+    combined_l = ((c1 << _U(16)) | (c2 << _U(24)) | c3 | (n << _U(8))) & _M32
+    combined_h = _swap32_arr(combined_l)
+    combined_h = ((combined_h << _U(13)) | (combined_h >> _U(19))) & _M32
+    bitflip_l = _U(_S32[0] ^ _S32[1]) + seeds
+    bitflip_h = _U(_S32[2] ^ _S32[3]) - seeds
+    return (
+        _xxh64_avalanche(combined_l ^ bitflip_l),
+        _xxh64_avalanche(combined_h ^ bitflip_h),
+    )
+
+
+def hash4to8_seeded(in_lo, in_hi, n, seeds):
+    """XXH3-128 for 4-8 byte inputs: in_lo=r32(d,0), in_hi=r32(d,n-4)."""
+    seeds = seeds ^ (_swap32_arr(seeds & _M32) << _U(32))
+    input_64 = in_lo + (in_hi << _U(32))
+    bitflip = (_S64_16 ^ _S64_24) + seeds
+    keyed = input_64 ^ bitflip
+    m_lo, m_hi = _mul128(keyed, _P64_1 + (n << _U(2)))
+    m_hi = m_hi + (m_lo << _U(1))
+    m_lo = m_lo ^ (m_hi >> _U(3))
+    m_lo = m_lo ^ (m_lo >> _U(35))
+    m_lo = m_lo * _P64_12
+    m_lo = m_lo ^ (m_lo >> _U(28))
+    return m_lo, _xxh3_avalanche(m_hi)
+
+
+def hash9to16_seeded(in_lo, in_hi, n, seeds):
+    """XXH3-128 for 9-16 byte inputs: in_lo=r64(d,0), in_hi=r64(d,n-8)."""
+    bitflip_l = (_S64_32 ^ _S64_40) - seeds
+    bitflip_h = (_S64_48 ^ _S64_56) + seeds
+    m_lo, m_hi = _mul128(in_lo ^ in_hi ^ bitflip_l, _P64_1)
+    m_lo = m_lo + ((n - _U(1)) << _U(54))
+    in_hi = in_hi ^ bitflip_h
+    m_hi = m_hi + in_hi + (in_hi & _M32) * _P32_2M1
+    m_lo = m_lo ^ m_hi.byteswap()
+    h_lo, h_hi = _mul128(m_lo, _P64_2)
+    h_hi = h_hi + m_hi * _P64_2
+    return _xxh3_avalanche(h_lo), _xxh3_avalanche(h_hi)
+
+
+def hash_bytes_seeded(items: list, seeds: np.ndarray):
+    """XXH3-128 of variable-length byte strings, one seed per item.
+
+    Lengths 1-16 batch through the class kernels above; empty and >16-byte
+    items (rare in POI streams — long ids) fall back to the scalar
+    reference one-by-one.  Returns (lo, hi) uint64 arrays, bit-equal to
+    ``xxh3.xxh3_128_seed(item, seed)`` per row.
+    """
+    from .xxh3 import xxh3_128_seed
+
+    n_items = len(items)
+    lo = np.empty(n_items, dtype=np.uint64)
+    hi = np.empty(n_items, dtype=np.uint64)
+    idx13, idx48, idx916, idx_rest = [], [], [], []
+    for i, d in enumerate(items):
+        ln = len(d)
+        if 4 <= ln <= 8:
+            idx48.append(i)
+        elif 9 <= ln <= 16:
+            idx916.append(i)
+        elif 1 <= ln <= 3:
+            idx13.append(i)
+        else:
+            idx_rest.append(i)
+    if idx48:
+        sel = np.array(idx48)
+        in_lo = np.array(
+            [int.from_bytes(items[i][:4], "little") for i in idx48],
+            dtype=np.uint64,
+        )
+        in_hi = np.array(
+            [int.from_bytes(items[i][-4:], "little") for i in idx48],
+            dtype=np.uint64,
+        )
+        n = np.array([len(items[i]) for i in idx48], dtype=np.uint64)
+        l, h = hash4to8_seeded(in_lo, in_hi, n, seeds[sel])
+        lo[sel], hi[sel] = l, h
+    if idx916:
+        sel = np.array(idx916)
+        in_lo = np.array(
+            [int.from_bytes(items[i][:8], "little") for i in idx916],
+            dtype=np.uint64,
+        )
+        in_hi = np.array(
+            [int.from_bytes(items[i][-8:], "little") for i in idx916],
+            dtype=np.uint64,
+        )
+        n = np.array([len(items[i]) for i in idx916], dtype=np.uint64)
+        l, h = hash9to16_seeded(in_lo, in_hi, n, seeds[sel])
+        lo[sel], hi[sel] = l, h
+    if idx13:
+        sel = np.array(idx13)
+        c1 = np.array([items[i][0] for i in idx13], dtype=np.uint64)
+        c2 = np.array(
+            [items[i][len(items[i]) >> 1] for i in idx13], dtype=np.uint64
+        )
+        c3 = np.array([items[i][-1] for i in idx13], dtype=np.uint64)
+        n = np.array([len(items[i]) for i in idx13], dtype=np.uint64)
+        l, h = hash1to3_seeded(c1, c2, c3, n, seeds[sel])
+        lo[sel], hi[sel] = l, h
+    for i in idx_rest:
+        l, h = xxh3_128_seed(items[i], int(seeds[i]))
+        lo[i], hi[i] = l, h
+    return lo, hi
