@@ -222,3 +222,33 @@ def test_batch_kernels_match_scalar_xxh3():
         for j in (0, 17, 255):
             want_lo, want_hi = xxh3_128_seed(bytes([bv]), int(byte_seeds[j]))
             assert (int(lo1[j]), int(hi1[j])) == (want_lo, want_hi), (bv, j)
+
+
+def test_batch_short_string_kernels_match_scalar():
+    """hash_bytes_seeded must be bit-equal to the scalar xxh3_128_seed
+    across every length class it dispatches (1-3, 4-8, 9-16 batched;
+    0 and >16 scalar fallback), at random 63-bit seeds."""
+    import random
+
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.stablehash.xxh3 import (
+        xxh3_128_seed,
+    )
+    from substreams_sink_graph_load_spark.stablehash.xxh3_batch import (
+        hash_bytes_seeded,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    lengths = [0, 1, 2, 3, 4, 5, 7, 8, 9, 11, 15, 16, 17, 24, 40]
+    items = [
+        bytes(rng.randrange(256) for _ in range(rng.choice(lengths)))
+        for _ in range(2000)
+    ]
+    seeds = np.array([rng.getrandbits(63) for _ in items], dtype=np.uint64)
+    lo, hi = hash_bytes_seeded(items, seeds)
+    for i, (d, s) in enumerate(zip(items, seeds)):
+        assert xxh3_128_seed(d, int(s)) == (int(lo[i]), int(hi[i])), (
+            i,
+            len(d),
+        )
