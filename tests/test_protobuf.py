@@ -230,3 +230,26 @@ def test_jvm_decode_matches_python_codec(spark):
     jvm = parse_change_protobuf(wire, method="jvm").collect()
     py = parse_change_protobuf(wire, method="python").collect()
     assert jvm == py
+
+
+def test_descriptor_set_bytes_pinned():
+    """Byte-pin the hand-serialized FileDescriptorSet (the exact bytes
+    the JVM from_protobuf route loads where the spark-protobuf jar
+    exists).  The structural walk above proves the bytes parse to the
+    right message tree under the wire spec; this digest freezes them so
+    ANY encoder drift — a reordered field table, a changed varint path —
+    is loud even if it happens to stay structurally parseable.  If the
+    descriptor is ever regenerated intentionally (protoc parity check in
+    an environment that has it), re-pin with the verified digest."""
+    import hashlib
+
+    from substreams_sink_graph_load_spark.sources.proto_descriptor import (
+        entity_changes_descriptor_set,
+    )
+
+    blob = entity_changes_descriptor_set()
+    assert len(blob) == 862
+    assert (
+        hashlib.sha256(blob).hexdigest()
+        == "4b5d6a8aec73e4b26476ed77c54ef035f26c5f970045b981c56be1d294caab74"
+    )
