@@ -110,7 +110,11 @@ class EntityChangesStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("option 'path' (wire JSONL file) is required")
-        self.batch_lines = int(options.get("maxlinesperbatch", 10_000))
+        # partition granularity: ~50k lines (~10 MB of wire JSONL) per
+        # task measured ~2x faster than 10k at sf0.1 (fewer Python
+        # data-source worker round trips); still 36 tasks for a 354 MB
+        # backlog, so local[32] stays saturated
+        self.batch_lines = int(options.get("maxlinesperbatch", 50_000))
         self._scan_key: tuple | None = None
         self._line_starts = None  # np.ndarray: byte offset of each line
         self._file_size = 0
