@@ -262,3 +262,65 @@ def test_ivfpq_index_roundtrip_and_pruning(spark, lossless_corpus, tmp_path):
         probe_df.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert probe_df.count() > 0
+
+
+def test_registry_shortlist_margin_holds(spark, sf_dir):
+    """The oracle-exactness of the registry's PQ entries rests on the
+    shortlist contract: every true top-5 neighbor must sit inside the
+    ADC top-L with margin (L = max(96, n/6) plain PQ; max(48, n/24)
+    within-probe for IVF-PQ).  Pin the margin at the test sf dir so a
+    quantizer/LUT regression that silently erodes it fails HERE before
+    it flips a driver hash."""
+    import duckdb
+
+    from substreams_sink_graph_load_spark.operators.ann import sample_queries
+    from substreams_sink_graph_load_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    n = e.count()
+    books = pq_fit(e, m=16, ks=64, iters=2)
+    codes = pq_encode(e, books)
+    queries = sample_queries(e, 100, limit=64)
+    L = max(96, n // 6)
+    # ranks only need resolving down to the margin boundary — searching
+    # k=2L instead of k=n keeps this test cheap; a true neighbor missing
+    # from the top-2L fails the margin assert via KeyError->fail below
+    adc = {
+        (r["q_id"], r["neighbor_id"]): r["rank"]
+        for r in pq_search(codes, books, queries, k=min(n, 2 * L)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exact = con.execute(
+        """
+        WITH q AS (SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS q_emb
+                   FROM embeddings WHERE vec_id % 100 = 0
+                   ORDER BY vec_id LIMIT 64)
+        SELECT q_id, neighbor_id FROM (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY list_inner_product(cast(e.embedding AS DOUBLE[]),
+                                               q.q_emb) DESC, e.vec_id) AS rank
+          FROM embeddings e, q WHERE e.vec_id != q.q_id
+        ) WHERE rank <= 5
+        """
+    ).fetchall()
+    missing = [(q, v) for q, v in exact if (q, v) not in adc]
+    assert not missing, f"true neighbors outside ADC top-2L: {missing[:5]}"
+    worst = max(adc[(qid, nid)] for qid, nid in exact)
+    # contract: L covers the worst true rank with >=1.5x margin
+    assert worst * 3 <= L * 2, (worst, L)
