@@ -1705,14 +1705,22 @@ def quality_score(spark, sf_dir):
     WITH c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS ce
                FROM embeddings WHERE vec_id % 50 = 0
                ORDER BY vec_id LIMIT 400),
+    -- assignment as two streaming aggregates over a thin (vec, cid, dot)
+    -- CTE instead of a row_number window: the window materializes the
+    -- corpus x centroid product WITH embedding payloads (44 GB at sf10);
+    -- this shape peaks at the 24-byte-per-pair dot table
+    pairdots AS (
+      SELECT e.vec_id, c.cid,
+             list_inner_product(cast(e.embedding AS DOUBLE[]), c.ce) AS dot
+      FROM embeddings e, c),
+    best AS (SELECT vec_id, max(dot) AS mdot FROM pairdots GROUP BY vec_id),
+    assign0 AS (
+      SELECT p.vec_id, min(p.cid) AS cid
+      FROM pairdots p JOIN best b ON p.vec_id = b.vec_id AND p.dot = b.mdot
+      GROUP BY p.vec_id),
     assign AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_inner_product(cast(e.embedding AS DOUBLE[]), c.ce) DESC, c.cid) AS rn
-        FROM embeddings e, c
-      ) WHERE rn = 1
-    ),
+      SELECT a.vec_id, e.embedding, a.cid
+      FROM assign0 a JOIN embeddings e ON a.vec_id = e.vec_id),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS q_cid
           FROM assign WHERE vec_id % 100 = 0
           ORDER BY vec_id LIMIT 64)
@@ -4753,13 +4761,22 @@ def dedup_substring_remove(spark, sf_dir):
     WITH c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS ce
                FROM embeddings WHERE vec_id % 50 = 0
                ORDER BY vec_id LIMIT 256),
+    -- L2-argmin assignment via streaming aggregates over a thin
+    -- (vec, cid, dist) CTE — same shape as ann_ivf_topk's oracle; a
+    -- row_number window here materializes corpus x centroids with
+    -- embedding payloads (tens of GB at sf10)
+    pairdist AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(cast(e.embedding AS DOUBLE[]), c.ce) AS dist
+      FROM embeddings e, c),
+    best AS (SELECT vec_id, min(dist) AS mdist FROM pairdist GROUP BY vec_id),
+    assign0 AS (
+      SELECT p.vec_id, min(p.cid) AS cid
+      FROM pairdist p JOIN best b ON p.vec_id = b.vec_id AND p.dist = b.mdist
+      GROUP BY p.vec_id),
     assign AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_distance(cast(e.embedding AS DOUBLE[]), c.ce) ASC,
-                          c.cid) AS rn
-        FROM embeddings e, c) WHERE rn = 1),
+      SELECT a.vec_id, e.embedding, a.cid
+      FROM assign0 a JOIN embeddings e ON a.vec_id = e.vec_id),
     q AS (SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS q_emb
           FROM embeddings WHERE vec_id % 100 = 0
           ORDER BY vec_id LIMIT 64),
