@@ -25,6 +25,8 @@ AUDIT = [
     # round-5 continuation: the new corpus/time-series operators
     "dedup_substring_remove", "quality_lm_bigram", "events_retention",
     "events_gapfill",
+    # round-6: the oracle-exact ANN rerank shapes
+    "ann_topk_matmul", "ann_pq_topk", "ann_ivf_pq_topk", "dedup_embedding",
 ]
 
 
