@@ -281,10 +281,48 @@ def _make_fold_runs(offsets_bc):
     return fold_runs
 
 
+def discover_runs(
+    raw: DataFrame,
+    target_split_bytes: int = 16 << 20,
+    max_runs: int = 5_000_000,
+) -> list[tuple[int, int, int, int]] | None:
+    """Pass 1 of the shuffle-free fold, exposed on its own: the
+    column-pruned (block_num, seq) scan segmenting each split's arrival
+    order into per-block runs.  Callers that need BOTH the order check
+    and the POI fold (streaming/run_ingest) run this once and derive
+    both from it — one fewer full pass over the log.  Returns
+    (block, min_seq, max_seq, n) tuples, or None above ``max_runs``
+    (driver-collect bound).  ``target_split_bytes`` must match the fold
+    pass's value: split planning is what makes pass-2 run boundaries
+    reproduce these (the cross-pass validation catches any drift)."""
+    spark = raw.sparkSession
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(target_split_bytes))
+    try:
+        run_rows = (
+            raw.select("block_num", "seq")
+            .mapInPandas(_discover_runs, _RUNS_SCHEMA)
+            .collect()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    if len(run_rows) > max_runs:
+        return None
+    return [
+        (r["block_num"], r["min_seq"], r["max_seq"], r["n"])
+        for r in run_rows
+    ]
+
+
 def poi_block_states_sorted(
     raw: DataFrame,
     target_split_bytes: int = 16 << 20,
     max_runs: int = 5_000_000,
+    runs: list[tuple[int, int, int, int]] | None = None,
 ) -> list[tuple[int, bytes, int]] | None:
     """SHUFFLE-FREE per-block paused POI states for physically seq-sorted
     logs (the ``run`` stage's staged parquet: micro-batches append in
@@ -329,19 +367,12 @@ def poi_block_states_sorted(
     prior = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, str(target_split_bytes))
     try:
-        run_rows = (
-            raw.select("block_num", "seq")
-            .mapInPandas(_discover_runs, _RUNS_SCHEMA)
-            .collect()
-        )
-        if not run_rows:
+        if runs is None:
+            runs = discover_runs(raw, target_split_bytes, max_runs)
+            if runs is None:
+                return None
+        if not runs:
             return []
-        if len(run_rows) > max_runs:
-            return None
-        runs = [
-            (r["block_num"], r["min_seq"], r["max_seq"], r["n"])
-            for r in run_rows
-        ]
         offsets = _run_offsets(runs)
         if offsets is None:
             return None
@@ -386,6 +417,7 @@ def poi_chain(
     chain_id: str,
     start_poi: bytes | None = None,
     assume_sorted: bool = False,
+    runs: list[tuple[int, int, int, int]] | None = None,
 ) -> DataFrame:
     """Full digest chain with change-suppression: one row per block whose
     digest differs from the previous block's (the ``poi2$`` stream).
@@ -393,12 +425,14 @@ def poi_chain(
     ``assume_sorted=True`` tries the shuffle-free fold
     (poi_block_states_sorted) first — correct for the run stage's staged
     log, validated with automatic fallback to the shuffle path.
+    ``runs`` passes a precomputed discover_runs() result so the pass-1
+    scan isn't repeated (run_ingest shares it with the order check).
 
     Returns (block_num long, id string, digest string hex).
     """
     states: list[tuple[int, bytes]] | None = None
     if assume_sorted:
-        sorted_states = poi_block_states_sorted(raw)
+        sorted_states = poi_block_states_sorted(raw, runs=runs)
         if sorted_states is not None:
             states = [(b, st) for b, st, _ in sorted_states]
     if states is None:
@@ -468,6 +502,7 @@ def poi_tocsv(
     start_poi: bytes | None = None,
     first_block: int = 0,
     assume_sorted: bool = False,
+    runs: list[tuple[int, int, int, int]] | None = None,
 ) -> list[str]:
     """End-to-end poi2$ pipeline: interleaved change stream -> digest chain
     -> SCD-2 versions -> bundled ``poi2$`` CSV files (header
@@ -483,7 +518,8 @@ def poi_tocsv(
     from .bundles import write_bundled_csv
 
     chain = poi_chain(
-        spark, raw, chain_id, start_poi=start_poi, assume_sorted=assume_sorted
+        spark, raw, chain_id, start_poi=start_poi,
+        assume_sorted=assume_sorted, runs=runs,
     )
     versions = poi_entity_versions(chain)
     rendered = render_poi_csv(versions, bundle_size)

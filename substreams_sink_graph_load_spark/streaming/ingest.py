@@ -127,6 +127,43 @@ def check_final_blocks_only(
     return hwm
 
 
+def check_final_blocks_from_runs(
+    runs: list[tuple[int, int, int, int]],
+) -> tuple[bool, int | None]:
+    """Order check derived from :func:`operators.poi.discover_runs`
+    output — zero extra scans when the caller computes runs for the POI
+    fold anyway.
+
+    Returns ``(ok, high_water)``.  ``ok=False`` means the run structure
+    cannot PROVE the global cursor order (some runs' seq intervals
+    overlap — physically interleaved staging), and the caller must fall
+    back to :func:`check_final_blocks_only`'s windowed scan; it never
+    means "order violated".  A proven violation raises the same
+    ValueError as the windowed check: runs sorted by min_seq with
+    pairwise-disjoint intervals ARE the global seq order, each run holds
+    exactly one block, so a run whose block sits below the running
+    high-water mark starts (at its min_seq) the same first-violation
+    cursor the windowed check reports.
+    """
+    if not runs:
+        return True, None
+    rs = sorted(runs, key=lambda r: (r[1], r[2]))
+    prev_max: int | None = None
+    hwm: int | None = None
+    for blk, mn, mx, _n in rs:
+        if prev_max is not None and mn <= prev_max:
+            return False, None
+        prev_max = mx
+        if hwm is not None and blk < hwm:
+            raise ValueError(
+                f"received undo signal / out-of-order block at cursor "
+                f"{mn}: block {blk} below high-water mark {hwm} — the "
+                f"sink requires final blocks only"
+            )
+        hwm = blk if hwm is None else max(hwm, blk)
+    return True, hwm
+
+
 def demux_jsonl(
     spark: SparkSession,
     raw: DataFrame,
@@ -365,8 +402,20 @@ def run_ingest(
 
     staged = ingest.staged_df()
     last: int | None = None
+    # One narrow (block_num, seq) pass serves BOTH the order check and
+    # the POI fold's run offsets — at cluster scale that deletes a full
+    # log-key shuffle+window (the former standalone order check)
+    runs = None
+    if enforce_order or chain_id is not None:
+        from ..operators.poi import discover_runs
+
+        runs = discover_runs(staged)
     if enforce_order:
-        last = check_final_blocks_only(staged)
+        ok = False
+        if runs is not None:
+            ok, last = check_final_blocks_from_runs(runs)
+        if not ok:
+            last = check_final_blocks_only(staged)
     # The sinker start block: blocks below first_block belong to an
     # earlier run's bundles, so drop them HERE, deliberately and
     # documented — demux_jsonl itself treats any out-of-range row as a
@@ -387,7 +436,7 @@ def run_ingest(
         files["poi2$"] = poi_tocsv(
             spark, staged, dest_dir, chain_id, stop_block,
             bundle_size=bundle_size, start_poi=start_poi,
-            first_block=first_block, assume_sorted=True,
+            first_block=first_block, assume_sorted=True, runs=runs,
         )
 
     # the order check already computed the global max; only re-scan when

@@ -316,3 +316,34 @@ def test_demux_raises_on_block_in_first_bundle_but_below_first(spark, tmp_path):
             stop_block=2000,
             first_block=1500,
         )
+
+
+def test_check_final_blocks_from_runs_paths():
+    """The run-derived order check: proves order on disjoint intervals,
+    raises the windowed check's error on a block regression, and returns
+    indeterminate (never a false verdict) on interleaved intervals."""
+    import pytest
+
+    from substreams_sink_graph_load_spark.streaming.ingest import (
+        check_final_blocks_from_runs,
+    )
+
+    # clean: two partitions' runs, blocks non-decreasing in seq order
+    ok, hwm = check_final_blocks_from_runs(
+        [(5, 0, 9, 10), (5, 10, 14, 5), (7, 15, 19, 5)]
+    )
+    assert ok and hwm == 7
+
+    # violation: block 3 appears after high-water 7 — same message shape
+    with pytest.raises(ValueError, match="cursor 20.*block 3 below"):
+        check_final_blocks_from_runs(
+            [(5, 0, 9, 10), (7, 10, 19, 10), (3, 20, 24, 5)]
+        )
+
+    # interleaved seq intervals -> indeterminate, caller falls back
+    ok, hwm = check_final_blocks_from_runs(
+        [(5, 0, 10, 6), (6, 5, 14, 6)]
+    )
+    assert not ok and hwm is None
+
+    assert check_final_blocks_from_runs([]) == (True, None)
