@@ -1037,7 +1037,7 @@ def dedup_exact(spark, sf_dir):
     "similarity_topk",
     """
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id % 100 = 0),
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
     p AS (SELECT q.q_id, e.vec_id AS neighbor_id,
                  list_inner_product(cast(e.embedding AS DOUBLE[]),
                                     cast(q.q_emb AS DOUBLE[])) AS dot
@@ -1050,16 +1050,24 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def similarity_topk(spark, sf_dir):
-    """Brute-force cosine/dot top-k neighbors for a 1% query sample.
+    """Brute-force cosine/dot top-k neighbors for a bounded query sample.
 
-    Scale path: the query set broadcasts (tiny), the corpus streams through
-    once — no corpus self-shuffle.  Output is ids+rank only, so float
-    accumulation differences can never flip a hash, and both engines fold
-    the dot product left-to-right in double.
+    Scale path: the query set broadcasts (tiny — capped at 64 like the
+    ANN family so per-query work is the ONLY thing that scales with the
+    corpus), the corpus streams through once — no corpus self-shuffle.
+    Output is ids+rank only, so float accumulation differences can never
+    flip a hash, and both engines fold the dot product left-to-right in
+    double.  This remains the documented exact baseline the ANN tiers
+    are measured against; its per-query cost is O(corpus) by definition.
     """
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
     )
     pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
     dot = F.aggregate(
