@@ -1,0 +1,105 @@
+"""Independent sf10-scale check for ``dedup_clusters``.
+
+The registry oracle's recursive CTE computes the full transitive closure
+(O(sum of component sizes^2) rows in ``reach``), which is exact but
+intractable in DuckDB 1.0 at sf10 boilerplate densities.  This replay
+keeps the expensive part cross-engine — the MinHash signatures, banding
+and candidate-pair join run in DuckDB from the SAME ``_SIG_CTE_SQL`` the
+oracle embeds — and replaces only the pure graph-algebra step with an
+independent union-find (min-label components), then compares against the
+Spark ``dedup_clusters`` registry query exactly.
+
+Usage: SPARK_GRAFT_SF_DIR=... python scripts/cc_oracle_replay.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from substreams_sink_graph_load_spark.plans.queries import _SIG_CTE_SQL
+from substreams_sink_graph_load_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+PAIRS_SQL = f"""
+WITH {_SIG_CTE_SQL},
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
+  FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM pairs
+"""
+
+
+def union_find_min_label(edges):
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as the root so root == min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def main() -> int:
+    con = duckdb.connect()
+    con.execute("SET threads = 8")
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    t0 = time.time()
+    edges = con.execute(PAIRS_SQL).fetchall()
+    t_pairs = time.time() - t0
+    labels = union_find_min_label(edges)
+    print(f"duckdb pairs: {len(edges)} edges in {t_pairs:.1f}s; "
+          f"{len(labels)} nodes, {len(set(labels.values()))} components")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    t0 = time.time()
+    sdf = entry_mod.queries()["dedup_clusters"](spark, SF_DIR).toPandas()
+    t_spark = time.time() - t0
+    got = dict(zip(sdf["doc_id"].astype(int), sdf["cluster_id"].astype(int)))
+    ok = got == labels
+    print(f"spark dedup_clusters: {len(got)} rows in {t_spark:.1f}s; "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+    if not ok:
+        extra = set(got) - set(labels)
+        missing = set(labels) - set(got)
+        diff = [k for k in set(got) & set(labels) if got[k] != labels[k]]
+        print(f"  extra={len(extra)} missing={len(missing)} label-diff={len(diff)}")
+        for k in sorted(diff)[:10]:
+            print(f"  doc {k}: spark={got[k]} replay={labels[k]}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
