@@ -137,3 +137,33 @@ def _lloyd_rounds(
         cents = cents.copy()
         cents[nz] = s[nz] / n[nz, None]
     return cents
+
+
+def kmeans_sse(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> float:
+    """Total within-assignment SSE against a FIXED centroid set: every
+    point contributes its squared L2 distance to the nearest centroid.
+
+    Same decomposition as a fit round — one scan, per-partition scalar
+    partials (a single double per task), folded by a built-in sum.  This
+    is the k-means objective; used by the registry's fit-contract oracle
+    (Lloyd monotonicity: fitted SSE <= init SSE and <= the k=1 SSE about
+    the global mean, both theorems independent of the data vintage)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = 0.0
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s += float(_dist2(block, cents).min(axis=1).sum())
+        if seen:
+            yield pd.DataFrame({"sse": [s]})
+
+    part = df.select(vec_col).mapInPandas(partials, "sse double")
+    row = part.agg(F.sum("sse").alias("sse")).collect()[0]
+    return float(row["sse"] or 0.0)

@@ -2832,41 +2832,82 @@ def cluster_kmeans_assign(spark, sf_dir):
     return kmeans_assign(e, cents)
 
 
-@_q("cluster_kmeans_fit")  # rows-only: iterative refinement has no SQL twin
+@_q(
+    "cluster_kmeans_fit",
+    """
+    SELECT cast(count(*) AS bigint) AS n_points,
+           10 AS k_centroids,
+           TRUE AS sse_le_init,
+           TRUE AS sse_le_onecluster
+    FROM embeddings
+    """,
+)
 def cluster_kmeans_fit(spark, sf_dir):
     """Five Lloyd's iterations (operators/cluster.py kmeans_fit: one job
-    per round, per-partition partial sums, K x dim bytes to the driver)
-    then a final assignment; returns per-cluster sizes + centroid norms.
+    per round, per-partition partial sums, K x dim bytes to the driver),
+    hash-oracled via the same bound-contract pattern as the approx
+    sketches: raw fit internals (sizes, norms) are float-order-dependent
+    across vintages, so the output pins the fit's CONTRACT with values
+    the oracle computes independently plus booleans that are THEOREMS,
+    not statistical luck:
 
-    The one registry entry that REMAINS rows-only, deliberately — both
-    oracle designs fail on measured grounds: (a) a label-purity oracle
-    (fit recovers the generator's planted clusters, oracle = per-label
-    counts) needs separable data, and the driver's shipped embeddings
-    measure ~0.15 modal purity under this fit (no label structure — vs
-    0.9995 on the locally generated sf1 vintage), so no purity floor
-    holds across vintages; (b) a recursive-CTE Lloyd replay in SQL is
-    float-divergent on exactly such overlapped data — per-round means
-    summed in different orders flip argmin for the many near-boundary
-    points, compounding across rounds.  The operator is instead anchored
-    by tests/test_cluster.py's numpy differential run, and its
-    assignment half IS hash-checked via cluster_kmeans_assign."""
-    from ..operators.cluster import kmeans_assign, kmeans_fit
+    * ``sse_le_init`` — Lloyd monotonicity: the final min-assignment SSE
+      never exceeds the SSE of the deterministic seed centroids (the k
+      lowest vec_id vectors).  Each round's argmin step and mean-update
+      step both weakly decrease the objective.
+    * ``sse_le_onecluster`` — cell means minimize within-cell SSE, so the
+      fitted partition's SSE is bounded by the k=1 SSE about the global
+      mean (computed JVM-side as sum over dims of n * var_pop — no second
+      Python pass).
 
+    Both margins are sums over every point, so they dwarf float
+    accumulation noise on any non-degenerate data; a broken update rule,
+    divergence, or NaN centroids flips a boolean (NaN compares false) and
+    the driver hash.  Earlier oracle designs fail on measured grounds —
+    label purity needs separable data (~0.15 modal purity on the shipped
+    embeddings) and a SQL Lloyd replay is float-divergent on overlapped
+    data — which is exactly why the contract, not the trajectory, is
+    what's pinned.  The per-point assignment half is hash-checked
+    value-for-value via cluster_kmeans_assign; trajectory exactness is
+    anchored by tests/test_cluster.py's numpy differential run."""
     import numpy as np
 
+    from ..operators.cluster import kmeans_fit, kmeans_sse
+
     e = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(e, 10, iters=5)
-    sizes = kmeans_assign(e, cents).groupBy("cluster").agg(
-        F.count("*").alias("n")
-    )
-    norms = spark.createDataFrame(
+    seed = np.array(
         [
-            (int(i), float(np.round(np.linalg.norm(c), 6)))
-            for i, c in enumerate(cents)
+            r["embedding"]
+            for r in e.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
         ],
-        "cluster int, centroid_norm double",
+        dtype="float64",
     )
-    return sizes.join(norms, "cluster").select("cluster", "n", "centroid_norm")
+    cents = kmeans_fit(e, 10, iters=5)
+    sse_fit = kmeans_sse(e, cents)
+    sse_init = kmeans_sse(e, seed)
+    n_points = e.count()
+    sse_one = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.sum("v").alias("tv"))
+        .collect()[0]["tv"]
+    ) * n_points
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                len(cents),
+                bool(sse_fit <= sse_init),
+                bool(sse_fit <= sse_one),
+            )
+        ],
+        "n_points long, k_centroids int, sse_le_init boolean, "
+        "sse_le_onecluster boolean",
+    )
 
 
 @_q(

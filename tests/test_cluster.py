@@ -8,6 +8,7 @@ import pytest
 from substreams_sink_graph_load_spark.operators.cluster import (
     kmeans_assign,
     kmeans_fit,
+    kmeans_sse,
 )
 
 
@@ -69,3 +70,24 @@ def test_fit_empty_cluster_keeps_centroid(spark):
     cents = kmeans_fit(d, 3, iters=2)
     assert cents.shape == (3, 2)
     assert np.isfinite(cents).all()
+
+def test_sse_matches_numpy_and_lloyd_contract(spark, df, vecs):
+    """kmeans_sse == the sequential objective, and the two fit-contract
+    theorems the registry oracle pins (monotonicity vs the seed; bounded
+    by the k=1 SSE about the global mean) hold on real data."""
+    v64 = vecs.astype(np.float64)
+
+    def ref_sse(cents):
+        d2 = ((v64[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    seed = v64[:3].copy()
+    fit = kmeans_fit(df, 3, iters=4)
+    got_fit, got_seed = kmeans_sse(df, fit), kmeans_sse(df, seed)
+    assert got_fit == pytest.approx(ref_sse(fit), rel=1e-12)
+    assert got_seed == pytest.approx(ref_sse(seed), rel=1e-12)
+    # Lloyd monotonicity: final SSE <= init SSE
+    assert got_fit <= got_seed
+    # partition-refinement bound: final SSE <= k=1 SSE about the mean
+    sse_one = ((v64 - v64.mean(axis=0)) ** 2).sum()
+    assert got_fit <= sse_one
