@@ -5250,7 +5250,7 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "dedup_ngram_jaccard": 1.085, "dedup_substring_stats": 1.149,
     "dedup_minhash_pairs": 1.234, "pg_csv_format": 1.321, "poi_chain":
     1.359, "q8_market_share": 1.565, "events_funnel": 1.675,
-    "cluster_kmeans_fit": 1.774, "dedup_embedding": 2.275, "ann_ivf_topk":
+    "cluster_kmeans_fit": 2.647, "dedup_embedding": 2.275, "ann_ivf_topk":
     2.545, "dedup_clusters": 3.084, "dedup_simhash": 3.148,
     "quality_repetition": 5.177, "q12_priority_shipmode": 0.736,
     "q20_part_promotion": 1.042, "q16_supplier_relation": 1.23,
