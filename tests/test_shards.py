@@ -115,3 +115,13 @@ def test_webdataset_roundtrip_and_determinism(spark, docs, tmp_path):
     assert {s: m["sha256"] for s, m in man.items()} == {
         s: m["sha256"] for s, m in man2.items()
     }
+
+
+def test_shard_write_plan_single_exchange(spark, docs, tmp_path):
+    """The 100 TB contract: ONE hash(shard) exchange feeds the per-shard
+    serialization; no second shuffle, no sort-merge join anywhere."""
+    tok = hash_tokenize(docs, vocab_size=50000, out_col="tokens")
+    man = write_token_shards(tok, str(tmp_path / "plan"))
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan
