@@ -170,9 +170,10 @@ def write_webdataset_shards(
     """Write one WebDataset-layout ``shard_NNNNN.tar`` per shard.
 
     ``members`` maps tar-entry extension -> source column: each row
-    becomes entries ``{key:012d}.{ext}`` (string columns utf-8 encoded,
-    binary columns raw — the multimodal payload path), grouped by key as
-    WebDataset requires.  Entries sort by (key, ext) and tar metadata is
+    becomes entries ``{key}.{ext}`` (integer keys zero-padded to 12 so
+    lexicographic order is numeric order, string keys verbatim; string
+    columns utf-8 encoded, binary columns raw — the multimodal payload
+    path), grouped by key as WebDataset requires.  Entries sort by (key, ext) and tar metadata is
     pinned (mtime=0, uid/gid=0, mode 0644), so shard bytes — and the
     manifest sha256 — are partitioning-independent.
 
@@ -180,20 +181,25 @@ def write_webdataset_shards(
     """
     exts = sorted(members)
 
+    def fmt_key(key) -> str:
+        # zero-pad integer keys for lexicographic == numeric order;
+        # string keys (e.g. content hashes) pass through verbatim
+        return f"{key:012d}" if isinstance(key, (int, np.integer)) else str(key)
+
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col)
         shard = int(pdf[shard_col].iloc[0])
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
-                key = int(row[key_col])
+                key = fmt_key(row[key_col])
                 for ext in exts:
                     val = row[members[ext]]
                     data = (
                         val.encode("utf-8") if isinstance(val, str)
                         else bytes(val)
                     )
-                    info = tarfile.TarInfo(name=f"{key:012d}.{ext}")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(data)
                     info.mtime = 0
                     info.uid = info.gid = 0

@@ -125,3 +125,33 @@ def test_shard_write_plan_single_exchange(spark, docs, tmp_path):
     plan = man._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_token_shards_empty_sequences(spark, tmp_path):
+    """Docs that tokenize to zero tokens still occupy an index slot
+    (zero-length span), so loaders see every sequence id."""
+    d = spark.createDataFrame(
+        [(0, "", 0), (1, "one two", 0), (2, "", 0)],
+        "doc_id long, text string, shard long",
+    )
+    tok = hash_tokenize(d, vocab_size=1000)
+    man = _manifest(write_token_shards(tok, str(tmp_path / "e")))
+    assert man[0]["n_seqs"] == 3
+    seqs = read_token_shard(str(tmp_path / "e" / "shard_00000"))
+    lens = {sid: len(t) for sid, t in seqs}
+    assert lens == {0: 0, 1: 2, 2: 0}
+
+
+def test_webdataset_string_keys(spark, tmp_path):
+    d = spark.createDataFrame(
+        [("h_abc", "alpha", 0), ("h_def", "beta", 0)],
+        "k string, text string, shard long",
+    )
+    man = _manifest(
+        write_webdataset_shards(
+            d, str(tmp_path / "sk"), {"txt": "text"}, key_col="k"
+        )
+    )
+    with tarfile.open(str(tmp_path / "sk" / "shard_00000.tar")) as tar:
+        assert tar.getnames() == ["h_abc.txt", "h_def.txt"]
+    assert man[0]["n_keys"] == 2
