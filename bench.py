@@ -2,14 +2,17 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Stdout contract: the compact JSON line
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+is printed FIRST (so a bounded-capture consumer always parses it) and
+again LAST (so tail-capture works too) — both lines identical.  The
+variance section (per-pass totals, worst per-query spread) and the sf1
+scale run move to BENCH_DETAIL.json next to this script; they are not
+on stdout.
 
 Each query runs ``BENCH_RUNS`` times (default 3, full passes so one
 query's JIT warm-up never flatters its neighbor); ``queries`` carries the
-per-query MIN, ``value`` is the sum of those mins, and ``variance``
-records per-pass totals + the worst per-query spread so round-over-round
-movement can be judged against run noise.
+per-query MIN and ``value`` is the sum of those mins.
 """
 
 from __future__ import annotations

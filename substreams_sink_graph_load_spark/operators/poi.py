@@ -281,6 +281,13 @@ def _make_fold_runs(offsets_bc):
     return fold_runs
 
 
+# Sentinel for "run discovery ALREADY ran and exceeded max_runs": a caller
+# that shares one discover_runs() result across consumers (run_ingest) passes
+# this instead of None so the fold doesn't repeat the full pass-1 scan just
+# to hit the same bound again (None keeps meaning "not computed yet").
+RUNS_UNAVAILABLE: object = object()
+
+
 def discover_runs(
     raw: DataFrame,
     target_split_bytes: int = 16 << 20,
@@ -291,8 +298,10 @@ def discover_runs(
     order into per-block runs.  Callers that need BOTH the order check
     and the POI fold (streaming/run_ingest) run this once and derive
     both from it — one fewer full pass over the log.  Returns
-    (block, min_seq, max_seq, n) tuples, or None above ``max_runs``
-    (driver-collect bound).  ``target_split_bytes`` must match the fold
+    (block, min_seq, max_seq, n) tuples, or None above ``max_runs``.
+    The driver materializes at most ``max_runs + 1`` rows (``take``, not
+    ``collect``) — an over-bound log costs the scan but never unbounded
+    driver memory.  ``target_split_bytes`` must match the fold
     pass's value: split planning is what makes pass-2 run boundaries
     reproduce these (the cross-pass validation catches any drift)."""
     spark = raw.sparkSession
@@ -303,7 +312,7 @@ def discover_runs(
         run_rows = (
             raw.select("block_num", "seq")
             .mapInPandas(_discover_runs, _RUNS_SCHEMA)
-            .collect()
+            .take(max_runs + 1)
         )
     finally:
         if prior is None:
@@ -367,6 +376,10 @@ def poi_block_states_sorted(
     prior = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, str(target_split_bytes))
     try:
+        if runs is RUNS_UNAVAILABLE:
+            # discovery already ran upstream and exceeded max_runs —
+            # don't repeat the full pass-1 scan to learn that again
+            return None
         if runs is None:
             runs = discover_runs(raw, target_split_bytes, max_runs)
             if runs is None:
@@ -426,7 +439,9 @@ def poi_chain(
     (poi_block_states_sorted) first — correct for the run stage's staged
     log, validated with automatic fallback to the shuffle path.
     ``runs`` passes a precomputed discover_runs() result so the pass-1
-    scan isn't repeated (run_ingest shares it with the order check).
+    scan isn't repeated (run_ingest shares it with the order check);
+    pass :data:`RUNS_UNAVAILABLE` when discovery already ran and
+    exceeded its bound, which routes straight to the shuffle path.
 
     Returns (block_num long, id string, digest string hex).
     """

@@ -4365,9 +4365,16 @@ def ann_pq_topk(spark, sf_dir):
 
     Scale: the fit streams the corpus once per Lloyd round (ONE job
     emitting m·ks mergeable partials — never a job per subspace), encode
-    and search are broadcast-closure mapInPandas over Arrow batches, only
-    #batches · L · #queries partial-top-k rows cross a shuffle, and the
-    query-set collect is capped (limit=64), not corpus-scaled."""
+    and search are broadcast-closure mapInPandas over Arrow batches,
+    #batches · min(L, batch) · #queries partial-top-k rows cross the
+    shuffle, and the query-set collect is capped (limit=64).  Be precise
+    about what that costs: with the registry's noise-corpus L (∝ n) the
+    shuffle and rerank volumes are corpus-proportional — the price of
+    oracle EXACTNESS on structureless data, not the production shape.
+    Deployed on a corpus with real cluster structure, L is a fixed
+    constant, the volume is O(#queries · L), and correctness is the
+    recall contract test_pq pins rather than hash-equality with brute
+    force."""
     from ..operators.ann import exact_rerank, sample_queries
     from ..operators.pq import pq_encode, pq_fit, pq_search
 
@@ -4874,9 +4881,13 @@ def ann_ivf_pq_topk(spark, sf_dir):
     nothing shuffles), encode/search are broadcast-closure mapInPandas
     (seed centroids are kilobytes riding the closure), the probe filter
     runs BEFORE any Python (PartitionFilters against a cell-partitioned
-    codes table in the persisted layout), only #batches · L · #queries
-    rows cross the shuffle, and every driver collect is capped (256
-    seeds, 64 queries) — not corpus-scaled."""
+    codes table in the persisted layout), #batches · min(L, batch) ·
+    #queries rows cross the shuffle, and every driver collect is capped
+    (256 seeds, 64 queries).  As with ann_pq_topk: the registry's
+    noise-corpus L (∝ n) makes shuffle/rerank volume corpus-proportional
+    — the oracle-exactness price on structureless data; production
+    corpora with cluster structure keep L fixed (O(#queries · L) volume)
+    under the recall contract test_pq pins."""
     import numpy as np
 
     from ..operators.ann import exact_rerank, sample_queries

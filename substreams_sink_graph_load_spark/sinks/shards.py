@@ -93,6 +93,15 @@ def write_token_shards(
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col)
         shard = int(pdf[shard_col].iloc[0])
+        null_mask = pdf[tokens_col].isna()
+        if null_mask.any():
+            bad = pdf.loc[null_mask, seq_col].tolist()[:5]
+            raise ValueError(
+                f"NULL {tokens_col} in shard {shard} for {seq_col}s "
+                f"{bad}{'...' if null_mask.sum() > 5 else ''} — "
+                "filter or fillna upstream (a null sequence has no "
+                "defined byte representation)"
+            )
         seqs = [np.asarray(t, dtype=np.int64) for t in pdf[tokens_col]]
         flat = (
             np.concatenate(seqs) if seqs else np.empty(0, dtype=np.int64)
@@ -160,6 +169,31 @@ def read_token_shard(base_path: str) -> list[tuple[int, np.ndarray]]:
     return out
 
 
+def _member_bytes(val, key, ext) -> bytes:
+    """Serialize one tar-member value with no silent-corruption path:
+    strings utf-8, binary raw, scalars as ASCII text (the WebDataset
+    convention for .cls-style members — ``bytes(5)`` would be five NUL
+    bytes, which is exactly the corruption this refuses), None rejected
+    loudly."""
+    if isinstance(val, str):
+        return val.encode("utf-8")
+    if isinstance(val, (bytes, bytearray)):
+        return bytes(val)
+    if isinstance(val, (bool, np.bool_)):
+        return (b"1" if val else b"0")
+    if isinstance(val, (int, float, np.integer, np.floating)):
+        return repr(val if not isinstance(val, np.generic) else val.item()).encode("ascii")
+    if val is None:
+        raise ValueError(
+            f"NULL member value for entry {key}.{ext} — filter or fillna "
+            "upstream"
+        )
+    raise TypeError(
+        f"unsupported member type {type(val).__name__} for entry "
+        f"{key}.{ext}: expected str, bytes, or a numeric scalar"
+    )
+
+
 def write_webdataset_shards(
     df: DataFrame,
     out_dir: str,
@@ -195,10 +229,7 @@ def write_webdataset_shards(
                 key = fmt_key(row[key_col])
                 for ext in exts:
                     val = row[members[ext]]
-                    data = (
-                        val.encode("utf-8") if isinstance(val, str)
-                        else bytes(val)
-                    )
+                    data = _member_bytes(val, key, ext)
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(data)
                     info.mtime = 0

@@ -428,15 +428,20 @@ def run_ingest(
     )
 
     if chain_id is not None:
-        from ..operators.poi import poi_tocsv
+        from ..operators.poi import RUNS_UNAVAILABLE, poi_tocsv
 
         # The staged log is written in cursor order (micro-batch appends),
         # so the shuffle-free POI fold applies; it validates the
         # assumption and falls back to the shuffle path on any mismatch.
+        # Discovery ALWAYS ran above when chain_id is set, so runs=None
+        # here means it exceeded its bound — tell the fold so it goes
+        # straight to the shuffle path instead of re-scanning to rediscover
+        # the same overflow.
         files["poi2$"] = poi_tocsv(
             spark, staged, dest_dir, chain_id, stop_block,
             bundle_size=bundle_size, start_poi=start_poi,
-            first_block=first_block, assume_sorted=True, runs=runs,
+            first_block=first_block, assume_sorted=True,
+            runs=runs if runs is not None else RUNS_UNAVAILABLE,
         )
 
     # the order check already computed the global max; only re-scan when

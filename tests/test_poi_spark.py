@@ -357,3 +357,35 @@ def test_sorted_fold_restores_split_conf(spark, tmp_path):
     _write_sorted_parquet(spark, EVENTS, path, files=1)
     poi_block_states_sorted(spark.read.parquet(path))
     assert spark.conf.get(key, None) == prior
+
+
+def test_runs_unavailable_sentinel_skips_rediscovery(spark, tmp_path):
+    """When run discovery already ran upstream and exceeded its bound,
+    the fold must NOT repeat the pass-1 scan: RUNS_UNAVAILABLE routes
+    straight to the fallback (None), even on a log the fold could
+    otherwise handle — while runs=None still triggers discovery."""
+    from substreams_sink_graph_load_spark.operators.poi import (
+        RUNS_UNAVAILABLE,
+        poi_block_states_sorted,
+    )
+
+    rows = _synth_events(n_blocks=10)
+    path = str(tmp_path / "staged")
+    _write_sorted_parquet(spark, rows, path)
+    raw = spark.read.parquet(path)
+    assert poi_block_states_sorted(raw, runs=RUNS_UNAVAILABLE) is None
+    assert len(poi_block_states_sorted(raw, runs=None)) == 10
+
+
+def test_discover_runs_driver_bound(spark, tmp_path):
+    """Over max_runs returns None after materializing at most
+    max_runs+1 driver rows (take, not collect)."""
+    from substreams_sink_graph_load_spark.operators.poi import discover_runs
+
+    rows = _synth_events(n_blocks=30)
+    path = str(tmp_path / "staged")
+    _write_sorted_parquet(spark, rows, path)
+    raw = spark.read.parquet(path)
+    assert discover_runs(raw, max_runs=5) is None
+    full = discover_runs(raw)
+    assert full is not None and len(full) >= 30

@@ -155,3 +155,38 @@ def test_webdataset_string_keys(spark, tmp_path):
     with tarfile.open(str(tmp_path / "sk" / "shard_00000.tar")) as tar:
         assert tar.getnames() == ["h_abc.txt", "h_def.txt"]
     assert man[0]["n_keys"] == 2
+
+
+def test_token_shards_null_tokens_rejected(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(0, ["a"], 0), (1, None, 0)],
+        "doc_id long, tokens array<string>, shard long",
+    ).selectExpr(
+        "doc_id", "transform(tokens, t -> 1) as tokens", "shard"
+    )
+    with pytest.raises(Exception, match="NULL tokens"):
+        write_token_shards(d, str(tmp_path / "n")).collect()
+
+
+def test_webdataset_scalar_members_ascii_and_null_rejected(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(0, "alpha", 5, 0), (1, "beta", 9, 0)],
+        "doc_id long, text string, label long, shard long",
+    )
+    _manifest(
+        write_webdataset_shards(
+            d, str(tmp_path / "cls"), {"txt": "text", "cls": "label"}
+        )
+    )
+    with tarfile.open(str(tmp_path / "cls" / "shard_00000.tar")) as tar:
+        # scalar members serialize as ASCII text, never raw bytes(n)
+        assert tar.extractfile("000000000000.cls").read() == b"5"
+        assert tar.extractfile("000000000001.cls").read() == b"9"
+    bad = spark.createDataFrame(
+        [(0, "alpha", None, 0)],
+        "doc_id long, text string, label string, shard long",
+    )
+    with pytest.raises(Exception, match="NULL member"):
+        write_webdataset_shards(
+            bad, str(tmp_path / "cls2"), {"txt": "text", "cls": "label"}
+        ).collect()
