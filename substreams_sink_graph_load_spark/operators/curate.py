@@ -158,3 +158,40 @@ def curate_to_parquet(
         os.path.join(out_dir, "_manifest")
     )
     return manifest
+
+
+def curate_to_token_shards(
+    df: DataFrame,
+    out_dir: str,
+    vocab_size: int = 32768,
+    dtype: str = "uint16",
+    **curate_kwargs,
+) -> DataFrame:
+    """The END of the pipeline: raw documents -> :func:`curate` (scrub ->
+    gate -> dedup -> mixture -> shard assignment) -> deterministic
+    tokenization -> packed trainer shards (``sinks/shards.py`` .bin/.idx),
+    one call.
+
+    Plan shape: curation is one Catalyst plan ending in the shard key;
+    the ONLY additional exchange is the writer's groupBy(shard) — the
+    tokenize column rides the existing scan (pure JVM codegen).  Returns
+    the writer's manifest (per-shard counts + sha256 of the bytes on
+    disk), also written to ``<out_dir>/_manifest`` like
+    :func:`curate_to_parquet` — so a trainer can audit the export by
+    re-hashing files against the manifest, and a re-run on the same
+    corpus is byte-identical (every stage is content-hash-deterministic;
+    no RNG anywhere in the path).
+    """
+    from ..sinks.shards import hash_tokenize, write_token_shards
+
+    curated = curate(df, **curate_kwargs)
+    tok = hash_tokenize(curated, vocab_size=vocab_size)
+    manifest = write_token_shards(
+        tok, out_dir, shard_col="shard", seq_col="doc_id", dtype=dtype
+    )
+    # repartition (NOT coalesce: coalesce(1) would collapse the write
+    # stage itself to one task, serializing every shard's serialization)
+    manifest.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest")
+    )
+    return manifest.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
