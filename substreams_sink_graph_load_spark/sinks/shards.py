@@ -23,6 +23,11 @@ repartition and re-write to prove it).
 
 Paths: ``out_dir`` must be visible to executors (local dir in local
 mode, shared/object storage on a cluster — same rule as any Spark sink).
+
+Memory: ``applyInPandas`` materializes each shard's rows in its task, so
+per-task memory is O(shard bytes) — upstream ``n_shards`` is therefore
+both the file-size AND the executor-memory knob (pick shards that fit,
+exactly as a tar/tfrecord exporter sizes its output files).
 """
 
 from __future__ import annotations
