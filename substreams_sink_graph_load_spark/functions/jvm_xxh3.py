@@ -64,16 +64,21 @@ def build_jar(cache_dir: str | None = None) -> str | None:
     jar_path = os.path.join(cache_dir, "xxh3-udf.jar")
     if os.path.exists(jar_path) and os.path.getmtime(jar_path) >= os.path.getmtime(_SRC):
         return jar_path
-    classes = os.path.join(cache_dir, "classes")
+    # build in a pid-scoped dir and publish with an atomic rename, so
+    # concurrent sessions racing the first build never see a torn jar
+    classes = os.path.join(cache_dir, f"classes.{os.getpid()}")
     os.makedirs(classes, exist_ok=True)
     subprocess.run(
         [javac, "-cp", cp, "-d", classes, _SRC],
         check=True, capture_output=True,
     )
+    tmp_jar = f"{jar_path}.tmp.{os.getpid()}"
     subprocess.run(
-        [jar, "cf", jar_path, "-C", classes, "."],
+        [jar, "cf", tmp_jar, "-C", classes, "."],
         check=True, capture_output=True,
     )
+    os.replace(tmp_jar, jar_path)
+    shutil.rmtree(classes, ignore_errors=True)
     return jar_path
 
 
