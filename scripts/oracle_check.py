@@ -2,6 +2,13 @@
 runnable locally while iterating).
 
 Usage: python scripts/oracle_check.py [query ...]   (default: all with oracles)
+       python scripts/oracle_check.py --light       (all EXCEPT the heavy set)
+       python scripts/oracle_check.py --heavy       (only the heavy set)
+
+The heavy set is the DuckDB-bound text-LSH replays: at sf1 they dominate
+the sweep wall-clock and at sf10 they need hours (run them one at a time,
+cheapest first; dedup_clusters' recursive-CTE oracle is INTRACTABLE at
+sf10 — use scripts/cc_oracle_replay.py for it there).
 """
 
 from __future__ import annotations
@@ -63,5 +70,30 @@ def main(names: list[str]) -> int:
     return 1 if failed else 0
 
 
+# DuckDB-bound text-LSH oracle replays, cheapest-first (sf10 notes above)
+HEAVY = [
+    "quality_lm_bigram",
+    "dedup_substring_remove",
+    "dedup_cross_source",
+    "dedup_paragraphs",
+    "contamination_probe",
+    "dedup_substring_stats",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+]
+
+
+def _select(argv: list[str]) -> list[str]:
+    if argv == ["--heavy"]:
+        return list(HEAVY)
+    if argv == ["--light"]:
+        import __spark_entry__ as em
+
+        return [n for n in em.queries() if n not in HEAVY]
+    return argv
+
+
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    raise SystemExit(main(_select(sys.argv[1:])))
