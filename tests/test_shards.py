@@ -190,3 +190,50 @@ def test_webdataset_scalar_members_ascii_and_null_rejected(spark, tmp_path):
         write_webdataset_shards(
             bad, str(tmp_path / "cls2"), {"txt": "text", "cls": "label"}
         ).collect()
+
+
+# --- property-based round-trip (hypothesis) --------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def token_corpora(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=12))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.integers(min_value=0, max_value=65535), max_size=40)
+        )
+        shard = draw(st.integers(min_value=0, max_value=2))
+        docs.append((i, toks, shard))
+    return docs
+
+
+@given(token_corpora())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_shards_roundtrip_property(spark, tmp_path_factory, corpus):
+    """For ANY corpus (empty docs, max-dtype ids, ragged shards): write ->
+    read restores every (seq_id, tokens) exactly, and per-shard totals
+    equal the manifest."""
+    out = str(tmp_path_factory.mktemp("prop"))
+    df = spark.createDataFrame(
+        corpus, "doc_id long, tokens array<int>, shard long"
+    )
+    man = _manifest(write_token_shards(df, out))
+    expected = {d: t for d, t, _ in corpus}
+    shards_of = {}
+    for d, _, s in corpus:
+        shards_of.setdefault(s, []).append(d)
+    assert set(man) == set(shards_of)
+    for s, m in man.items():
+        seqs = read_token_shard(os.path.join(out, f"shard_{s:05d}"))
+        assert [sid for sid, _ in seqs] == sorted(shards_of[s])
+        assert sum(len(t) for _, t in seqs) == m["n_tokens"]
+        for sid, toks in seqs:
+            assert toks.tolist() == expected[sid]
