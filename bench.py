@@ -83,6 +83,12 @@ HEADLINE = [
     "events_retention",
     "ann_ivf_pq_topk",
     "events_gapfill",
+    # round-6 additions: retrieval chunking, BM25 ranking, epoch mixing,
+    # and the iterative integer-PageRank authority prior
+    "docs_chunk_overlap",
+    "bm25_search",
+    "mix_epochs",
+    "graph_pagerank",
 ]
 
 

@@ -27,6 +27,8 @@ AUDIT = [
     "events_gapfill",
     # round-6: the oracle-exact ANN rerank shapes
     "ann_topk_matmul", "ann_pq_topk", "ann_ivf_pq_topk", "dedup_embedding",
+    # round-6 late: retrieval / mixing / graph additions
+    "docs_chunk_overlap", "bm25_search", "mix_epochs", "graph_pagerank",
 ]
 
 

@@ -152,3 +152,23 @@ def scrub_pii(text: Column) -> Column:
         PII_IPV4,
         "<IP>",
     )
+
+
+def chunk_starts(words: Column, stride: int) -> Column:
+    """0-based start offsets of overlapping word-window chunks.
+
+    One start per ``stride`` words, always at least one (covering the
+    head of the document); pure ``sequence`` column math so the fan-out
+    is declared in-plan (``size == ceil(n / stride)``), never data-driven
+    Python.  The explicit step guards Spark's sequence() default, which
+    flips to -1 when start > stop.
+    """
+    n = F.size(words)
+    return F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+
+
+def chunk_text(words: Column, start: Column, width: int) -> Column:
+    """The chunk at ``start``: up to ``width`` words re-joined by spaces."""
+    return F.concat_ws(" ", F.slice(words, start + 1, width))

@@ -21,6 +21,7 @@ from .dedup import (
 from .multimodal import attach_binary, extract_features, sample_frames
 from .poi import poi_block_states, poi_chain, poi_entity_versions, poi_tocsv
 from .skew import salted_agg, salted_join
+from .graph import pagerank_ppm
 
 __all__ = [
     "OP_CREATE",
@@ -58,5 +59,6 @@ __all__ = [
     "poi_entity_versions",
     "poi_tocsv",
     "salted_agg",
+    "pagerank_ppm",
     "salted_join",
 ]

@@ -1,0 +1,103 @@
+"""Fixed-point PageRank over an edge relation (iterative join-agg).
+
+The LLM-curation use: link-graph authority as a document-quality prior
+(the CommonCrawl-style "rank the hosts, weight the pages" signal).  The
+engine contract mirrors the rest of the registry: EXACT integer
+arithmetic so any two engines — or any two partitionings of the same
+engine — produce bit-identical ranks.
+
+Design (Spark-first, not Pregel):
+
+- Ranks are parts-per-million bigints (1_000_000 = 1.0).  Each
+  iteration every node sends ``(rank * damping_pct) div (100 * degree)``
+  along its out-edges and collects ``base + sum(contrib)``, where
+  ``base = (100 - damping_pct) * 10_000``.  Integer div + integer sum
+  are associative/commutative, so shuffle order and partial-aggregation
+  order CANNOT change the result — the floating-point PageRank's
+  summation-order nondeterminism is designed out rather than rounded
+  away.
+- Each iteration is one shuffled join (edges ⋈ ranks on src) + one
+  partial-before-shuffle sum keyed on dst.  At cluster scale both sides
+  hash-partition on the node key, and because every iteration keys the
+  SAME way, the rank side's exchange is reusable; edges are the large
+  stable side (cache() them across iterations).  AQE handles hub skew
+  (a hot dst is a sum, mergeable map-side).
+- The iteration count is a fixed small constant (power iteration
+  converges geometrically at rate ``damping``), so the lineage stays
+  shallow; no checkpointing needed below ~20 rounds.
+
+No counterpart in the reference (file-sink scope); this is part of the
+training-data-pipeline family (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PPM = 1_000_000
+
+
+def pagerank_ppm(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact integer PageRank: ``(node, deg, rank_ppm)``.
+
+    ``edges`` is a DIRECTED edge list (pass both directions for an
+    undirected graph).  Dangling nodes (no out-edges) never appear as
+    ``src`` and therefore contribute nothing — callers wanting the
+    classic redistribute-dangling-mass variant should densify edges
+    first.  Nodes with no in-edges converge to the base mass.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (1, 99)")
+    base = (100 - damping_pct) * (PPM // 100)
+
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # All nodes (either endpoint), so in-degree-0 nodes still get a row.
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # Pre-divide each edge's share denominator once: contrib(u->v) only
+    # needs rank_u at iteration time.
+    e = edges.join(deg, edges[src] == deg["node"]).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "deg"
+    )
+    # The edge relation is read by every iteration; without a persist the
+    # final DAG re-derives it (scan + degree agg + join) once per round.
+    e = e.persist()
+    nodes = nodes.persist()
+    ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["e_src"] == ranks["node"])
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"(rank_ppm * {damping_pct}) div (100 * deg)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+        )
+    return ranks.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+        "rank_ppm",
+    )
