@@ -5532,9 +5532,9 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "events_retention": 0.441, "quality_lm_bigram": 0.777,
     "events_gapfill": 0.784, "dedup_semantic_clusters": 1.667,
     "dedup_substring_remove": 1.331, "ann_ivf_pq_topk": 2.7,
-    # r6 additions (estimates pending a quiet-host time_queries.py pass)
-    "docs_chunk_overlap": 0.3, "bm25_search": 0.6, "mix_epochs": 0.25,
-    "graph_pagerank": 2.5
+    # r6 additions (warm min-of-3, isolated quiet-host pass)
+    "docs_chunk_overlap": 0.344, "bm25_search": 0.884, "mix_epochs": 0.359,
+    "graph_pagerank": 4.19
 }
 
 
