@@ -89,6 +89,8 @@ HEADLINE = [
     "bm25_search",
     "mix_epochs",
     "graph_pagerank",
+    "join_interval_bins",
+    "curriculum_order",
 ]
 
 

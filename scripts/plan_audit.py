@@ -29,6 +29,7 @@ AUDIT = [
     "ann_topk_matmul", "ann_pq_topk", "ann_ivf_pq_topk", "dedup_embedding",
     # round-6 late: retrieval / mixing / graph additions
     "docs_chunk_overlap", "bm25_search", "mix_epochs", "graph_pagerank",
+    "join_interval_bins", "curriculum_order",
 ]
 
 

@@ -5408,11 +5408,177 @@ def graph_pagerank(spark, sf_dir):
     return pagerank_ppm(edges, iterations=5, damping_pct=85)
 
 
+_SESSIONS_SQL = """
+      SELECT user_id,
+             min(ts_us) AS s_us,
+             max(ts_us) AS e_us
+      FROM (
+        SELECT user_id, ts_us,
+               cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess_id
+        FROM (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events) g) s
+      GROUP BY user_id, sess_id
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+@_q(
+    "join_interval_bins",
+    f"""
+    WITH sess AS ({_SESSIONS_SQL}),
+    bounds AS (SELECT min(s_us // {_HOUR_US}) AS k0, max(e_us // {_HOUR_US}) AS k1 FROM sess),
+    grid AS (SELECT unnest(range(k0, k1 + 1)) AS k FROM bounds),
+    hit AS (SELECT grid.k, sess.user_id, sess.s_us, sess.e_us
+            FROM grid JOIN sess
+              ON grid.k * {_HOUR_US} <= sess.e_us
+             AND sess.s_us < (grid.k + 1) * {_HOUR_US})
+    SELECT cast(k * {_HOUR_US} AS bigint) AS hour_us,
+           cast(count(*) AS bigint) AS n_sessions,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           cast(sum(least(e_us, (k + 1) * {_HOUR_US}) - greatest(s_us, k * {_HOUR_US})) AS bigint) AS busy_us
+    FROM hit GROUP BY k
+    """,
+)
+def join_interval_bins(spark, sf_dir):
+    """Interval-overlap join at scale: which sessions overlap which
+    wall-clock hours, and how much — the range join Spark has no native
+    operator for, lowered to the BINNED equi-join (each interval
+    explodes into the hour bins it covers, then joins/aggregates on the
+    bin key).  A naive inequality join is a BroadcastNestedLoopJoin —
+    O(intervals x hours) comparisons; the binned plan shuffles
+    O(intervals x bins-per-interval) rows on an equi key instead, the
+    standard 100 TB range-join rewrite (Databricks' range-join hint
+    does the same binning internally).
+
+    Cross-algorithm oracle: DuckDB replays it as a TRUE inequality join
+    against the hour grid (kH <= e AND s < (k+1)H), provably the same
+    hour set as the floor-range explosion [floor(s/H), floor(e/H)] —
+    so a binning bug (off-by-one at an hour boundary) cannot pass.
+
+    Scale: sessions fold from one user_id-window pass (the sessionize
+    shape); the explode fan-out is duration/hour + 1 — bounded for
+    gap-capped sessions and declared in-plan; the final agg is
+    partial-before-shuffle keyed on the hour bin whose cardinality is
+    the calendar, never the fact table."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag(ts_us).over(w).isNull()
+        | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.withColumn("ts_us", ts_us)
+        .withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    H = _HOUR_US
+    binned = sess.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(F.expr(f"s_us div {H}"), F.expr(f"e_us div {H}"))
+        ).alias("k"),
+    )
+    return binned.groupBy("k").agg(
+        (F.col("k") * H).cast("long").alias("hour_us"),
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.least(F.col("e_us"), (F.col("k") + 1) * H)
+            - F.greatest(F.col("s_us"), F.col("k") * H)
+        )
+        .cast("long")
+        .alias("busy_us"),
+    ).select("hour_us", "n_sessions", "n_users", "busy_us")
+
+
+# Curriculum banding thresholds on the integer quality score (ppm): four
+# fixed bands — threshold banding, NOT ntile, because a corpus-wide ntile
+# is one unsplittable window group at scale while a fixed threshold is a
+# scan-stage projection.
+_CURRICULUM_BANDS_SQL = (
+    "(CASE WHEN score_ppm >= 600000 THEN 3 WHEN score_ppm >= 400000 THEN 2"
+    " WHEN score_ppm >= 200000 THEN 1 ELSE 0 END)"
+)
+
+
+@_q(
+    "curriculum_order",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             cast(least(1000000,
+               (len(string_split(text, ' ')) * 1000000) // 100) AS bigint) AS score_ppm,
+             (doc_id * 2654435761) % 64 AS bucket
+      FROM documents),
+    banded AS (SELECT doc_id, source, score_ppm,
+                      {_CURRICULUM_BANDS_SQL} AS band, bucket FROM scored)
+    SELECT doc_id, source, cast(band AS bigint) AS band,
+           cast(bucket AS bigint) AS bucket,
+           cast(row_number() OVER (PARTITION BY band, bucket
+                ORDER BY score_ppm DESC, doc_id) AS bigint) AS pos_in_bucket
+    FROM banded
+    """,
+)
+def curriculum_order(spark, sf_dir):
+    """Curriculum data ordering: band documents by a quality signal
+    (here word-count normalized to ppm, the stand-in for a model score),
+    then assign each a deterministic position — easy bands first, and
+    WITHIN a band a hash-shuffled stream.  The trainer reads shards in
+    (band desc, bucket, pos_in_bucket) order; that composite key IS the
+    global curriculum, so no corpus-wide total order is ever
+    materialized.
+
+    Scale: the banding is a scan-stage projection (fixed thresholds —
+    deliberately not ntile, whose corpus-wide window is one unsplittable
+    reducer); position is a row_number over (band, bucket) where the 64
+    hash buckets bound every window group to ~1/256th of the corpus, the
+    same salted-window idiom as bm25_search.  Output is integer-only."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(1_000_000),
+            F.expr("(size(split(text, ' ')) * 1000000) div 100"),
+        )
+        .cast("long")
+        .alias("score_ppm"),
+        F.expr("(doc_id * 2654435761) % 64").alias("bucket"),
+    )
+    banded = scored.withColumn("band", F.expr(_CURRICULUM_BANDS_SQL))
+    w = Window.partitionBy("band", "bucket").orderBy(
+        F.desc("score_ppm"), "doc_id"
+    )
+    return banded.select(
+        "doc_id",
+        "source",
+        F.col("band").cast("long").alias("band"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 117 as of r6; COVERAGE.md keeps the live count).
+# (~50 of the registry — 119 as of r6; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -5534,7 +5700,8 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "dedup_substring_remove": 1.331, "ann_ivf_pq_topk": 2.7,
     # r6 additions (warm min-of-3, isolated quiet-host pass)
     "docs_chunk_overlap": 0.344, "bm25_search": 0.884, "mix_epochs": 0.359,
-    "graph_pagerank": 4.19
+    "graph_pagerank": 4.19, "join_interval_bins": 0.785,
+    "curriculum_order": 0.333
 }
 
 

@@ -194,3 +194,73 @@ def test_pagerank_rejects_bad_damping(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         pagerank_ppm(edges, damping_pct=0)
+
+
+# ---------------------------------------------------------------------------
+# join_interval_bins
+# ---------------------------------------------------------------------------
+
+
+def test_interval_bins_hand_computed(spark, tmp_path):
+    """Three hand-built sessions: within-hour, hour-crossing, and a
+    zero-width single-event session."""
+    from datetime import datetime
+
+    def ev(eid, uid, h, m):
+        return (eid, datetime(2024, 1, 1, h, m), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 10, 30), ev(2, 1, 10, 40),   # u1: [10:30,10:40] in hour 10
+        ev(3, 2, 10, 50), ev(4, 2, 11, 10),   # u2: [10:50,11:10] spans 10+11
+        ev(5, 3, 12, 5),                       # u3: zero-width in hour 12
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.hour_us: r
+        for r in QUERIES["join_interval_bins"](spark, str(tmp_path)).collect()
+    }
+    H = 3_600_000_000
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000  # UTC session tz
+    h10, h11, h12 = base + 10 * H, base + 11 * H, base + 12 * H
+    assert set(out) == {h10, h11, h12}
+    assert (out[h10].n_sessions, out[h10].n_users) == (2, 2)
+    assert out[h10].busy_us == 10 * 60_000_000 + 10 * 60_000_000
+    assert (out[h11].n_sessions, out[h11].busy_us) == (1, 10 * 60_000_000)
+    assert (out[h12].n_sessions, out[h12].busy_us) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    """Bands follow the fixed thresholds; positions are contiguous
+    1..n per (band, bucket) and ordered by score desc, doc_id asc."""
+    rows = QUERIES["curriculum_order"](spark, sf_dir).collect()
+    # independent score/band replay from the raw documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    score = {
+        d.doc_id: min(1_000_000, (len(d.text.split(" ")) * 1_000_000) // 100)
+        for d in docs
+    }
+
+    def band_of(s):
+        return 3 if s >= 600_000 else 2 if s >= 400_000 else 1 if s >= 200_000 else 0
+
+    groups = {}
+    for r in rows:
+        assert r.band == band_of(score[r.doc_id])
+        assert (r.doc_id * 2654435761) % 64 == r.bucket
+        groups.setdefault((r.band, r.bucket), []).append(r)
+    for g in groups.values():
+        g.sort(key=lambda r: r.pos_in_bucket)
+        assert [r.pos_in_bucket for r in g] == list(range(1, len(g) + 1))
+        order = [(-score[r.doc_id], r.doc_id) for r in g]
+        assert order == sorted(order)
