@@ -25,9 +25,8 @@ class before anyone trusts it.
 from __future__ import annotations
 
 import os
-import shutil
-import subprocess
-import tempfile
+
+from .jvm_build import build_udf_jar, ensure_java_udf, spark_jars_classpath
 
 _CLASS_NAME = "sparkgraft.XXH3_128Udf"
 _FUNC_NAME = "xxh3_128_seed"
@@ -36,62 +35,23 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "java",
 
 
 def _spark_jars_classpath() -> str | None:
-    """The running Spark's jar directory (for the UDF2 interface)."""
-    try:
-        import pyspark
-
-        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-        if os.path.isdir(jars):
-            return os.path.join(jars, "*")
-    except ImportError:  # pragma: no cover - pyspark is a hard dep
-        pass
-    spark_home = os.environ.get("SPARK_HOME")
-    if spark_home and os.path.isdir(os.path.join(spark_home, "jars")):
-        return os.path.join(spark_home, "jars", "*")
-    return None
+    """The running Spark's jar directory (kept as an alias for callers/
+    tests; the shared implementation lives in jvm_build)."""
+    return spark_jars_classpath()
 
 
 def build_jar(cache_dir: str | None = None) -> str | None:
     """Compile the UDF source into a jar (cached); None when no JDK or
     no Spark jars to compile against."""
-    javac, jar = shutil.which("javac"), shutil.which("jar")
-    cp = _spark_jars_classpath()
-    if javac is None or jar is None or cp is None:
-        return None
-    cache_dir = cache_dir or os.path.join(
-        tempfile.gettempdir(), "spark_graft_jvm_xxh3"
-    )
-    jar_path = os.path.join(cache_dir, "xxh3-udf.jar")
-    if os.path.exists(jar_path) and os.path.getmtime(jar_path) >= os.path.getmtime(_SRC):
-        return jar_path
-    # build in a pid-scoped dir and publish with an atomic rename, so
-    # concurrent sessions racing the first build never see a torn jar
-    classes = os.path.join(cache_dir, f"classes.{os.getpid()}")
-    os.makedirs(classes, exist_ok=True)
-    subprocess.run(
-        [javac, "-cp", cp, "-d", classes, _SRC],
-        check=True, capture_output=True,
-    )
-    tmp_jar = f"{jar_path}.tmp.{os.getpid()}"
-    subprocess.run(
-        [jar, "cf", tmp_jar, "-C", classes, "."],
-        check=True, capture_output=True,
-    )
-    os.replace(tmp_jar, jar_path)
-    shutil.rmtree(classes, ignore_errors=True)
-    return jar_path
+    return build_udf_jar(_SRC, "xxh3-udf.jar", cache_dir)
 
 
 def ensure_jvm_xxh3(spark, cache_dir: str | None = None) -> bool:
     """Build (once), ADD JAR, and register ``xxh3_128_seed``; True when
     the JVM function is available in this session."""
-    if spark.catalog.functionExists(_FUNC_NAME):
-        return True  # already registered in this session
-    jar_path = build_jar(cache_dir)
-    if jar_path is None:
-        return False
     from pyspark.sql.types import BinaryType
 
-    spark.sql(f"ADD JAR '{jar_path}'")
-    spark.udf.registerJavaFunction(_FUNC_NAME, _CLASS_NAME, BinaryType())
-    return True
+    return ensure_java_udf(
+        spark, _FUNC_NAME, _CLASS_NAME, BinaryType(), _SRC, "xxh3-udf.jar",
+        cache_dir,
+    )

@@ -5362,9 +5362,10 @@ def _pagerank_oracle(iterations: int = 5) -> str:
         )
         prev = f"r{i}"
     return f"""
-    WITH p AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS c,
-                               's' || cast(l_suppkey AS varchar) AS s
-               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    WITH pk AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    p AS (SELECT 'c' || cast(ck AS varchar) AS c,
+                 's' || cast(sk AS varchar) AS s FROM pk),
     ed AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
     deg AS (SELECT src AS node, cast(count(*) AS bigint) AS deg FROM ed GROUP BY src),
     r0 AS (SELECT node, cast(1000000 AS bigint) AS r FROM deg),
@@ -5394,13 +5395,17 @@ def graph_pagerank(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # dedup on the INTEGER pair, label afterwards: the distinct's hash
+    # table compares 16-byte fixed rows instead of variable strings, and
+    # the label projection is free after the shrink
     pairs = (
         o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -192,8 +192,9 @@ def test_descriptor_set_wire_structure():
 
 def test_jvm_gate_falls_back_without_jar(spark):
     """In this sandbox the spark-protobuf jar is absent: the probe must
-    say so, and method='auto' must produce the Python-codec plan (and
-    rows) rather than erroring."""
+    say so, method='jvm' must error, and method='auto' must land on the
+    next rung of the ladder (the runtime-compiled Java UDF where a JDK
+    exists, else the Python codec) with identical rows either way."""
     from substreams_sink_graph_load_spark.sources.protobuf import (
         jvm_protobuf_available,
         parse_change_protobuf,
@@ -210,6 +211,36 @@ def test_jvm_gate_falls_back_without_jar(spark):
     assert auto == py and len(auto) == len(CHANGES)
     with pytest.raises(Exception):
         parse_change_protobuf(wire, method="jvm").collect()
+
+
+def test_javaudf_decode_matches_python_codec(spark):
+    """Differential for the runtime-compiled JVM wire decoder: identical
+    rows to the Python codec on the full edge fixture — unicode + JSON
+    metacharacters, negative Int32, explicit zero values, bytes, arrays
+    (incl. empty), an empty change, and spliced unknown fields."""
+    from substreams_sink_graph_load_spark.sources.protobuf import (
+        jvm_udf_decode_available,
+        parse_change_protobuf,
+    )
+
+    if not jvm_udf_decode_available(spark):
+        pytest.skip("no JDK to build the decoder UDF")
+    edge = [dict(CHANGES[0])]
+    edge[0] = dict(edge[0])
+    edge[0]["fields"] = CHANGES[0]["fields"] + [
+        {"name": 'q"\\\n', "new_value": {"Typed": {"String_": "\t\r\x01"}}},
+        {"name": "zero", "new_value": {"Typed": {"Int32": 0}}},
+        {"name": "noval"},
+    ]
+    body = encode_entity_changes(edge + CHANGES[1:])
+    noisy = _enc_tag(99, 0) + _enc_varint(12345) + _enc_len(100, b"future") + body
+    wire = spark.createDataFrame(
+        [(7, bytearray(noisy), 1), (8, bytearray(b""), 2)],
+        "block_num long, payload binary, seq long",
+    )
+    j = parse_change_protobuf(wire, method="javaudf").collect()
+    p = parse_change_protobuf(wire, method="python").collect()
+    assert j == p and len(j) == len(edge) + len(CHANGES) - 1
 
 
 @pytest.mark.skipif(
