@@ -284,3 +284,66 @@ def test_descriptor_set_bytes_pinned():
         hashlib.sha256(blob).hexdigest()
         == "4b5d6a8aec73e4b26476ed77c54ef035f26c5f970045b981c56be1d294caab74"
     )
+
+
+def test_javaudf_randomized_differential(spark):
+    """Seeded fuzz over the full message shape space: 200 random changes
+    (every oneof kind, unicode/control-char strings, nested arrays,
+    empty members) through encode -> Java-UDF decode vs Python codec."""
+    import random
+    import string as _string
+
+    from substreams_sink_graph_load_spark.sources.protobuf import (
+        jvm_udf_decode_available,
+        parse_change_protobuf,
+    )
+
+    if not jvm_udf_decode_available(spark):
+        pytest.skip("no JDK to build the decoder UDF")
+    rng = random.Random(0xC0FFEE)
+    alphabet = _string.ascii_letters + _string.digits + '"\\/\t\n\r ,:{}[]' + "åß✓\x01\x1f"
+
+    def rand_text(max_len=12):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(max_len)))
+
+    def rand_scalar():
+        kind = rng.randrange(6)
+        if kind == 0:
+            return {"Int32": rng.randint(-(2**31), 2**31 - 1)}
+        if kind == 1:
+            return {"Bigint": str(rng.randint(-10**30, 10**30))}
+        if kind == 2:
+            return {"Bigdecimal": f"{rng.randint(-999, 999)}.{rng.randrange(10**6)}"}
+        if kind == 3:
+            return {"String_": rand_text()}
+        if kind == 4:
+            return {"Bytes": base64.b64encode(bytes(rng.randrange(256) for _ in range(rng.randrange(8)))).decode()}
+        return {"Boolean": rng.random() < 0.5}
+
+    def rand_typed():
+        if rng.random() < 0.2:
+            return {"Array": {"value": [
+                {"Typed": rand_scalar()} for _ in range(rng.randrange(4))
+            ]}}
+        return rand_scalar()
+
+    def rand_change():
+        return {
+            "entity": rand_text(8),
+            "id": rand_text(8),
+            "operation": rng.randrange(5),
+            "fields": [
+                {"name": rand_text(8), "new_value": {"Typed": rand_typed()}}
+                for _ in range(rng.randrange(5))
+            ],
+        }
+
+    payloads = [
+        (i, bytearray(encode_entity_changes([rand_change() for _ in range(rng.randrange(1, 4))])), i)
+        for i in range(80)
+    ]
+    wire = spark.createDataFrame(payloads, "block_num long, payload binary, seq long")
+    key = lambda r: (r["block_num"], r["_line_no"])
+    j = sorted(parse_change_protobuf(wire, method="javaudf").collect(), key=key)
+    p = sorted(parse_change_protobuf(wire, method="python").collect(), key=key)
+    assert j == p and len(j) > 100
