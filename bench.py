@@ -91,6 +91,8 @@ HEADLINE = [
     "graph_pagerank",
     "join_interval_bins",
     "curriculum_order",
+    "events_anomaly_mad",
+    "sessions_attribution",
 ]
 
 

@@ -30,6 +30,7 @@ AUDIT = [
     # round-6 late: retrieval / mixing / graph additions
     "docs_chunk_overlap", "bm25_search", "mix_epochs", "graph_pagerank",
     "join_interval_bins", "curriculum_order",
+    "events_anomaly_mad", "sessions_attribution",
 ]
 
 

@@ -5512,6 +5512,137 @@ def join_interval_bins(spark, sf_dir):
     ).select("hour_us", "n_sessions", "n_users", "busy_us")
 
 
+@_q(
+    "events_anomaly_mad",
+    f"""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS k,
+             cast(count(*) AS bigint) AS cnt
+      FROM events GROUP BY event_type, k),
+    st AS (
+      SELECT event_type, median(cnt) AS med FROM hc GROUP BY event_type),
+    dev AS (
+      SELECT hc.event_type, hc.k, hc.cnt, st.med,
+             abs(hc.cnt - st.med) AS adev
+      FROM hc JOIN st ON hc.event_type = st.event_type),
+    md AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT dev.event_type AS event_type,
+           cast(dev.k * {_HOUR_US} AS bigint) AS hour_us,
+           dev.cnt AS cnt, dev.med AS med, md.mad AS mad
+    FROM dev JOIN md ON dev.event_type = md.event_type
+    WHERE dev.adev > 3 * greatest(md.mad, 0.5)
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust time-series anomaly detection: flag (event_type, hour)
+    cells whose count deviates from the per-type median by more than
+    3 x MAD (median absolute deviation) — the outlier screen a data
+    pipeline runs over ingest volumes before trusting a day's crawl.
+    Median/MAD instead of mean/stddev so the anomalies being hunted
+    can't mask themselves by inflating the baseline.
+
+    Determinism: counts are integers; both engines' continuous median
+    interpolates as the exact mean of two integers — bit-equal doubles —
+    and the 3xMAD comparison runs on those exact values (the 0.5 floor
+    keeps a zero-MAD type from flagging every hour).
+
+    Scale: the hourly matrix is calendar x |event types| — already
+    reduced by a partial-before-shuffle count — and BOTH medians run as
+    window aggregates over that bounded matrix partitioned by type, so
+    the two stats passes reuse one hash(event_type) exchange and the
+    fact-level aggregate is computed exactly once (the agg-then-join
+    formulation re-derived it per consumer: 7 exchanges -> 2)."""
+    e = _events(spark, sf_dir)
+    hc = (
+        e.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("k"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    dev = hc.withColumn("med", F.expr("percentile(cnt, 0.5)").over(w)).withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    scored = dev.withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
+    return (
+        scored.where(F.col("adev") > 3 * F.greatest(F.col("mad"), F.lit(0.5)))
+        .select(
+            "event_type",
+            (F.col("k") * _HOUR_US).cast("long").alias("hour_us"),
+            "cnt",
+            "med",
+            "mad",
+        )
+    )
+
+
+@_q(
+    "sessions_attribution",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, value, ts_us,
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess_id
+      FROM (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events) g),
+    ft AS (
+      SELECT user_id, sess_id, event_id, event_type, value,
+             first_value(event_type) OVER (PARTITION BY user_id, sess_id
+                  ORDER BY ts_us, event_id) AS first_touch
+      FROM s)
+    SELECT first_touch,
+           cast(count(*) AS bigint) AS n_purchases,
+           cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS revenue_cents
+    FROM ft WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def sessions_attribution(spark, sf_dir):
+    """First-touch attribution: every purchase credits the event type
+    that OPENED its session (the marketing-attribution fold run over
+    clickstreams).  Composes the gap-sessionize shape with a
+    first_value window — both windows key on user_id, so the whole
+    query is ONE user shuffle + one tiny aggregate; revenue sums in
+    exact integer cents.
+
+    Scale: session ids and the first-touch value derive in the same
+    exchange-reusing window stage; the purchase filter prunes before
+    the final agg, whose key cardinality is |event types|."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag(ts_us).over(w).isNull()
+        | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        e.withColumn("ts_us", ts_us)
+        .withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(run))
+    )
+    ftw = Window.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+    ft = s.withColumn("first_touch", F.first("event_type").over(ftw))
+    return (
+        ft.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 # Curriculum banding thresholds on the integer quality score (ppm): four
 # fixed bands — threshold banding, NOT ntile, because a corpus-wide ntile
 # is one unsplittable window group at scale while a fixed threshold is a
@@ -5583,7 +5714,7 @@ def curriculum_order(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 119 as of r6; COVERAGE.md keeps the live count).
+# (~50 of the registry — 121 as of r6; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -5706,7 +5837,9 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     # r6 additions (warm min-of-3, isolated quiet-host pass)
     "docs_chunk_overlap": 0.344, "bm25_search": 0.884, "mix_epochs": 0.359,
     "graph_pagerank": 4.19, "join_interval_bins": 0.785,
-    "curriculum_order": 0.333
+    "curriculum_order": 0.333,
+    # estimates (sf0.01 oracle_check wall, shared-host)
+    "events_anomaly_mad": 0.5, "sessions_attribution": 0.6
 }
 
 

@@ -264,3 +264,72 @@ def test_curriculum_order_invariants(spark, sf_dir):
         assert [r.pos_in_bucket for r in g] == list(range(1, len(g) + 1))
         order = [(-score[r.doc_id], r.doc_id) for r in g]
         assert order == sorted(order)
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad / sessions_attribution
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_anomaly_mad_flags_only_the_spike(spark, tmp_path):
+    """10 steady hours (5 events) + one 50-event spike: MAD is 0, the
+    0.5 floor keeps steady hours silent, only the spike flags."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for h in range(11):
+        n = 50 if h == 10 else 5
+        for i in range(n):
+            rows.append(
+                (eid, base + timedelta(hours=h, minutes=i % 60), eid % 7,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["events_anomaly_mad"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_type, r.cnt, r.med, r.mad) == ("view", 50, 5.0, 0.0)
+
+
+def test_attribution_first_touch_semantics(spark, tmp_path):
+    """Purchases credit the event type that opened their session,
+    including a purchase that opens its own session."""
+    from datetime import datetime
+
+    T = datetime
+    rows = [
+        # u1: view opens, two purchases in-session
+        (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (2, T(2024, 1, 1, 10, 5), 1, "purchase", 10.50, "{}"),
+        (3, T(2024, 1, 1, 10, 10), 1, "purchase", 2.25, "{}"),
+        # u1: NEW session (>30 min gap) opened by click, one purchase
+        (4, T(2024, 1, 1, 12, 0), 1, "click", 0.0, "{}"),
+        (5, T(2024, 1, 1, 12, 1), 1, "purchase", 1.00, "{}"),
+        # u2: purchase opens its own session
+        (6, T(2024, 1, 1, 9, 0), 2, "purchase", 5.00, "{}"),
+        # u3: view-only session — no purchase, no row
+        (7, T(2024, 1, 1, 9, 0), 3, "view", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r.first_touch: (r.n_purchases, r.revenue_cents)
+        for r in QUERIES["sessions_attribution"](spark, sf).collect()
+    }
+    assert out == {
+        "view": (2, 1275),
+        "click": (1, 100),
+        "purchase": (1, 500),
+    }
