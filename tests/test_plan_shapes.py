@@ -233,3 +233,73 @@ def test_q11_total_is_broadcast_not_collect(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q11_important_value")
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Spark's InjectRuntimeFilter puts a bloom semi-join reduction on the
+    fact side of a shuffle join whose other side carries a selective
+    filter: the build side aggregates a `bloom_filter_agg`, the fact scan
+    stage gains `bloom_filter_might_contain`, and fact rows that cannot
+    match die BEFORE the exchange.  This is a first-class 100 TB lever —
+    at the shipped thresholds (creation side <=10 MB, fact scan >=10 GB)
+    it self-activates exactly when the join is shuffle-bound — so pin
+    that the feature exists and that it does not change results.  The
+    thresholds are lowered here only because the test corpus is far below
+    the 10 GB activation bar."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+    from pyspark.sql import functions as F
+
+    def run():
+        part = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_brand") == "Brand#23")
+            .select("p_partkey", "p_brand")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_quantity"
+        )
+        return (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+        )
+
+    baseline = {tuple(r) for r in run().collect()}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force the shuffle-join shape the rule targets (a broadcast join
+        # needs no bloom: its fact side never shuffles)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = run()
+        plan = plan_of_df(df)
+        assert "bloom_filter_agg" in plan
+        # the fact-side probe renders only in the extended plan
+        # (formatted mode elides subquery-filter conditions)
+        extended = df._jdf.queryExecution().toString()
+        assert "might_contain(" in extended
+        assert "xxhash64(l_partkey" in extended
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def plan_of_df(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
