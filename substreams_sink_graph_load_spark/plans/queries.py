@@ -5710,6 +5710,228 @@ def curriculum_order(spark, sf_dir):
     )
 
 
+# 60-bit md5 prefix of the doc id — the deterministic "random" order every
+# quota/split op below ranks by (shared character-for-character with the
+# oracles so both engines sort the same ASCII-hex strings).
+_DOC_MD5_SQL = "md5(cast(doc_id as varchar))"
+
+_DOMAIN_CAP = 15
+
+
+@_q(
+    "sample_domain_cap",
+    f"""
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             cast(row_number() OVER (PARTITION BY source
+                  ORDER BY {_DOC_MD5_SQL}, doc_id) AS bigint) AS rank
+      FROM documents) r
+    WHERE rank <= {_DOMAIN_CAP}
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain quota sampling: keep at most N docs per source, chosen
+    by deterministic hash order — the "cap any one domain's share"
+    curation step that stops a crawl-dump source from dominating the
+    mixture, reproducible across runs/partitionings and append-stable
+    (a new doc can displace at most one ranked doc, never reshuffle).
+
+    Scale: a single window over an open per-source group would buffer a
+    data-scaled group per source; instead the salted two-phase top-N
+    (partial top-N per (source, doc_id%64), then final rank over <=64*N
+    survivors per source) bounds every window buffer by a constant —
+    the same shape bm25_search uses for per-term top-k."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    partial = Window.partitionBy("source", F.expr("doc_id % 64")).orderBy(
+        "hk", "doc_id"
+    )
+    final = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        d.withColumn("pr", F.row_number().over(partial))
+        .where(F.col("pr") <= _DOMAIN_CAP)
+        .withColumn("rank", F.row_number().over(final).cast("long"))
+        .where(F.col("rank") <= _DOMAIN_CAP)
+        .select("source", "doc_id", "rank")
+    )
+
+
+# Identical split-bucket arithmetic on both engines, applied to the
+# LEAKAGE KEY (the near-dup cluster representative), not the doc id.
+_CLUSTER_BUCKET_SQL = (
+    "cast(('0x' || substr(md5(cast(ck as varchar)), 1, 15)) AS bigint) % 100"
+)
+
+
+@_q(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_SIG_CTE_SQL},
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id),
+    keyed AS (SELECT d.doc_id,
+                     cast(coalesce(c.cluster_id, d.doc_id) AS bigint) AS ck
+              FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+    SELECT doc_id, ck AS cluster_key,
+           CASE WHEN {_CLUSTER_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_CLUSTER_BUCKET_SQL} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/valid/test split: every member of a near-dup
+    cluster is assigned by its CLUSTER representative's hash, so a
+    document and its near-duplicates can never straddle the train/eval
+    boundary — the eval-contamination failure mode a doc-hash split
+    (split_train_eval) cannot prevent.  Singletons key on their own id.
+
+    Scale: the cluster map is the adaptive connected-components operator
+    over banded-LSH candidate pairs (the dedup_clusters machinery — the
+    pair graph is orders of magnitude smaller than the corpus); the
+    join-back is keyed on doc_id and the split bucket evaluates in the
+    join's output projection.  Oracle replays clustering through the
+    recursive-CTE transitive closure — driver-SF-tractable; at sf10 use
+    scripts/cc_oracle_replay.py semantics (same intractability class as
+    dedup_clusters)."""
+    from ..operators.dedup import connected_components, minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, k=2
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    keyed = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("long").alias("ck"),
+        )
+    )
+    # Spark's equivalent of the oracle's ('0x' || hex)::bigint idiom is
+    # conv(hex, 16, 10) — same 60-bit value on both engines (the
+    # shard_manifest/split_train_eval precedent)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("ck").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return keyed.select(
+        "doc_id", F.col("ck").alias("cluster_key"), split.alias("split")
+    )
+
+
+# Hashed-feature bucket: 60-bit md5 prefix of the word, mod 4096 — the
+# fixed-width feature space of hashed-n-gram importance weighting.
+_DSIR_BUCKET_SQL = (
+    "cast(('0x' || substr(md5(w), 1, 15)) AS bigint) % 4096"
+)
+
+
+@_q(
+    "dsir_importance",
+    f"""
+    WITH g AS (SELECT doc_id,
+                      (lang = 'en') AS is_target,
+                      {_DSIR_BUCKET_SQL} AS bucket
+               FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                     FROM documents)),
+    tfb AS (SELECT doc_id, is_target, bucket,
+                   cast(count(*) AS bigint) AS tf
+            FROM g GROUP BY doc_id, is_target, bucket),
+    freq AS (SELECT bucket,
+                    cast(sum(tf) AS bigint) AS cnt_r,
+                    cast(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS bigint) AS cnt_t
+             FROM tfb GROUP BY bucket)
+    SELECT tfb.doc_id,
+           cast(sum(tf) AS bigint) AS n_words,
+           cast(sum(tf * (floor(log2(cnt_t + 1)) - floor(log2(cnt_r + 1)))) AS bigint)
+             AS dsir_score
+    FROM tfb JOIN freq ON tfb.bucket = freq.bucket
+    GROUP BY tfb.doc_id
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """Hashed-n-gram importance weighting (the DSIR recipe, Xie et al.
+    2023): score every document by how much its hashed word distribution
+    looks like a TARGET slice (here lang='en') versus the raw corpus —
+    per-word weight = log2(target count+1) - log2(corpus count+1) over a
+    fixed 4096-bucket hashed feature space, summed per doc.  Integer-
+    exact: floor(log2(bigint)) is exact in IEEE doubles far beyond any
+    reachable count (the quality_lm_bigram argument), so the score hash-
+    pins cross-engine.
+
+    Scale: words never re-explode — the (doc, bucket) tf relation is the
+    single exploded pass (one data-scaled shuffle, partial-agg'd
+    map-side); BOTH frequency tables come out of that already-reduced
+    relation in one 4096-group agg (a broadcast-sized constant at any
+    corpus size); the join-back attaches 4096 rows by broadcast and the
+    per-doc sum is the second and last data-scaled shuffle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long") % 4096
+    )
+    tfb = (
+        d.select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    freq = tfb.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("cnt_r"),
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cnt_t"),
+    )
+    return (
+        tfb.join(F.broadcast(freq), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(
+                F.col("tf")
+                * (
+                    F.floor(F.log2(F.col("cnt_t") + 1))
+                    - F.floor(F.log2(F.col("cnt_r") + 1))
+                )
+            )
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
