@@ -5948,17 +5948,23 @@ def dsir_importance(spark, sf_dir):
 # and hid five broken queries from the driver — never again.
 
 
-def _driver_rounds() -> dict[str, int]:
+def _driver_rounds(oracled: set[str] | None = None) -> dict[str, int]:
     """Newest CORRECTNESS_r*.json round carrying a PASSING row per query.
 
     Reads the reports the verify driver drops at the repo root (the parent
     of this package).  Only rows that actually verified count — a
     hash-match, or a rows-only row that produced rows (``err ==
-    "no_oracle"``).  An error row is not evidence, so a query that broke
-    in the newest report keeps its last-good round and sorts back toward
-    the front of the budget until the driver re-witnesses the fix.
-    Absent or unparseable reports are skipped, so a library install
-    without them degrades to cost-ordered export.
+    "no_oracle"``) **for a query that still has no oracle**.  A query
+    that has since gained an ORACLES entry must be re-witnessed under the
+    hash check, so its stale ``no_oracle`` rows are NON-evidence and it
+    sorts into the never-verified front of the budget (r6 verdict item 1:
+    the seven converted-oracle ANN/embedding/POI/sketch queries were
+    stuck mid-pack behind their own rows-only history).  An error row is
+    never evidence, so a query that broke in the newest report keeps its
+    last-good round and sorts back toward the front of the budget until
+    the driver re-witnesses the fix.  Absent or unparseable reports are
+    skipped, so a library install without them degrades to cost-ordered
+    export.
     """
     import glob as _glob
     import json as _json
@@ -5967,6 +5973,7 @@ def _driver_rounds() -> dict[str, int]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    oracled = oracled or set()
     newest: dict[str, int] = {}
     for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -5982,6 +5989,7 @@ def _driver_rounds() -> dict[str, int]:
             passed = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and name not in oracled
             )
             if passed:
                 newest[name] = max(newest.get(name, 0), rnd)
@@ -6066,7 +6074,7 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
 
 
 def _export_order(names: list[str]) -> list[str]:
-    newest = _driver_rounds()
+    newest = _driver_rounds(oracled=set(ORACLES))
     never = sorted(
         (n for n in names if n not in newest),
         key=lambda n: _COST.get(n, 99.0),

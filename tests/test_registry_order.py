@@ -25,7 +25,7 @@ def _reports() -> dict[int, dict]:
 
 
 def test_never_checked_queries_lead():
-    newest = Q._driver_rounds()
+    newest = Q._driver_rounds(oracled=set(Q.ORACLES))
     names = list(Q.QUERIES)
     never = [n for n in names if n not in newest]
     assert names[: len(never)] == sorted(
@@ -58,7 +58,7 @@ def test_error_rows_do_not_count_as_coverage():
 def test_stale_before_fresh():
     """Outside the never-checked + core head, export order is
     oldest-passing-round first."""
-    newest = Q._driver_rounds()
+    newest = Q._driver_rounds(oracled=set(Q.ORACLES))
     names = list(Q.QUERIES)
     head = {n for n in names if n not in newest} | set(Q._CORE)
     tail_rounds = [newest.get(n, 0) for n in names if n not in head]
