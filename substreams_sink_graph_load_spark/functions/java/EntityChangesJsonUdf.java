@@ -40,7 +40,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
       int num = (int) (tag >>> 3);
       int wt = (int) (tag & 7);
       if (num == 5 && wt == 2) {
-        int len = (int) readVarint(buf, pos);
+        int len = readLen(buf, pos, buf.length);
         pos = cursor;
         if (!first) {
           sb.append(',');
@@ -49,7 +49,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
         change(buf, pos, pos + len, sb);
         pos += len;
       } else {
-        pos = skip(buf, pos, wt);
+        pos = skip(buf, pos, wt, buf.length);
       }
     }
     sb.append(']');
@@ -79,21 +79,40 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
     }
   }
 
-  private int skip(byte[] b, int pos, int wt) {
+  private int skip(byte[] b, int pos, int wt, int end) {
     switch (wt) {
       case 0:
         readVarint(b, pos);
         return cursor;
       case 1:
+        if (pos + 8 > end) {
+          throw new IllegalArgumentException("truncated length-delimited field");
+        }
         return pos + 8;
       case 2:
-        int len = (int) readVarint(b, pos);
+        int len = readLen(b, pos, end);
         return cursor + len;
       case 5:
+        if (pos + 4 > end) {
+          throw new IllegalArgumentException("truncated length-delimited field");
+        }
         return pos + 4;
       default:
         throw new IllegalArgumentException("unsupported wire type " + wt);
     }
+  }
+
+  /** Read a length prefix and validate it fits inside the enclosing
+   * message [cursor, end) — a varint above 2^31 or past-the-end length
+   * must fail loudly (same contract as the Python codec's
+   * ValueError("truncated length-delimited field")), never wrap negative
+   * and walk the scan cursor backwards. */
+  private int readLen(byte[] b, int pos, int end) {
+    long len = readVarint(b, pos);
+    if (len < 0 || len > end - cursor) {
+      throw new IllegalArgumentException("truncated length-delimited field");
+    }
+    return (int) len;
   }
 
   private void change(byte[] b, int start, int end, StringBuilder sb) {
@@ -109,7 +128,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
       int num = (int) (tag >>> 3);
       int wt = (int) (tag & 7);
       if (wt == 2) {
-        int len = (int) readVarint(b, pos);
+        int len = readLen(b, pos, end);
         pos = cursor;
         if (num == 1) {
           entity = utf8(b, pos, pos + len);
@@ -130,7 +149,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
           operation = v;
         } // num == 3 (ordinal) and unknown varints: decoded and dropped
       } else {
-        pos = skip(b, pos, wt);
+        pos = skip(b, pos, wt, end);
       }
     }
     sb.append("{\"entity\":");
@@ -152,7 +171,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
       int num = (int) (tag >>> 3);
       int wt = (int) (tag & 7);
       if (wt == 2) {
-        int len = (int) readVarint(b, pos);
+        int len = readLen(b, pos, end);
         pos = cursor;
         if (num == 1) {
           name = utf8(b, pos, pos + len);
@@ -162,7 +181,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
         } // num == 5 (old_value) skipped by design
         pos += len;
       } else {
-        pos = skip(b, pos, wt);
+        pos = skip(b, pos, wt, end);
       }
     }
     sb.append("{\"name\":");
@@ -194,7 +213,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
           rendered = "{\"Boolean\":" + (v != 0) + "}";
         }
       } else if (wt == 2) {
-        int len = (int) readVarint(b, pos);
+        int len = readLen(b, pos, end);
         pos = cursor;
         StringBuilder one = new StringBuilder();
         if (num == 2 || num == 3 || num == 4) {
@@ -219,7 +238,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
             int n2 = (int) (t2 >>> 3);
             int w2 = (int) (t2 & 7);
             if (n2 == 1 && w2 == 2) {
-              int l2 = (int) readVarint(b, p2);
+              int l2 = readLen(b, p2, e2);
               p2 = cursor;
               if (!firstEl) {
                 one.append(',');
@@ -230,7 +249,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
               one.append('}');
               p2 += l2;
             } else {
-              p2 = skip(b, p2, w2);
+              p2 = skip(b, p2, w2, e2);
             }
           }
           one.append("]}}");
@@ -238,7 +257,7 @@ public class EntityChangesJsonUdf implements UDF1<byte[], String> {
         }
         pos += len;
       } else {
-        pos = skip(b, pos, wt);
+        pos = skip(b, pos, wt, end);
       }
     }
     sb.append(rendered == null ? "null" : rendered);

@@ -51,15 +51,17 @@ def build_udf_jar(
     jar_path = os.path.join(cache_dir, jar_name)
     if os.path.exists(jar_path) and os.path.getmtime(jar_path) >= os.path.getmtime(src):
         return jar_path
-    # build in a pid-scoped dir and publish with an atomic rename, so
-    # concurrent sessions racing the first build never see a torn jar
-    classes = os.path.join(cache_dir, f"classes.{os.getpid()}")
-    os.makedirs(classes, exist_ok=True)
+    # build in a per-artifact private dir and publish with an atomic
+    # rename, so concurrent builds — other sessions racing the first
+    # build, or two different UDFs building on threads in one process —
+    # never see a torn jar or package each other's class files
+    os.makedirs(cache_dir, exist_ok=True)
+    classes = tempfile.mkdtemp(prefix=f"classes.{jar_name}.", dir=cache_dir)
     subprocess.run(
         [javac, "-cp", cp, "-d", classes, src],
         check=True, capture_output=True,
     )
-    tmp_jar = f"{jar_path}.tmp.{os.getpid()}"
+    tmp_jar = f"{jar_path}.tmp.{os.path.basename(classes)}"
     subprocess.run(
         [jar, "cf", tmp_jar, "-C", classes, "."],
         check=True, capture_output=True,

@@ -97,8 +97,12 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, int | bytes]]:
                 raise ValueError("truncated length-delimited field")
         elif wt == 1:
             val, pos = buf[pos : pos + 8], pos + 8
+            if len(val) != 8:
+                raise ValueError("truncated length-delimited field")
         elif wt == 5:
             val, pos = buf[pos : pos + 4], pos + 4
+            if len(val) != 4:
+                raise ValueError("truncated length-delimited field")
         else:
             raise ValueError(f"unsupported wire type {wt}")
         yield num, wt, val

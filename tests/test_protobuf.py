@@ -286,6 +286,54 @@ def test_descriptor_set_bytes_pinned():
     )
 
 
+def test_javaudf_truncated_payload_fails_loudly(spark):
+    """Error-contract differential for the JVM wire decoder (r6 advice):
+    a length varint above 2^31 or past the enclosing message must raise
+    ("truncated length-delimited field", same contract as the Python
+    codec), never wrap negative, walk the cursor backwards, and loop an
+    executor forever."""
+    from substreams_sink_graph_load_spark.sources.protobuf import (
+        jvm_udf_decode_available,
+        parse_change_protobuf,
+    )
+
+    if not jvm_udf_decode_available(spark):
+        pytest.skip("no JDK to build the decoder UDF")
+
+    ok = encode_entity_changes(CHANGES)
+    bad_payloads = [
+        # top-level change length claims bytes past end-of-buffer
+        _enc_tag(5, 2) + _enc_varint(100) + b"abc",
+        # length varint > 2^31: (int) cast used to truncate negative
+        _enc_tag(5, 2) + _enc_varint(2**32 + 7) + b"abc",
+        # nested: field length inside a change overruns the change body
+        _enc_tag(5, 2)
+        + _enc_varint(6)
+        + (_enc_tag(5, 2) + _enc_varint(50) + b"abc"),
+        # fixed64 skip with fewer than 8 bytes left
+        _enc_tag(9, 1) + b"abc",
+    ]
+    for bad in bad_payloads:
+        wire = spark.createDataFrame(
+            [(1, bytearray(ok), 1), (2, bytearray(bad), 2)],
+            "block_num long, payload binary, seq long",
+        )
+        # executor-side errors surface as PySpark-captured exceptions on
+        # both routes; the contract under test is the shared message
+        with pytest.raises(Exception, match="truncated"):
+            parse_change_protobuf(wire, method="python").collect()
+        with pytest.raises(Exception, match="truncated"):
+            parse_change_protobuf(wire, method="javaudf").collect()
+    # the well-formed payload alone still decodes on both routes
+    wire = spark.createDataFrame(
+        [(1, bytearray(ok), 1)], "block_num long, payload binary, seq long"
+    )
+    assert (
+        parse_change_protobuf(wire, method="javaudf").collect()
+        == parse_change_protobuf(wire, method="python").collect()
+    )
+
+
 def test_javaudf_randomized_differential(spark):
     """Seeded fuzz over the full message shape space: 200 random changes
     (every oneof kind, unicode/control-char strings, nested arrays,
