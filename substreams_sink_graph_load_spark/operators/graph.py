@@ -96,8 +96,18 @@ def pagerank_ppm(
                 .alias("rank_ppm"),
             )
         )
-    return ranks.join(deg, "node", "left").select(
+    out = ranks.join(deg, "node", "left").select(
         "node",
         F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
         "rank_ppm",
     )
+    # Materialize the (small, node-cardinality) result once and truncate
+    # its lineage, then RELEASE the cached edge/node blocks — returning a
+    # lazy frame over persisted parents leaked both caches for the rest
+    # of the session on every call.  localCheckpoint blocks are reclaimed
+    # by the ContextCleaner when the returned frame is garbage-collected,
+    # unlike an explicit persist which outlives the caller.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -690,7 +690,7 @@ def events_sliding_window(spark, sf_dir):
     "events_sessionize",
     """
     WITH g AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                   OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -698,7 +698,7 @@ def events_sliding_window(spark, sf_dir):
       FROM events
     ), s AS (
       SELECT user_id, ts_us,
-             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess_id
       FROM g
     )
@@ -718,7 +718,9 @@ def events_sessionize(spark, sf_dir):
         F.lag(ts_us).over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy("user_id").orderBy(ts_us).rowsBetween(
+    # tiebreak on event_id: two events sharing a microsecond must land in
+    # an engine-independent session (matches the lag window's order)
+    run = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = (
@@ -5300,7 +5302,7 @@ def bm25_search(spark, sf_dir):
 _MIX_EPOCH_SQL = (
     "(CASE cast(substring(source, 4) as int) % 4"
     " WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 2 ELSE 2 END)"
-    " + (CASE WHEN (doc_id * 2654435761) % 65536 <"
+    " + (CASE WHEN ((doc_id % 65536) * 2654435761) % 65536 <"
     "   (CASE cast(substring(source, 4) as int) % 4"
     "    WHEN 0 THEN 32768 WHEN 1 THEN 32768 WHEN 2 THEN 0 ELSE 49152 END)"
     "  THEN 1 ELSE 0 END)"
@@ -5419,10 +5421,10 @@ _SESSIONS_SQL = """
              max(ts_us) AS e_us
       FROM (
         SELECT user_id, ts_us,
-               cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+               cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess_id
         FROM (
-          SELECT user_id, epoch_us(ts) AS ts_us,
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -5480,7 +5482,7 @@ def join_interval_bins(spark, sf_dir):
         | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = (
@@ -5660,7 +5662,7 @@ _CURRICULUM_BANDS_SQL = (
       SELECT doc_id, source,
              cast(least(1000000,
                (len(string_split(text, ' ')) * 1000000) // 100) AS bigint) AS score_ppm,
-             (doc_id * 2654435761) % 64 AS bucket
+             ((doc_id % 65536) * 2654435761) % 64 AS bucket
       FROM documents),
     banded AS (SELECT doc_id, source, score_ppm,
                       {_CURRICULUM_BANDS_SQL} AS band, bucket FROM scored)
@@ -5695,7 +5697,10 @@ def curriculum_order(spark, sf_dir):
         )
         .cast("long")
         .alias("score_ppm"),
-        F.expr("(doc_id * 2654435761) % 64").alias("bucket"),
+        # mask before the Knuth multiply: (a*K) mod 64 depends only on
+        # a mod 65536, and the masked product cannot overflow int64
+        # (Spark wraps silently, the DuckDB oracle would error)
+        F.expr("((doc_id % 65536) * 2654435761) % 64").alias("bucket"),
     )
     banded = scored.withColumn("band", F.expr(_CURRICULUM_BANDS_SQL))
     w = Window.partitionBy("band", "bucket").orderBy(
