@@ -1,4 +1,6 @@
-"""Independent sf10-scale check for ``dedup_clusters``.
+"""Independent sf10-scale check for ``dedup_clusters`` AND
+``split_leakage_safe`` (both consume the same LSH-pair component map;
+the latter's recursive-CTE oracle is in the same intractable class).
 
 The registry oracle's recursive CTE computes the full transitive closure
 (O(sum of component sizes^2) rows in ``reach``), which is exact but
@@ -98,7 +100,41 @@ def main() -> int:
         print(f"  extra={len(extra)} missing={len(missing)} label-diff={len(diff)}")
         for k in sorted(diff)[:10]:
             print(f"  doc {k}: spark={got[k]} replay={labels[k]}")
-    return 0 if ok else 1
+
+    # split_leakage_safe: replay the split arithmetic on the SAME labels
+    # (singletons key on their own doc_id), compare row-for-row.
+    import hashlib
+
+    all_ids = [
+        r[0]
+        for r in con.execute("SELECT doc_id FROM documents").fetchall()
+    ]
+
+    def split_of(ck: int) -> str:
+        b = int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    want = {
+        int(i): (int(labels.get(int(i), int(i))), split_of(labels.get(int(i), int(i))))
+        for i in all_ids
+    }
+    t0 = time.time()
+    ldf = entry_mod.queries()["split_leakage_safe"](spark, SF_DIR).toPandas()
+    t_leak = time.time() - t0
+    got_l = {
+        int(r.doc_id): (int(r.cluster_key), str(r.split))
+        for r in ldf.itertuples()
+    }
+    ok_l = got_l == want
+    print(f"spark split_leakage_safe: {len(got_l)} rows in {t_leak:.1f}s; "
+          f"{'MATCH' if ok_l else 'MISMATCH'}")
+    if not ok_l:
+        diff = [k for k in set(got_l) & set(want) if got_l[k] != want[k]]
+        print(f"  extra={len(set(got_l) - set(want))} "
+              f"missing={len(set(want) - set(got_l))} diff={len(diff)}")
+        for k in sorted(diff)[:10]:
+            print(f"  doc {k}: spark={got_l[k]} replay={want[k]}")
+    return 0 if (ok and ok_l) else 1
 
 
 if __name__ == "__main__":
