@@ -542,14 +542,19 @@ def parse_change_protobuf(raw: DataFrame, method: str = "auto") -> DataFrame:
     row shape :func:`..sources.jsonl.parse_change_lines` produces, one row
     per entity change.
 
-    ``method``: ``"jvm"`` forces the spark-protobuf route
-    (:func:`parse_change_protobuf_jvm`), ``"javaudf"`` the runtime-
-    compiled wire-decoder UDF (:func:`parse_change_protobuf_javaudf`,
-    JDK-gated, no connector jar needed), ``"python"`` the wire codec
-    below, ``"auto"`` (default) takes the first available JVM route
-    (spark-protobuf, then the Java UDF) and falls back to the codec —
-    so every deployment gets the strongest no-Python decode its
-    classpath supports, and a bare session still works.
+    ``method``: ``"javaudf"`` is the PRODUCTION DEFAULT ROUTE — the
+    runtime-compiled wire-decoder UDF (:func:`parse_change_protobuf_javaudf`,
+    JDK-gated, no connector jar needed, differential-tested bit-for-bit
+    against the Python codec incl. the truncation error contract);
+    ``"jvm"`` opts into the spark-protobuf connector route
+    (:func:`parse_change_protobuf_jvm`) — OPTIONAL, never exercised in
+    this sandbox (no connector jar has ever been stageable), so ``auto``
+    deliberately does NOT prefer it: an auto ladder must not route
+    production decode through a rung that has never executed anywhere.
+    ``"python"`` is the Arrow-batched wire codec below.  ``"auto"``
+    (default) = javaudf when a JDK is present, else the Python codec —
+    every deployment gets the strongest TESTED no-Python decode, and a
+    bare session still works.
 
     ``seq`` orders changes globally; absent, ``block_num`` is used (wire
     payloads are one-per-block, already totally ordered by block).  Change
@@ -559,9 +564,7 @@ def parse_change_protobuf(raw: DataFrame, method: str = "auto") -> DataFrame:
     """
     if method not in ("auto", "jvm", "javaudf", "python"):
         raise ValueError(f"unknown protobuf decode method {method!r}")
-    if method == "jvm" or (
-        method == "auto" and jvm_protobuf_available(raw.sparkSession)
-    ):
+    if method == "jvm":
         return parse_change_protobuf_jvm(raw)
     if method == "javaudf" or (
         method == "auto" and jvm_udf_decode_available(raw.sparkSession)
