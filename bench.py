@@ -93,6 +93,11 @@ HEADLINE = [
     "curriculum_order",
     "events_anomaly_mad",
     "sessions_attribution",
+    # round-7 additions: per-domain quota sampling, cluster-keyed
+    # leakage-safe splitting, and DSIR importance weighting
+    "sample_domain_cap",
+    "split_leakage_safe",
+    "dsir_importance",
 ]
 
 

@@ -31,6 +31,8 @@ AUDIT = [
     "docs_chunk_overlap", "bm25_search", "mix_epochs", "graph_pagerank",
     "join_interval_bins", "curriculum_order",
     "events_anomaly_mad", "sessions_attribution",
+    # round-7: quota sampling / leakage-safe split / DSIR weighting
+    "sample_domain_cap", "split_leakage_safe", "dsir_importance",
 ]
 
 

@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 import pandas as pd  # module-level: pandas_udf resolves stringized hints here
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5894,12 +5895,14 @@ def dsir_importance(spark, sf_dir):
     reachable count (the quality_lm_bigram argument), so the score hash-
     pins cross-engine.
 
-    Scale: words never re-explode — the (doc, bucket) tf relation is the
+    Scale: words explode ONCE — the (doc, bucket) tf relation is the
     single exploded pass (one data-scaled shuffle, partial-agg'd
-    map-side); BOTH frequency tables come out of that already-reduced
-    relation in one 4096-group agg (a broadcast-sized constant at any
-    corpus size); the join-back attaches 4096 rows by broadcast and the
-    per-doc sum is the second and last data-scaled shuffle."""
+    map-side), PERSISTED before its two consumers so the physical plan
+    cannot re-run the explode subtree per consumer; both frequency
+    columns come out of that already-reduced relation in one 4096-group
+    agg (a broadcast-sized constant at any corpus size); the join-back
+    attaches 4096 rows by broadcast and the per-doc sum is the second
+    and last data-scaled shuffle."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("lang") == "en").alias("is_target"),
@@ -5913,6 +5916,16 @@ def dsir_importance(spark, sf_dir):
         .groupBy("doc_id", "is_target", "bucket")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    # persist before the fan-out: freq AND the join consume tfb, and
+    # without a persist each consumer physically re-runs the whole
+    # explode + per-word md5 + data-scaled shuffle subtree (caught by
+    # plan_audit in r7: 4 exchanges, two full document scans — a
+    # grouping-sets single-pass draft didn't help either, Catalyst
+    # pushes the gid filter through the aggregate into the Expand and
+    # splits the scan again).  Same fault-tolerant pattern as the LSH
+    # sketch persist in operators/dedup.py: MEMORY_AND_DISK, lineage
+    # kept, so a lost executor recomputes instead of failing.
+    tfb = tfb.persist(StorageLevel.MEMORY_AND_DISK)
     freq = tfb.groupBy("bucket").agg(
         F.sum("tf").cast("long").alias("cnt_r"),
         F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(F.lit(0)))
@@ -6073,8 +6086,10 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "docs_chunk_overlap": 0.344, "bm25_search": 0.884, "mix_epochs": 0.359,
     "graph_pagerank": 4.19, "join_interval_bins": 0.785,
     "curriculum_order": 0.333,
-    # estimates (sf0.01 oracle_check wall, shared-host)
-    "events_anomaly_mad": 0.5, "sessions_attribution": 0.6
+    # measured r7 (sf0.01 quiet-host warm min-of-3, local[32])
+    "events_anomaly_mad": 0.363, "sessions_attribution": 0.425,
+    "sample_domain_cap": 0.341, "split_leakage_safe": 1.533,
+    "dsir_importance": 0.626,
 }
 
 
