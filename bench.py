@@ -98,6 +98,8 @@ HEADLINE = [
     "sample_domain_cap",
     "split_leakage_safe",
     "dsir_importance",
+    "embedding_quantize_int8",
+    "dataset_card_stats",
 ]
 
 

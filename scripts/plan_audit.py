@@ -33,6 +33,7 @@ AUDIT = [
     "events_anomaly_mad", "sessions_attribution",
     # round-7: quota sampling / leakage-safe split / DSIR weighting
     "sample_domain_cap", "split_leakage_safe", "dsir_importance",
+    "embedding_quantize_int8", "dataset_card_stats",
 ]
 
 

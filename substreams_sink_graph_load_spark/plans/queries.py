@@ -5950,11 +5950,115 @@ def dsir_importance(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           cast(maxabs AS double) AS maxabs,
+           CASE WHEN maxabs = 0 THEN ''
+                ELSE array_to_string(list_transform(embedding,
+                       x -> cast(floor(cast(x AS double) * 127.0
+                                       / cast(maxabs AS double) + 0.5) AS int)), ',')
+           END AS codes,
+           CASE WHEN maxabs = 0 THEN 0
+                ELSE cast(len(list_filter(list_transform(embedding,
+                       x -> cast(floor(cast(x AS double) * 127.0
+                                       / cast(maxabs AS double) + 0.5) AS int)),
+                       c -> abs(c) = 127)) AS bigint)
+           END AS n_sat
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+          FROM embeddings)
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a training pipeline applies before shipping
+    embeddings to an ANN index or a feature store (absmax scaling, the
+    llama.cpp/FAISS SQ8 recipe).  Emits the per-vector scale, the int8
+    code vector (comma-joined for cross-engine hashing), and the
+    saturation count (|code| = 127), the signal used to pick per-vector
+    vs per-block scaling.
+
+    Determinism: codes are floor(x*127/maxabs + 0.5) on IEEE doubles
+    promoted EXACTLY from the stored float32 on both engines — floor is
+    deterministic where round() implementations differ at .5; all-zero
+    vectors short-circuit (maxabs = 0 would otherwise divide by zero).
+
+    Scale: pure scan-stage codegen projection — zero shuffles, zero
+    Python; at 100 TB this runs at parquet-scan speed and is the shape
+    you'd fuse into the shard-export write."""
+    e = _t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    code = lambda x: F.floor(
+        x.cast("double") * 127.0 / F.col("maxabs").cast("double") + 0.5
+    ).cast("int")
+    codes = F.transform(F.col("embedding"), code)
+    return (
+        e.select("vec_id", "embedding", mx.alias("maxabs"))
+        .select(
+            "vec_id",
+            F.col("maxabs").cast("double").alias("maxabs"),
+            F.when(F.col("maxabs") == 0, F.lit("")).otherwise(
+                F.array_join(
+                    F.transform(codes, lambda c: c.cast("string")), ","
+                )
+            ).alias("codes"),
+            F.when(F.col("maxabs") == 0, F.lit(0).cast("long")).otherwise(
+                F.size(F.filter(codes, lambda c: F.abs(c) == 127)).cast("long")
+            ).alias("n_sat"),
+        )
+    )
+
+
+@_q(
+    "dataset_card_stats",
+    """
+    SELECT source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS total_chars,
+           cast(count(DISTINCT lang) AS bigint) AS n_langs,
+           cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS en_docs,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           round(avg(cast(n_chars AS double)), 6) AS mean_chars
+    FROM documents GROUP BY source
+    """,
+)
+def dataset_card_stats(spark, sf_dir):
+    """Per-source dataset-card manifest: the summary table a curation
+    pipeline publishes next to every training mixture (doc counts, size,
+    language spread, length distribution) — the machine-readable half of
+    a HuggingFace-style dataset card.
+
+    Determinism: exact linear-interpolation percentiles (the
+    agg_percentiles precedent — both engines compute (1-d)*lo + d*hi on
+    the sorted group); the mean rounds to 6dp.
+
+    Scale: one partial-aggregable shuffle keyed on source for the
+    counts/sums; the exact percentiles sort per source group — bounded
+    by the largest single source, the documented trade vs the mergeable
+    approx_percentile sketch (registered separately); count(DISTINCT
+    lang) expands by the ~constant language cardinality, never by docs."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("en_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 124 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 126 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -6089,7 +6193,8 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     # measured r7 (sf0.01 quiet-host warm min-of-3, local[32])
     "events_anomaly_mad": 0.363, "sessions_attribution": 0.425,
     "sample_domain_cap": 0.341, "split_leakage_safe": 1.533,
-    "dsir_importance": 0.626,
+    "dsir_importance": 0.626, "embedding_quantize_int8": 0.52,
+    "dataset_card_stats": 0.529,
 }
 
 
