@@ -100,6 +100,7 @@ HEADLINE = [
     "dsir_importance",
     "embedding_quantize_int8",
     "dataset_card_stats",
+    "ann_ivf_recall_eval",
 ]
 
 
@@ -142,6 +143,9 @@ SF1_SUBSET = [
     # are the two new shuffle-bearing corpus ops
     "dedup_substring_remove",
     "quality_lm_bigram",
+    # round-7: the persisted-tf DSIR shape and the salted per-source top-N
+    "dsir_importance",
+    "sample_domain_cap",
 ]
 
 

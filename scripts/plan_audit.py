@@ -34,6 +34,7 @@ AUDIT = [
     # round-7: quota sampling / leakage-safe split / DSIR weighting
     "sample_domain_cap", "split_leakage_safe", "dsir_importance",
     "embedding_quantize_int8", "dataset_card_stats",
+    "ann_ivf_recall_eval",
 ]
 
 
