@@ -95,3 +95,17 @@ def test_dataset_card_matches_manual(spark):
         assert g["n_langs"] == m["nl"]
         assert g["p50_chars"] <= g["p90_chars"]
         assert 0 < g["mean_chars"] <= g["total_chars"]
+
+
+def test_recall_eval_bounds(spark):
+    from substreams_sink_graph_load_spark.plans.queries import (
+        ann_ivf_recall_eval,
+        ann_topk_matmul_q,
+    )
+
+    rows = ann_ivf_recall_eval(spark, SF_DIR).collect()
+    n_queries = ann_topk_matmul_q(spark, SF_DIR).select("q_id").distinct().count()
+    assert len(rows) == n_queries > 0
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_pct"] == r["n_hits"] * 20
