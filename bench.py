@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dataset_card_stats",
     "ann_ivf_recall_eval",
+    "ann_ivf_nprobe4_topk",
 ]
 
 

@@ -35,6 +35,7 @@ AUDIT = [
     "sample_domain_cap", "split_leakage_safe", "dsir_importance",
     "embedding_quantize_int8", "dataset_card_stats",
     "ann_ivf_recall_eval",
+    "ann_ivf_nprobe4_topk",
 ]
 
 

@@ -6054,6 +6054,108 @@ def dataset_card_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_ivf_nprobe4_topk",
+    """
+    WITH c AS (SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id % 50 = 0
+               ORDER BY vec_id LIMIT 400),
+    pairdots AS (
+      SELECT e.vec_id, c.cid,
+             list_inner_product(cast(e.embedding AS DOUBLE[]), c.ce) AS dot
+      FROM embeddings e, c),
+    best AS (SELECT vec_id, max(dot) AS mdot FROM pairdots GROUP BY vec_id),
+    assign0 AS (
+      SELECT p.vec_id, min(p.cid) AS cid
+      FROM pairdots p JOIN best b ON p.vec_id = b.vec_id AND p.dot = b.mdot
+      GROUP BY p.vec_id),
+    assign AS (
+      SELECT a.vec_id, e.embedding, a.cid
+      FROM assign0 a JOIN embeddings e ON a.vec_id = e.vec_id),
+    q AS (SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id % 100 = 0
+          ORDER BY vec_id LIMIT 64),
+    qprobe AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, p.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY p.dot DESC, p.cid) AS pr
+        FROM q JOIN pairdots p ON p.vec_id = q.q_id) WHERE pr <= 4)
+    SELECT q_id, neighbor_id, rank FROM (
+      SELECT qp.q_id, a.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY qp.q_id
+               ORDER BY list_inner_product(cast(a.embedding AS DOUBLE[]),
+                                           q.q_emb) DESC, a.vec_id) AS rank
+      FROM qprobe qp
+      JOIN assign a ON a.cid = qp.cid AND a.vec_id != qp.q_id
+      JOIN q ON q.q_id = qp.q_id
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_nprobe4_topk(spark, sf_dir):
+    """Multi-probe IVF: each query searches its FOUR nearest cells
+    instead of one — the standard recall/latency knob (FAISS nprobe)
+    that recovers the single-probe recall loss the recall-eval operator
+    measures (57% mean recall@5 at sf1 with nprobe=1).  Probing 4 of
+    ~n/50 cells still prunes ~99% of the corpus per query.
+
+    Scale: assignment is the same one-BLAS-matmul-per-batch corpus
+    stream as ann_ivf_topk; probe selection ranks the kilobyte centroid
+    table against the 64 bounded queries on the driver (numpy, same
+    (dot desc, cid asc) tiebreak as the oracle) and broadcasts ≤ 64×4
+    probe rows; candidates are one broadcast-join against the assigned
+    corpus (a vector belongs to exactly one cell, so no dedup pass);
+    in-cell dots stay on the JVM fold whose left-fold order matches
+    list_inner_product bit-for-bit (the ann_ivf_topk precedent)."""
+    from ..operators.ann import ivf_assign_dot
+
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent_rows = (
+        e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(400).collect()
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cents = np.array([r["e"] for r in cent_rows], dtype=np.float64)
+    assign = ivf_assign_dot(e, cids, cents)
+    # bounded collect (64 rows, the registry-wide query-sample cap):
+    # probe selection is a 64 x 400 driver matmul, broadcast back
+    q_rows = (
+        e.where(F.col("vec_id") % 100 == 0).orderBy("vec_id").limit(64).collect()
+    )
+    probe_rows = []
+    for r in q_rows:
+        dots = cents @ np.array(r["e"], dtype=np.float64)
+        order = np.lexsort((cids, -dots))  # dot desc, cid asc on ties
+        for pcid in cids[order[:4]]:
+            probe_rows.append((int(r["vec_id"]), list(r["e"]), int(pcid)))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_emb array<double>, pcid long"
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("e"), F.col("q_emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), dot_q.alias("dot")
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank")
+    )
+
+
 # Recall evaluation composes the two ANN tiers' ORACLES verbatim, so the
 # eval's ground truth is definitionally the already-verified exact
 # baseline and the approx side is the already-verified IVF result — a
@@ -6113,7 +6215,7 @@ def ann_ivf_recall_eval(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 127 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 128 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -6250,6 +6352,7 @@ _COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
     "sample_domain_cap": 0.341, "split_leakage_safe": 1.533,
     "dsir_importance": 0.626, "embedding_quantize_int8": 0.52,
     "dataset_card_stats": 0.529, "ann_ivf_recall_eval": 3.745,
+    "ann_ivf_nprobe4_topk": 1.342,
 }
 
 
