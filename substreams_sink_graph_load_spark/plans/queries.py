@@ -6291,68 +6291,66 @@ _CORE = [
     "q5_region_revenue",
 ]
 
-_COST = {  # seconds at sf0.01, local[32] (scripts/time_queries.py, r5)
-    "unpivot_metrics": 0.145, "text_stats": 0.146, "validate_notnull":
-    0.156, "sort_limit_top10": 0.165, "scalar_string_funcs": 0.186,
-    "scalar_array_funcs": 0.191, "agg_pivot": 0.198,
-    "scalar_json_extract": 0.2, "scalar_date_funcs": 0.207,
-    "quality_score": 0.213, "join_anti_customers": 0.218,
-    "quality_gopher_rules": 0.218, "token_count": 0.223,
-    "agg_rollup_orders": 0.236, "join_correlated_min": 0.237,
-    "window_ntile": 0.237, "lang_id_heuristic": 0.238, "dedup_exact":
-    0.246, "scalar_math_funcs": 0.247, "agg_count_distinct": 0.258,
-    "set_intersect": 0.258, "q6_forecast_revenue": 0.259,
-    "doc_fingerprint": 0.267, "filter_range": 0.267, "agg_percentiles":
-    0.289, "events_sliding_window": 0.293, "sample_stratified": 0.294,
-    "agg_grouping_sets": 0.296, "set_union": 0.296, "set_except": 0.303,
-    "window_running_total": 0.306, "events_tumbling_hour": 0.308,
-    "agg_cube_part": 0.324, "join_broadcast_segments": 0.324,
-    "bigdecimal_normalize": 0.327, "window_range_frame": 0.331,
-    "scd2_immutable_rows": 0.341, "bundle_assign": 0.344, "pii_scrub":
-    0.35, "window_topk_per_segment": 0.369, "window_lag_delta": 0.37,
-    "agg_approx_percentile": 0.371, "events_sessionize": 0.372,
-    "join_range": 0.379, "cluster_kmeans_assign": 0.381,
-    "split_train_eval": 0.383, "multimodal_features": 0.389,
-    "ann_topk_matmul": 0.39, "q4_order_priority": 0.393, "agg_salted":
-    0.401, "join_asof": 0.408, "join_semi_nations": 0.409,
-    "q18_large_orders": 0.418, "decimal_arithmetic": 0.424,
-    "q1_pricing_summary": 0.432, "join_left_outer": 0.438,
-    "typed_extract": 0.439, "normalize_names": 0.44, "dedup_cross_source":
-    0.482, "ngram_counts": 0.486, "similarity_topk": 0.492,
-    "q14_promo_revenue": 0.504, "q19_discounted_revenue": 0.526,
-    "q17_small_quantity": 0.542, "join_runtime_minmax": 0.544,
-    "q13_customer_distribution": 0.552, "q22_inactive_balance": 0.564,
-    "contamination_probe": 0.567, "q15_top_supplier": 0.578,
-    "fuzzy_pairs": 0.61, "q3_shipping_priority": 0.64, "q7_nation_volume":
-    0.656, "scd2_versions": 0.724, "tfidf_top_terms": 0.727,
-    "dedup_minhash": 0.727, "scd2_validate_ops": 0.748,
-    "scd2_state_at_block": 0.811, "q10_returned_items": 0.916,
-    "proto_roundtrip": 0.945, "q5_region_revenue": 1.028,
-    "agg_approx_distinct": 1.067, "q21_waiting_supplier": 1.069,
-    "dedup_ngram_jaccard": 1.085, "dedup_substring_stats": 1.149,
-    "dedup_minhash_pairs": 1.234, "pg_csv_format": 1.321, "poi_chain":
-    1.359, "q8_market_share": 1.565, "events_funnel": 1.675,
-    "cluster_kmeans_fit": 2.647, "dedup_embedding": 2.275, "ann_ivf_topk":
-    2.545, "dedup_clusters": 3.084, "dedup_simhash": 3.148,
-    "quality_repetition": 5.177, "q12_priority_shipmode": 0.736,
-    "q20_part_promotion": 1.042, "q16_supplier_relation": 1.23,
-    "q9_product_profit": 1.383, "q2_min_cost_supplier": 2.361,
-    "q11_important_value": 2.592, "shard_manifest": 0.499,
-    "dedup_paragraphs": 1.72, "mix_temperature": 1.859,
-    "pack_sequences": 1.025, "curate_manifest": 3.545,
-    "events_retention": 0.441, "quality_lm_bigram": 0.777,
-    "events_gapfill": 0.784, "dedup_semantic_clusters": 1.667,
-    "dedup_substring_remove": 1.331, "ann_ivf_pq_topk": 2.7,
-    # r6 additions (warm min-of-3, isolated quiet-host pass)
-    "docs_chunk_overlap": 0.344, "bm25_search": 0.884, "mix_epochs": 0.359,
-    "graph_pagerank": 4.19, "join_interval_bins": 0.785,
-    "curriculum_order": 0.333,
-    # measured r7 (sf0.01 quiet-host warm min-of-3, local[32])
-    "events_anomaly_mad": 0.363, "sessions_attribution": 0.425,
-    "sample_domain_cap": 0.341, "split_leakage_safe": 1.533,
-    "dsir_importance": 0.626, "embedding_quantize_int8": 0.52,
-    "dataset_card_stats": 0.529, "ann_ivf_recall_eval": 3.745,
-    "ann_ivf_nprobe4_topk": 1.342,
+_COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
+    # quiet host, r7 (was a mix of r5 measurements + estimates)
+    "agg_approx_distinct": 1.744, "agg_approx_percentile": 0.214,
+    "agg_count_distinct": 0.203, "agg_cube_part": 0.212,
+    "agg_grouping_sets": 0.149, "agg_percentiles": 0.214, "agg_pivot":
+    0.162, "agg_rollup_orders": 0.178, "agg_salted": 0.27,
+    "ann_ivf_nprobe4_topk": 0.845, "ann_ivf_pq_topk": 2.405,
+    "ann_ivf_recall_eval": 1.351, "ann_ivf_topk": 0.664, "ann_pq_topk":
+    1.331, "ann_topk_matmul": 0.781, "bigdecimal_normalize": 0.32,
+    "bm25_search": 0.524, "bundle_assign": 0.157, "cluster_kmeans_assign":
+    0.311, "cluster_kmeans_fit": 2.065, "contamination_probe": 0.391,
+    "curate_manifest": 1.216, "curriculum_order": 0.241,
+    "dataset_card_stats": 0.227, "decimal_arithmetic": 0.279,
+    "dedup_clusters": 1.424, "dedup_cross_source": 0.29,
+    "dedup_embedding": 0.8, "dedup_exact": 0.146, "dedup_minhash": 0.788,
+    "dedup_minhash_pairs": 0.845, "dedup_ngram_jaccard": 0.724,
+    "dedup_paragraphs": 0.425, "dedup_semantic_clusters": 1.344,
+    "dedup_simhash": 1.667, "dedup_substring_remove": 0.658,
+    "dedup_substring_stats": 0.663, "doc_fingerprint": 0.16,
+    "docs_chunk_overlap": 0.164, "dsir_importance": 0.83,
+    "embedding_quantize_int8": 0.204, "events_anomaly_mad": 0.314,
+    "events_funnel": 0.539, "events_gapfill": 0.353, "events_retention":
+    0.305, "events_sessionize": 0.267, "events_sliding_window": 0.208,
+    "events_tumbling_hour": 0.214, "filter_range": 0.175, "fuzzy_pairs":
+    0.417, "graph_pagerank": 3.99, "join_anti_customers": 0.238,
+    "join_asof": 0.242, "join_broadcast_segments": 0.277,
+    "join_correlated_min": 0.227, "join_interval_bins": 0.404,
+    "join_left_outer": 0.305, "join_range": 0.303, "join_runtime_minmax":
+    0.362, "join_semi_nations": 0.351, "lang_id_heuristic": 0.128,
+    "mix_epochs": 0.181, "mix_temperature": 0.406, "multimodal_features":
+    0.341, "ngram_counts": 0.31, "normalize_names": 0.327,
+    "pack_sequences": 0.233, "pg_csv_format": 0.165, "pii_scrub": 0.208,
+    "poi_chain": 0.893, "proto_roundtrip": 0.543, "q10_returned_items":
+    0.484, "q11_important_value": 0.641, "q12_priority_shipmode": 0.377,
+    "q13_customer_distribution": 0.333, "q14_promo_revenue": 0.344,
+    "q15_top_supplier": 0.435, "q16_supplier_relation": 0.549,
+    "q17_small_quantity": 0.46, "q18_large_orders": 0.412,
+    "q19_discounted_revenue": 0.377, "q1_pricing_summary": 0.255,
+    "q20_part_promotion": 0.511, "q21_waiting_supplier": 0.651,
+    "q22_inactive_balance": 0.364, "q2_min_cost_supplier": 0.798,
+    "q3_shipping_priority": 0.476, "q4_order_priority": 0.305,
+    "q5_region_revenue": 0.711, "q6_forecast_revenue": 0.168,
+    "q7_nation_volume": 0.538, "q8_market_share": 0.848,
+    "q9_product_profit": 0.663, "quality_gopher_rules": 0.153,
+    "quality_lm_bigram": 0.447, "quality_repetition": 0.442,
+    "quality_score": 0.233, "sample_domain_cap": 0.297,
+    "sample_stratified": 0.233, "scalar_array_funcs": 0.183,
+    "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
+    "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
+    "scd2_immutable_rows": 0.253, "scd2_state_at_block": 0.519,
+    "scd2_validate_ops": 0.381, "scd2_versions": 0.487,
+    "sessions_attribution": 0.315, "set_except": 0.199, "set_intersect":
+    0.197, "set_union": 0.188, "shard_manifest": 0.183, "similarity_topk":
+    0.3, "sort_limit_top10": 0.174, "split_leakage_safe": 1.387,
+    "split_train_eval": 0.184, "text_stats": 0.18, "tfidf_top_terms":
+    0.458, "token_count": 0.196, "typed_extract": 0.349,
+    "unpivot_metrics": 0.126, "validate_notnull": 0.164,
+    "window_lag_delta": 0.192, "window_ntile": 0.151,
+    "window_range_frame": 0.197, "window_running_total": 0.192,
+    "window_topk_per_segment": 0.277
 }
 
 
