@@ -37,6 +37,9 @@ ORACLES: dict[str, str] = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        # a silent overwrite would drop an existing registry entry the
+        # driver's CORRECTNESS history still references — fail loudly
+        assert name not in QUERIES, f"duplicate registry name: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -6209,6 +6212,168 @@ def ann_ivf_recall_eval(spark, sf_dir):
             .alias("recall_pct"),
         )
     )
+
+
+@_q(
+    "sample_lang_rebalance",
+    """
+    SELECT doc_id, lang, source,
+           cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15)) AS bigint)
+             % 4096 AS bucket
+    FROM documents
+    WHERE cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15)) AS bigint)
+            % 4096
+          < CASE WHEN lang = 'en' THEN 512 ELSE 2048 END
+    """,
+)
+def sample_lang_rebalance(spark, sf_dir):
+    """Deterministic stratified downsampling — the mixture-rebalancing
+    step every pretraining pipeline applies (downweight the dominant
+    language/crawl, keep the tails): keep a doc iff its stable 60-bit
+    md5 bucket (mod 4096) falls under the stratum's rate numerator
+    (en -> 512/4096 = 12.5%, every other stratum 2048/4096 = 50%).
+
+    Hash-based sampling beats rand() at scale because it is (a)
+    reproducible run-to-run and executor-to-executor, (b) consistent
+    across tables — any other table keyed by doc_id samples the SAME
+    docs with no join, and (c) exactly replayable by the oracle.
+
+    Scale: a pure scan-stage codegen filter — zero shuffles, zero
+    Python, no driver state; at 100 TB it runs at parquet-scan speed
+    and composes with any downstream operator as a cheap prefilter.
+    The rate table here is a CASE literal; a real deployment broadcasts
+    a (stratum -> numerator) dimension instead, same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 4096
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(512)).otherwise(F.lit(2048))
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+def _zbit_sql(b1: str, b2: str, div: str) -> str:
+    """Engine-portable 12-bit Morton interleave of two 6-bit buckets as
+    pure integer arithmetic (bit k of b is (b div 2^k) % 2) — identical
+    text modulo the integer-division token (`div` on Spark, `//` on
+    DuckDB)."""
+    terms = []
+    for k in range(6):
+        p = 1 << k
+        terms.append(f"(({b1} {div} {p}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({b2} {div} {p}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+    WITH maxck AS (SELECT max(o_custkey) AS mck FROM orders),
+    b AS (
+      SELECT least(63, date_diff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) // 38) AS b1,
+             (o_custkey * 64) // (mck + 1) AS b2
+      FROM orders CROSS JOIN maxck),
+    z AS (SELECT {_zbit_sql("b1", "b2", "//")} // 16 AS zfile, b1, b2 FROM b)
+    SELECT zfile,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(min(b1) AS bigint) AS min_b1, cast(max(b1) AS bigint) AS max_b1,
+           cast(min(b2) AS bigint) AS min_b2, cast(max(b2) AS bigint) AS max_b2
+    FROM z GROUP BY zfile
+"""
+
+
+@_q("layout_zorder_stats", _ZORDER_ORACLE)
+def layout_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) layout assignment + per-file clustering stats —
+    the data-layout optimization a lakehouse runs (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``) so multi-dimensional filters prune files on
+    BOTH dimensions at once.  Each order gets a 12-bit Morton code
+    interleaving its 6-bit date bucket (fixed 38-day width over the
+    corpus' fixed date range) with its 6-bit customer bucket (domain
+    split by the runtime max custkey — SF-scaled); 16 consecutive codes
+    form one "file", and the output is each file's min/max extent on
+    both dimensions plus its row count — exactly the footer stats a
+    reader's pruner would consult.  Bounded extents on both axes (vs a
+    date-sorted layout whose custkey extent spans the full domain) are
+    the measurable win.
+
+    Scale: the custkey bound is a one-row partial agg broadcast into the
+    scan projection (the join_runtime_minmax precedent); the Morton code
+    is pure integer codegen arithmetic; one partial-aggregated shuffle
+    on the 256-value zfile key produces the stats.  At 100 TB the same
+    plan writes the layout itself via ``repartitionByRange(zfile)`` +
+    per-file sort — the stats table IS the pruning index."""
+    o = _t(spark, sf_dir, "orders")
+    mck = o.agg(F.max("o_custkey").alias("mck"))
+    b = o.crossJoin(F.broadcast(mck)).select(
+        F.least(
+            F.lit(63),
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') div 38"
+            ),
+        ).alias("b1"),
+        F.expr("(o_custkey * 64) div (mck + 1)").alias("b2"),
+    )
+    z = b.select(
+        F.expr(_zbit_sql("b1", "b2", "div") + " div 16").alias("zfile"), "b1", "b2"
+    )
+    return z.groupBy("zfile").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("b1").cast("long").alias("min_b1"),
+        F.max("b1").cast("long").alias("max_b1"),
+        F.min("b2").cast("long").alias("min_b2"),
+        F.max("b2").cast("long").alias("max_b2"),
+    )
+
+
+@_q(
+    "embedding_covariance",
+    """
+    WITH qv AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(e AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    cells AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+      FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i),
+    mom AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM qv GROUP BY i),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT CAST(c.i AS INTEGER) AS i, CAST(c.j AS INTEGER) AS j, c.s_ij,
+           (CAST(c.s_ij AS DOUBLE)
+            - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           / CAST(nn.n AS DOUBLE) AS cov
+    FROM cells c
+    JOIN mom mi ON mi.i = c.i
+    JOIN mom mj ON mj.i = c.j
+    CROSS JOIN nn
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Exact upper-triangle covariance of the embedding column — the
+    one-pass second-moment statistic feeding whitening/PCA and embedding
+    drift monitors.  Fixed-point quantization (floor(x*2^20 + 0.5) as
+    int64, exact for float32 inputs) makes every partial sum an exact
+    integer, so the result is bit-identical under any partitioning and
+    the driver can hash it; the double `cov` column is derived from
+    those exact integers by a fixed IEEE expression both engines
+    evaluate identically.
+
+    Scale (operators/moments.py): each partition folds its rows into a
+    local (d+1)x(d+1) int64 Gram matrix (one numpy matmul per Arrow
+    batch — the constant 1-column makes first moments and the row count
+    fall out of the same product), and ONLY the d(d+1)/2 cells shuffle:
+    the corpus is scanned once with no data-scaled exchange.  The oracle
+    is the d^2 self-join formulation — tractable at oracle SFs,
+    intentionally NOT the engine plan."""
+    from ..operators.moments import covariance
+
+    return covariance(_t(spark, sf_dir, "embeddings"), "embedding")
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,117 @@ def test_recall_eval_bounds(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_pct"] == r["n_hits"] * 20
+
+
+# --- r7 continuation: stratified sampling, Z-order layout, covariance ----
+
+
+def test_sample_rebalance_hash_stable_across_sf(spark):
+    """The sampling hash keys on doc_id alone, so a doc_id maps to the
+    SAME bucket in any corpus — the property that lets any other table
+    keyed by doc_id sample consistently with no join.  (The keep
+    decision itself also depends on lang, which the synthetic generator
+    draws independently per SF, so only bucket stability is asserted.)"""
+    from substreams_sink_graph_load_spark.plans.queries import sample_lang_rebalance
+
+    small = {
+        r["doc_id"]: r["bucket"]
+        for r in sample_lang_rebalance(spark, "/root/testdata/sf0.001").collect()
+    }
+    large = {
+        r["doc_id"]: r["bucket"]
+        for r in sample_lang_rebalance(spark, "/root/testdata/sf0.01").collect()
+    }
+    shared = set(small) & set(large)
+    assert shared  # hash uniformity makes total disjointness implausible
+    for doc_id in shared:
+        assert small[doc_id] == large[doc_id]
+
+
+def test_sample_rebalance_rates(spark):
+    """Every kept row's bucket is under its stratum numerator, and the
+    realized en rate sits near 512/4096 (hash uniformity sanity)."""
+    from substreams_sink_graph_load_spark.plans.queries import sample_lang_rebalance
+
+    rows = sample_lang_rebalance(spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        limit = 512 if r["lang"] == "en" else 2048
+        assert r["bucket"] < limit
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    total_en = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("lang") == "en")
+        .count()
+    )
+    assert 0.04 < n_en / total_en < 0.25  # 12.5% nominal, wide hash tolerance
+
+
+def test_zorder_file_extents_bounded(spark):
+    """The pruning guarantee: within one zfile (16 consecutive Morton
+    codes, aligned), only the low 2 bits of EACH dimension vary, so the
+    per-file extent is <= 3 on both axes — the property that makes
+    two-dimensional file skipping work."""
+    from substreams_sink_graph_load_spark.plans.queries import layout_zorder_stats
+
+    rows = layout_zorder_stats(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["zfile"] < 256
+        assert r["max_b1"] - r["min_b1"] <= 3, r
+        assert r["max_b2"] - r["min_b2"] <= 3, r
+
+
+def test_zorder_interleave_bijective():
+    """The arithmetic Morton expression is a bijection on 6+6 bits."""
+    from substreams_sink_graph_load_spark.plans.queries import _zbit_sql
+
+    expr = _zbit_sql("b1", "b2", "//")
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        SELECT count(DISTINCT {expr}) FROM
+          (SELECT unnest(range(64)) AS b1) CROSS JOIN
+          (SELECT unnest(range(64)) AS b2)
+        """
+    ).fetchone()[0]
+    assert n == 64 * 64
+
+
+def test_covariance_partitioning_invariant(spark):
+    """Exact int64 cells are bit-identical under any partitioning."""
+    from substreams_sink_graph_load_spark.operators.moments import covariance
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        (r["i"], r["j"]): (r["s_ij"], r["cov"])
+        for r in covariance(e.repartition(7)).collect()
+    }
+    b = {
+        (r["i"], r["j"]): (r["s_ij"], r["cov"])
+        for r in covariance(e.coalesce(1)).collect()
+    }
+    assert a == b and len(a) == 64 * 65 // 2
+
+
+def test_covariance_numpy_differential(spark):
+    """The quantized covariance, rescaled by 2^-40, approximates the
+    float covariance to quantization error (<= ~d * 2^-20 per cell)."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.moments import (
+        FIXED_POINT_SCALE,
+        covariance,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance(e).collect()}
+    x = np.array(
+        [r["embedding"] for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    ref = np.cov(x, rowvar=False, bias=True) * FIXED_POINT_SCALE**2
+    # Quantization perturbs each coordinate by <= 0.5 fixed-point units,
+    # so a covariance cell moves by O(E|x| * 2^20) absolute — compare at
+    # the scale of the matrix (its largest diagonal), not the cell.
+    scale = max(abs(ref[k, k]) for k in range(ref.shape[0]))
+    for (i, j), cov in got.items():
+        assert abs(cov - ref[i, j]) / scale < 1e-3, (i, j, cov, ref[i, j])
