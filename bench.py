@@ -102,6 +102,11 @@ HEADLINE = [
     "dataset_card_stats",
     "ann_ivf_recall_eval",
     "ann_ivf_nprobe4_topk",
+    # round-7 continuation: deterministic mixture rebalancing, Z-order
+    # layout stats, and the exact fixed-point covariance fold
+    "sample_lang_rebalance",
+    "layout_zorder_stats",
+    "embedding_covariance",
 ]
 
 

@@ -36,6 +36,8 @@ AUDIT = [
     "embedding_quantize_int8", "dataset_card_stats",
     "ann_ivf_recall_eval",
     "ann_ivf_nprobe4_topk",
+    # round-7 continuation: rebalance sampling / Z-order layout / covariance
+    "sample_lang_rebalance", "layout_zorder_stats", "embedding_covariance",
 ]
 
 

@@ -6380,7 +6380,7 @@ def embedding_covariance(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 128 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 131 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -6502,7 +6502,9 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "q9_product_profit": 0.663, "quality_gopher_rules": 0.153,
     "quality_lm_bigram": 0.447, "quality_repetition": 0.442,
     "quality_score": 0.233, "sample_domain_cap": 0.297,
-    "sample_stratified": 0.233, "scalar_array_funcs": 0.183,
+    "sample_lang_rebalance": 0.216, "sample_stratified": 0.233,
+    "layout_zorder_stats": 0.530, "embedding_covariance": 0.956,
+    "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
     "scd2_immutable_rows": 0.253, "scd2_state_at_block": 0.519,
