@@ -107,6 +107,8 @@ HEADLINE = [
     "sample_lang_rebalance",
     "layout_zorder_stats",
     "embedding_covariance",
+    "minhash_precision_eval",
+    "bpe_pair_counts",
 ]
 
 

@@ -80,6 +80,7 @@ HEAVY = [
     "dedup_substring_stats",
     "dedup_minhash",
     "dedup_minhash_pairs",
+    "minhash_precision_eval",
     "dedup_ngram_jaccard",
     "dedup_clusters",
 ]

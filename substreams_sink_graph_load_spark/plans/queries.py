@@ -6376,6 +6376,143 @@ def embedding_covariance(spark, sf_dir):
     return covariance(_t(spark, sf_dir, "embeddings"), "embedding")
 
 
+_MINHASH_EVAL_ORACLE = f"""
+    WITH cand AS ({ORACLES["dedup_minhash_pairs"]}),
+    g AS (SELECT doc_id, grams, len(grams) AS n_grams FROM {_GRAMS2_SQL}),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_bands, c.n_sig_agree,
+             len(list_intersect(ga.grams, gb.grams)) AS inter,
+             ga.n_grams + gb.n_grams
+               - len(list_intersect(ga.grams, gb.grams)) AS un
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, n_shared_bands, n_sig_agree,
+           CAST(floor(1000000.0 * inter / un) AS bigint) AS jaccard_ppm,
+           CAST(CASE WHEN floor(1000000.0 * inter / un) >= 200000
+                     THEN 1 ELSE 0 END AS bigint) AS is_dup
+    FROM j
+"""
+
+
+@_q("minhash_precision_eval", _MINHASH_EVAL_ORACLE)
+def minhash_precision_eval(spark, sf_dir):
+    """Precision audit of the MinHash-LSH tier: every LSH candidate pair
+    annotated with its TRUE word-2-gram Jaccard (exact integer ppm) and
+    a duplicate verdict at the ngram_jaccard operator's 0.2 threshold —
+    the dedup analogue of ann_ivf_recall_eval, and the measurement a
+    pipeline owner reads before trusting banded LSH at a new corpus
+    (16 perms / 4 bands ⇒ the S-curve admits many sub-threshold
+    candidates by design; this query quantifies how many).  The
+    candidate side IS the shipped dedup_minhash_pairs query and the
+    oracle composes its oracle text verbatim, so a drift in either the
+    sketch or the shingle definition surfaces as a driver hash mismatch.
+
+    Scale: true-Jaccard verification touches ONLY candidate pairs —
+    never corpus² — and the gram table is cut to candidate docs
+    (2·|pairs| ids) BEFORE any join, so the exact check costs
+    O(candidates × doc length).  This mirrors production near-dup
+    pipelines (MinHash prefilter, exact verify on survivors)."""
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(d, num_perm=16, bands=4, k=2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = (
+        d.select("doc_id", word_shingles(F.col("text"), 2).alias("grams"))
+        .join(ids, "doc_id")
+        .withColumn("n_grams", F.size("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("na"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.col("na") + F.col("nb") - inter
+    jac = F.floor(1000000.0 * inter / union).cast("long")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "n_sig_agree",
+            jac.alias("jaccard_ppm"),
+            F.when(jac >= 200000, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )
+
+
+@_q(
+    "bpe_pair_counts",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(len(w) - 1),
+                                   i -> w[i+1:i+2])) AS pair
+      FROM w WHERE len(w) >= 2),
+    c AS (SELECT pair, cast(count(*) AS bigint) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt,
+           cast(row_number() OVER (ORDER BY cnt DESC, pair) AS bigint) AS rank
+    FROM c ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The first iteration of BPE tokenizer training: corpus-wide counts
+    of adjacent character pairs inside words, top-20 by frequency with a
+    full (count desc, pair asc) tiebreak — the merge-candidate table a
+    byte-pair-encoding trainer materializes each round.  Shipping it as
+    an engine query is what makes distributed tokenizer training on the
+    pretraining corpus itself feasible (the merge loop re-runs this with
+    the previous merges applied).
+
+    Scale: ONE explode pass — words explode to rows, the in-word pair
+    list is a codegen `transform` over `sequence` (never a second
+    explode per character), and the pair rows partial-aggregate map-side
+    before the single shuffle on the pair key (≤ ~26² distinct keys for
+    ASCII text: a broadcast-sized agg at any corpus size).  The global
+    top-20 lowers to TakeOrderedAndProject (per-partition top-20, driver
+    merge of K×20 rows) — no single-partition window.  The descending
+    `sequence(1, len-1)` trap for 1-char words is guarded on both
+    engines (DuckDB's `range(0)` is empty; Spark's `sequence(1, 0)`
+    DESCENDS, so the guard is explicit)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("cnt"))
+    top = c.orderBy(F.col("cnt").desc(), F.col("pair")).limit(20)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------

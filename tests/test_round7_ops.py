@@ -223,3 +223,76 @@ def test_covariance_numpy_differential(spark):
     scale = max(abs(ref[k, k]) for k in range(ref.shape[0]))
     for (i, j), cov in got.items():
         assert abs(cov - ref[i, j]) / scale < 1e-3, (i, j, cov, ref[i, j])
+
+
+# --- r7 continuation: LSH precision eval + BPE pair counts ---------------
+
+
+def test_minhash_eval_covers_all_candidates(spark):
+    """The eval annotates EVERY LSH candidate pair — same pair set as
+    the shipped dedup_minhash_pairs query — and its Jaccard is exact."""
+    from substreams_sink_graph_load_spark.plans.queries import (
+        dedup_minhash_pairs,
+        minhash_precision_eval,
+    )
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_pairs(spark, SF_DIR).collect()
+    }
+    rows = minhash_precision_eval(spark, SF_DIR).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    for r in rows:
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+        assert r["is_dup"] == (1 if r["jaccard_ppm"] >= 200_000 else 0)
+        # agreement count bounds the band collision count
+        assert 1 <= r["n_shared_bands"] <= 4
+        assert 0 <= r["n_sig_agree"] <= 16
+
+
+def test_minhash_eval_jaccard_matches_brute_force(spark):
+    """Spot-check the exact-ppm column against a per-pair python
+    shingle computation."""
+    from substreams_sink_graph_load_spark.plans.queries import (
+        minhash_precision_eval,
+    )
+
+    rows = minhash_precision_eval(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    def grams(t):
+        ws = t.split(" ")
+        if len(ws) < 2:
+            return {t}
+        return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+
+    import math
+
+    for r in rows[:20]:
+        ga, gb = grams(docs[r["doc_a"]]), grams(docs[r["doc_b"]])
+        want = math.floor(1_000_000.0 * len(ga & gb) / len(ga | gb))
+        assert r["jaccard_ppm"] == want, (r["doc_a"], r["doc_b"])
+
+
+def test_bpe_pairs_match_python_counter(spark):
+    """Top-20 pair table equals a brute-force Counter over the corpus,
+    with the (count desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    from substreams_sink_graph_load_spark.plans.queries import bpe_pair_counts
+
+    rows = bpe_pair_counts(spark, SF_DIR).collect()
+    cnt = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        for w in r["text"].split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["cnt"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, 21)
+    )
