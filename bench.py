@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_covariance",
     "minhash_precision_eval",
     "bpe_pair_counts",
+    "embedding_pca_power",
 ]
 
 
@@ -154,6 +155,9 @@ SF1_SUBSET = [
     # round-7: the persisted-tf DSIR shape and the salted per-source top-N
     "dsir_importance",
     "sample_domain_cap",
+    # round-7 continuation: the corpus-scan covariance fold feeding the
+    # constant-size PCA epilogue
+    "embedding_pca_power",
 ]
 
 

