@@ -360,3 +360,47 @@ def test_pca_power_partitioning_invariant(spark):
     tmp = f"{SF_DIR}"  # same data; invariance is exercised via the shuffle
     b = {r["i"]: r["v_q"] for r in embedding_pca_power(spark, tmp).collect()}
     assert a == b and len(a) == 64
+
+
+# --- r7 continuation: tuned-LSH precision recovery -----------------------
+
+
+def test_minhash_tuned_matches_oracle(spark):
+    from substreams_sink_graph_load_spark.plans.queries import (
+        minhash_precision_tuned,
+    )
+
+    got = (
+        minhash_precision_tuned(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle("minhash_precision_tuned", SF_DIR)
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["doc_a", "doc_b", "n_shared_bands", "n_sig_agree", "jaccard_ppm", "is_dup"]:
+        assert (got[c] == want[c]).all(), c
+
+
+def test_minhash_tuned_sharper_curve(spark):
+    """8-row bands are strictly more selective than 4-row bands built
+    from the same shingle hashes: the tuned tier must not admit MORE
+    candidates, and its precision must be >= the 16/4 tier's (the
+    finding this query exists to measure)."""
+    from substreams_sink_graph_load_spark.plans.queries import (
+        minhash_precision_eval,
+        minhash_precision_tuned,
+    )
+
+    base = minhash_precision_eval(spark, SF_DIR).collect()
+    tuned = minhash_precision_tuned(spark, SF_DIR).collect()
+    assert 0 < len(tuned) <= len(base)
+    prec = lambda rows: sum(r["is_dup"] for r in rows) / len(rows)
+    assert prec(tuned) >= prec(base)
+    # agreement counts are out of 32 perms now: bounded accordingly
+    assert all(0 <= r["n_sig_agree"] <= 32 for r in tuned)
+    assert all(1 <= r["n_shared_bands"] <= 4 for r in tuned)
