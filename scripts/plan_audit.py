@@ -39,7 +39,7 @@ AUDIT = [
     # round-7 continuation: rebalance sampling / Z-order layout / covariance
     "sample_lang_rebalance", "layout_zorder_stats", "embedding_covariance",
     "minhash_precision_eval", "bpe_pair_counts", "embedding_pca_power",
-    "minhash_precision_tuned",
+    "minhash_precision_tuned", "embedding_drift_by_source",
 ]
 
 

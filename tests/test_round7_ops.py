@@ -404,3 +404,54 @@ def test_minhash_tuned_sharper_curve(spark):
     # agreement counts are out of 32 perms now: bounded accordingly
     assert all(0 <= r["n_sig_agree"] <= 32 for r in tuned)
     assert all(1 <= r["n_shared_bands"] <= 4 for r in tuned)
+
+
+# --- r7 continuation: per-source embedding drift monitor -----------------
+
+
+def test_drift_matches_oracle(spark):
+    from substreams_sink_graph_load_spark.plans.queries import (
+        embedding_drift_by_source,
+    )
+
+    got = (
+        embedding_drift_by_source(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "i"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle("embedding_drift_by_source", SF_DIR)
+        .sort_values(["source", "i"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["source", "i", "n_vecs", "s_q"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["delta"].to_numpy() == want["delta"].to_numpy()).all()
+
+
+def test_drift_deltas_cancel(spark):
+    """Per-dim: the count-weighted sum of per-source deltas is ~0 (the
+    defining identity of deviation-from-global-mean), and counts are
+    constant across dims within a source."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.plans.queries import (
+        embedding_drift_by_source,
+    )
+
+    rows = embedding_drift_by_source(spark, SF_DIR).collect()
+    by_dim = {}
+    by_source = {}
+    for r in rows:
+        by_dim.setdefault(r["i"], []).append((r["n_vecs"], r["delta"]))
+        by_source.setdefault(r["source"], set()).add(r["n_vecs"])
+    assert len(by_dim) == 64
+    for i, pairs in by_dim.items():
+        w = sum(n * d for n, d in pairs)
+        tot = sum(n for n, _ in pairs)
+        # exact-int construction keeps the weighted residual at float
+        # rounding scale (deltas are O(2^20) fixed-point units)
+        assert abs(w) / tot < 1e-6, (i, w)
+    assert all(len(ns) == 1 for ns in by_source.values())
