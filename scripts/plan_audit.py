@@ -40,6 +40,7 @@ AUDIT = [
     "sample_lang_rebalance", "layout_zorder_stats", "embedding_covariance",
     "minhash_precision_eval", "bpe_pair_counts", "embedding_pca_power",
     "minhash_precision_tuned", "embedding_drift_by_source",
+    "embedding_pc1_outliers",
 ]
 
 

@@ -6729,6 +6729,71 @@ def embedding_pca_power(spark, sf_dir):
 
 
 @_q(
+    "embedding_pc1_outliers",
+    f"""
+    WITH pc AS MATERIALIZED ({_pca_power_oracle(_PCA_SQUARINGS)}),
+    qv AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(e AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    proj AS (
+      SELECT qv.vec_id, CAST(sum(qv.q * pc.v_q) AS BIGINT) AS proj_q
+      FROM qv JOIN pc ON pc.i = qv.i
+      GROUP BY qv.vec_id)
+    SELECT vec_id, proj_q FROM proj
+    ORDER BY abs(proj_q) DESC, vec_id LIMIT 50
+    """,
+)
+def embedding_pc1_outliers(spark, sf_dir):
+    """Top-50 embeddings by |projection onto the dominant principal
+    component| — the outlier screen that puts embedding_pca_power's
+    direction to work (vectors far out along the top variance axis are
+    the classic candidates for encoder glitches and domain outliers).
+
+    The PC vector is the shipped embedding_pca_power result (64 int64
+    entries, |v| <= 2^20 by its renormalization contract) — collected
+    driver-side as a BOUNDED d-row read (the centroid/codebook idiom)
+    and closed over a mapInArrow projection: one exact int64 numpy
+    matvec per Arrow batch (|q·v| <= 2^40, 64-term sum <= 2^46 —
+    int64-safe), so the corpus streams once with no shuffle and the
+    global top-50 lowers to TakeOrderedAndProject (partition-local
+    top-k + driver merge, never a single-partition sort).  The oracle
+    composes the embedding_pca_power oracle verbatim as a MATERIALIZED
+    CTE and reduces with an integer SUM — both engines agree
+    bit-for-bit, ties broken by vec_id."""
+    import numpy as np
+    import pyarrow as pa
+
+    pc_rows = embedding_pca_power(spark, sf_dir).collect()  # d rows, bounded
+    v = np.zeros(len(pc_rows), dtype=np.int64)
+    for r in pc_rows:
+        v[r["i"]] = r["v_q"]
+
+    def _proj(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.floor(flat.astype(np.float64) * 1048576.0 + 0.5).astype(
+                np.int64
+            ).reshape(batch.num_rows, v.size)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids.astype(np.int64)), pa.array(x @ v)],
+                names=["vec_id", "proj_q"],
+            )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = e.mapInArrow(_proj, schema="vec_id bigint, proj_q bigint")
+    return proj.orderBy(F.abs(F.col("proj_q")).desc(), "vec_id").limit(50)
+
+
+@_q(
     "embedding_drift_by_source",
     """
     WITH qv AS (
@@ -6818,7 +6883,7 @@ def embedding_drift_by_source(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 136 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 137 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -6944,7 +7009,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "layout_zorder_stats": 0.530, "embedding_covariance": 0.956,
     "minhash_precision_eval": 1.531, "bpe_pair_counts": 0.342,
     "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
-    "embedding_drift_by_source": 0.618,
+    "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,

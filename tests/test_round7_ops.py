@@ -455,3 +455,34 @@ def test_drift_deltas_cancel(spark):
         # rounding scale (deltas are O(2^20) fixed-point units)
         assert abs(w) / tot < 1e-6, (i, w)
     assert all(len(ns) == 1 for ns in by_source.values())
+
+
+# --- r7 continuation: PC1 projection outlier screen ----------------------
+
+
+def test_pc1_outliers_match_numpy(spark):
+    """Top-50 |PC1 projection| outliers equal a numpy brute force that
+    composes the shipped PCA vector with exact integer dot products."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.plans.queries import (
+        embedding_pc1_outliers,
+        embedding_pca_power,
+    )
+
+    v = np.zeros(64, dtype=np.int64)
+    for r in embedding_pca_power(spark, SF_DIR).collect():
+        v[r["i"]] = r["v_q"]
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    proj = {}
+    for r in e:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * 1048576.0 + 0.5)
+        proj[r["vec_id"]] = int(q.astype(np.int64) @ v)
+    want = sorted(proj.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:50]
+    got = [
+        (r["vec_id"], r["proj_q"])
+        for r in embedding_pc1_outliers(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    mags = [abs(p) for _, p in got]
+    assert mags == sorted(mags, reverse=True)
