@@ -110,6 +110,14 @@ HEADLINE = [
     "minhash_precision_eval",
     "bpe_pair_counts",
     "embedding_pca_power",
+    "minhash_precision_tuned",
+    "embedding_drift_by_source",
+    "embedding_pc1_outliers",
+    # round-7 continuation: the SimHash pair materializer (lossless
+    # pigeonhole banding) and the Misra-Gries exact heavy-hitter detector
+    "simhash_hamming_pairs",
+    "heavy_hitters_phrases",
+    "join_salted_skew",
 ]
 
 

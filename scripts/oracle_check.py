@@ -83,6 +83,9 @@ HEAVY = [
     "minhash_precision_eval",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # quadratic cross-algorithm oracle: fine through sf1, use
+    # scripts/simhash_pairs_replay.py at sf10
+    "simhash_hamming_pairs",
 ]
 
 

@@ -6879,11 +6879,235 @@ def embedding_drift_by_source(spark, sf_dir):
     )
 
 
+# The 60-bit SimHash signature CTE (identical to the dedup_simhash oracle
+# body) — shared by the Hamming-pairs cross-algorithm differential below.
+_SIMHASH_CTE_SQL = f"""sim AS (
+      SELECT doc_id,
+             cast(list_sum(list_transform(range(60),
+                  j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1))
+                            >= len(hs)
+                       THEN (cast(1 AS bigint) << j) ELSE 0 END)) AS bigint) AS simhash
+      FROM (SELECT doc_id,
+                   list_transform(string_split(text, ' '), w -> {_h60_sql('w')}) AS hs
+            FROM documents)
+    )"""
+
+
+@_q(
+    "simhash_hamming_pairs",
+    f"""
+    WITH {_SIMHASH_CTE_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS: all (doc_a, doc_b) whose 60-bit
+    SimHash signatures differ in at most 3 bits, with the exact Hamming
+    distance — the operator that completes the SimHash tier
+    (dedup_simhash ships signatures + a blocking band; this materializes
+    the duplicate pairs those signatures exist for).
+
+    Algorithm: pigeonhole banding.  The 60-bit signature splits into 4
+    disjoint 15-bit bands; 3 differing bits can touch at most 3 bands,
+    so any pair within Hamming distance 3 agrees EXACTLY on at least one
+    band — the banded self-join on (band_idx, band_value) is a LOSSLESS
+    candidate generator (recall 1.0 by construction, not probabilistic
+    like MinHash banding), and the in-candidate exact
+    ``bit_count(a XOR b) <= 3`` filter trims false positives, so the
+    output equals the true Hamming-ball pair set.  The oracle is the
+    TRUE all-pairs Hamming filter — a cross-algorithm differential
+    (the join_interval_bins pattern): the banded plan and the quadratic
+    scan must produce identical sets.
+
+    Scale: the signature subtree (explode + 60 conditional sums, the
+    dedup_simhash shape) is persisted and feeds both join sides; the
+    self-join shuffles 4 rows of (int, long) per doc — never text — and
+    in-bucket pair volume is bounded by 15-bit-band collision counts,
+    not corpus².  At 100 TB the 2^15 band values hash-partition evenly;
+    a skewed band value (mass-duplicated boilerplate) is the same hot
+    bucket every LSH dedup has and routes through the same cap
+    machinery (minhash_candidate_pairs.max_bucket) if it appears.
+    20 true pairs at sf0.01, 496 at sf0.1: the sweep verifies the
+    recall-1.0 claim against the quadratic oracle at every SF where the
+    oracle is tractable (the oracle, not the plan, is the scale bound —
+    sf1 joins the HEAVY set)."""
+    from ..operators.dedup import simhash_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    sim = simhash_sketch(d, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 15 * i)
+                    .bitwiseAND(F.lit(32767))
+                    .cast("int")
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # a pair sharing several bands appears once per shared band:
+        # collapse before the (cheap) Hamming filter
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.first("a.simhash").alias("sim_a"),
+            F.first("b.simhash").alias("sim_b"),
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 3)
+
+
+# Planted-boilerplate fixture for the heavy-hitter detector: the shipped
+# corpus is deliberately near-uniform (931 word-bigram vocabulary, top
+# share ~n/744; no natural 3-gram exceeds n/2000 at any SF — measured
+# sf0.01-sf10), so the query plants a 9-word boilerplate sentence on every
+# 20th document, the dedup_embedding planted-fixture pattern.  The 7
+# interior 3-grams of the sentence then carry frequency n_docs/20 —
+# comfortably above the n/2000 threshold (~n_docs/38) — while the 2×25
+# junction grams (doc tail × boilerplate head) spread across distinct doc
+# endings and stay at count ~1.
+_BOILER_SQL = "lorem ipsum dolor boilerplate footer all rights reserved worldwide"
+
+
+@_q(
+    "heavy_hitters_phrases",
+    f"""
+    WITH d AS (SELECT CASE WHEN doc_id % 20 = 0
+                           THEN text || ' {_BOILER_SQL}' ELSE text END AS text
+               FROM documents),
+    t AS (SELECT string_split(text, ' ') AS ws FROM d),
+    g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+    tot AS (SELECT count(*) AS n FROM g)
+    SELECT gram, cast(count(*) AS bigint) AS freq
+    FROM g, tot GROUP BY gram, tot.n
+    HAVING count(*) * 2000 > tot.n
+    """,
+)
+def heavy_hitters_phrases(spark, sf_dir):
+    """Exact heavy-hitter word-3-grams (freq > n/2000) over the corpus —
+    boilerplate-phrase detection, the screen a training-data pipeline
+    runs before dedup/mixing to find mass-repeated headers, footers and
+    license blurbs.  A boilerplate sentence is planted on every 20th
+    document (fixture comment above); the output is exactly its 7
+    interior 3-grams at every SF.
+
+    Algorithm (operators/sketch.py): two-pass EXACT heavy hitters.
+    Pass 1 — per-partition Misra-Gries summaries (capacity 2000) emit a
+    candidate superset of at most 2000×partitions terms, independent of
+    vocabulary size; pass 2 — the occurrence stream is semi-joined
+    against the broadcast candidates BEFORE the count aggregation and
+    the strict integer filter ``freq * 2000 > n`` trims to the exact
+    answer.  The oracle is the straight one-pass SQL — a
+    cross-algorithm differential proving the sketch path loses nothing.
+
+    Scale: this is the 100 TB shape the naive plan lacks — a plain
+    groupBy(gram) shuffles a partial-count row per distinct gram per
+    map task (billions of n-grams, dominated by the unqualifiable
+    tail), while the MG pass bounds the shuffle to candidates (already
+    at this fixture: 16k-27k gram vocabulary vs 2000-counter
+    summaries).  The exploded occurrence stream is persisted and
+    traversed three times (candidates / total / recount); the recount
+    shuffle carries candidate partials only.  The result is
+    partitioning-invariant (mergeable-summaries superset guarantee —
+    property-tested in test_sketch.py)."""
+    from ..functions.text import exploded_shingles
+    from ..operators.sketch import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER_SQL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "doc_id",
+    )
+    grams = exploded_shingles(
+        d, "doc_id", "text", k=3, short_doc_fallback=False
+    ).select("gram").persist(StorageLevel.MEMORY_AND_DISK)
+    return heavy_hitters_exact(grams, "gram", k=2000).select(
+        "gram", F.col("freq").cast("long").alias("freq")
+    )
+
+
+@_q(
+    "join_salted_skew",
+    """
+    SELECT p_brand,
+           cast(sum(cast(round(l_extendedprice*100) AS bigint)
+                    * (100 - cast(round(l_discount*100) AS bigint))) AS bigint)
+             AS revenue_cents,
+           cast(count(*) AS bigint) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Revenue by part brand through an EXPLICITLY SALTED fact<->dim join
+    (operators/skew.py:salted_join) — the driver-verified twin of
+    test_skew's parity tests, proving the salting transform is
+    result-invariant on real tables: fact rows scatter over 8 salt
+    sub-keys, the dim replicates 8-fold, the join key becomes
+    (p_partkey, _salt), and the post-join brand aggregation is exact
+    integer cents, so the output hash-matches the plain-join oracle
+    bit-for-bit.
+
+    Scale: this is the manual fallback for the skew regime AQE's
+    skew-join split doesn't cover (one dominant fact key in a
+    shuffled-hash/sort-merge join against a dim too big to broadcast but
+    cheap to replicate 8x).  Salting bounds any single reducer's share of
+    a hot partkey to ~1/8 at the cost of a bounded dim blow-up — the
+    documented trade; the oracle being the UNSALTED plain join is the
+    point (cross-plan differential, same answer)."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (_cents(F.col("l_extendedprice"))
+         * (100 - _cents(F.col("l_discount")))).alias("vol"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, p, ["p_partkey"], salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("vol").cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 137 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 140 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -7010,6 +7234,8 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "minhash_precision_eval": 1.531, "bpe_pair_counts": 0.342,
     "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
     "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
+    "simhash_hamming_pairs": 2.284, "heavy_hitters_phrases": 1.245,
+    "join_salted_skew": 1.232,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
