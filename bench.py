@@ -118,6 +118,7 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "heavy_hitters_phrases",
     "join_salted_skew",
+    "minhash_recall_eval",
 ]
 
 

@@ -86,6 +86,8 @@ HEAVY = [
     # quadratic cross-algorithm oracle: fine through sf1, use
     # scripts/simhash_pairs_replay.py at sf10
     "simhash_hamming_pairs",
+    # embeds the same quadratic SimHash CTE as its truth side
+    "minhash_recall_eval",
 ]
 
 

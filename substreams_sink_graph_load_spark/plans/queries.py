@@ -7056,6 +7056,120 @@ def heavy_hitters_phrases(spark, sf_dir):
     )
 
 
+_MINHASH_RECALL_ORACLE = f"""
+    WITH cand AS ({{cand}}),
+    {_SIMHASH_CTE_SQL},
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(bit_count(xor(a.simhash, b.simhash)) AS bigint) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    g AS (SELECT doc_id, grams, len(grams) AS n_grams FROM {_GRAMS2_SQL}),
+    tj AS (
+      SELECT t.doc_a, t.doc_b, t.hamming,
+             cast(floor(1000000.0 * len(list_intersect(ga.grams, gb.grams))
+                  / (ga.n_grams + gb.n_grams
+                     - len(list_intersect(ga.grams, gb.grams)))) AS bigint)
+               AS jaccard_ppm
+      FROM truth t
+      JOIN g ga ON ga.doc_id = t.doc_a
+      JOIN g gb ON gb.doc_id = t.doc_b)
+    SELECT tj.doc_a, tj.doc_b, tj.hamming, tj.jaccard_ppm,
+           cast(coalesce(c.n_shared_bands, 0) AS bigint) AS n_shared_bands,
+           cast(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS bigint) AS found
+    FROM tj LEFT JOIN cand c
+      ON c.doc_a = tj.doc_a AND c.doc_b = tj.doc_b
+"""
+
+
+@_q(
+    "minhash_recall_eval",
+    _MINHASH_RECALL_ORACLE.format(cand=ORACLES["dedup_minhash_pairs"]),
+)
+def minhash_recall_eval(spark, sf_dir):
+    """Recall audit of the MinHash-LSH tier — the other half of the
+    minhash_precision_eval trade study, measured CROSS-TIER: every
+    near-duplicate pair the SimHash tier verifies exactly (Hamming <= 3
+    on the 60-bit signature — simhash_hamming_pairs' lossless pigeonhole
+    set, an INDEPENDENT near-dup definition, so the eval is not
+    circular), annotated with its exact word-2-gram Jaccard, whether the
+    16-perm/4-band MinHash LSH surfaced it as a candidate, and on how
+    many shared bands.  Precision measured how much sub-threshold junk
+    the S-curve admits (60.4% at sf0.1); this measures what the same
+    banding MISSES of the other tier's high-confidence near-dups — the
+    two-sided evidence a deployment needs before standardizing on one
+    tier.
+
+    All three relations ARE shipped queries (truth = the SimHash
+    Hamming ball; annotation = the ngram-Jaccard gram table; candidates
+    = dedup_minhash_pairs) and the oracle composes their oracle texts
+    verbatim, so drift in any of the three operators surfaces as a
+    driver hash mismatch — the ann_ivf_recall_eval composition pattern
+    applied to the dedup family.
+
+    Scale: the truth side is the banded SimHash self-join (4 (int,long)
+    rows per doc); the Jaccard annotation joins gram arrays onto the
+    BOUNDED truth pair set only (the precision-eval idiom — O(pairs x
+    doc length), never corpus²); the LSH side shuffles band keys; the
+    final LEFT join keys on (doc_a, doc_b) over two candidate-bounded
+    relations."""
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    truth = simhash_hamming_pairs(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ids = (
+        truth.select(F.col("doc_a").alias("doc_id"))
+        .union(truth.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = (
+        d.select("doc_id", word_shingles(F.col("text"), 2).alias("grams"))
+        .join(ids, "doc_id")
+        .withColumn("n_grams", F.size("grams"))
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("na"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    jac = (
+        F.floor(1000000.0 * inter / (F.col("na") + F.col("nb") - inter))
+        .cast("long")
+        .alias("jaccard_ppm")
+    )
+    cand = minhash_candidate_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, k=2
+    ).select("doc_a", "doc_b", "n_shared_bands")
+    return (
+        truth.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", "hamming", jac)
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            "jaccard_ppm",
+            F.coalesce(F.col("n_shared_bands"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_bands"),
+            F.when(F.col("n_shared_bands").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("found"),
+        )
+    )
+
+
 @_q(
     "join_salted_skew",
     """
@@ -7107,7 +7221,7 @@ def join_salted_skew(spark, sf_dir):
 # Registry export order
 # ---------------------------------------------------------------------------
 # The verify driver enumerates queries() in dict order under a bounded budget
-# (~50 of the registry — 140 as of r7; COVERAGE.md keeps the live count).
+# (~50 of the registry — 141 as of r7; COVERAGE.md keeps the live count).
 # Export order therefore matters.  It is derived
 # MECHANICALLY at import time from the driver's own shipped
 # CORRECTNESS_r*.json reports: queries that have never appeared in any
@@ -7235,7 +7349,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
     "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
     "simhash_hamming_pairs": 2.284, "heavy_hitters_phrases": 1.245,
-    "join_salted_skew": 1.232,
+    "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,

@@ -88,6 +88,23 @@ def test_heavy_hitters_phrases_planted_boilerplate(spark):
     assert {r["freq"] for r in rows} == {n_planted}
 
 
+def test_minhash_recall_eval_tier_split(spark):
+    # the measured identity the eval exists for: MinHash-LSH recall is
+    # exactly 1.0 on SimHash-ball pairs with true Jaccard >= 0.2, and the
+    # misses are all profile-collisions below the threshold
+    from substreams_sink_graph_load_spark.plans.queries import (
+        minhash_recall_eval,
+    )
+
+    rows = minhash_recall_eval(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["jaccard_ppm"] >= 200_000:
+            assert r["found"] == 1, (r["doc_a"], r["doc_b"])
+        assert r["hamming"] <= 3
+        assert (r["n_shared_bands"] > 0) == (r["found"] == 1)
+
+
 def test_simhash_hamming_pairs_vs_bruteforce(spark):
     # pigeonhole recall: banded plan == quadratic scan, exactly
     from substreams_sink_graph_load_spark.operators.dedup import (
