@@ -119,6 +119,9 @@ HEADLINE = [
     "heavy_hitters_phrases",
     "join_salted_skew",
     "minhash_recall_eval",
+    # round-7 continuation: the winnowing (local-fingerprint) tier
+    "winnow_fingerprints",
+    "winnow_plagiarism_pairs",
 ]
 
 

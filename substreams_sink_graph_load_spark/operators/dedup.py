@@ -707,3 +707,139 @@ def _cc_star(e: DataFrame, max_rounds: int) -> DataFrame:
         "id", F.col("id").alias("cluster_id")
     )
     return labels.union(singles)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) — the LOCAL similarity tier the global ones can't cover:
+    MinHash estimates whole-document Jaccard and SimHash whole-document
+    profiles, but neither detects a PASSAGE shared between otherwise
+    different documents.  Winnowing guarantees it: hash every word
+    ``k``-gram, slide a window of ``w`` consecutive hashes, select each
+    window's minimum (rightmost on ties); any shared run of at least
+    ``w + k - 1`` words then yields at least one shared fingerprint —
+    the paper's local-guarantee — while expected density is only
+    ``2/(w+1)`` of the grams.
+
+    Output: ``(id_col, fp_pos, fp_hash)`` — the DISTINCT selected
+    (position, hash) set per document, deterministic.
+
+    Physical shape: one posexplode + lead-window gram build (the
+    exploded_shingles idiom, all codegen), ONE window-min pass over the
+    per-doc pos order (reusing the same id-partition exchange), then
+    pure arithmetic and a distinct.  The rightmost-min tie-break rides
+    INSIDE the single window min via an integer encoding: per row
+    ``key = h*4 - pos`` (h < 2^60 so key < 2^62; within any 4-row window
+    keys are distinct and ordering by key == ordering by (h, -pos)), so
+    the window start p recovers its selection exactly:
+    ``fp_pos = p + ((((-mk) mod 4) - (p mod 4)) mod 4)`` and
+    ``fp_hash = (mk + fp_pos) div 4`` — every step integer-exact, so a
+    SQL oracle replays it bit-for-bit.  Requires ``w <= 4`` (the mod-4
+    encoding); the density/guarantee trade at other w is the same
+    construction with a different base.
+
+    Docs with fewer than ``k + w - 1`` words still emit: window starts
+    are clamped to ``max(m - w, 0)`` so a short gram sequence yields its
+    single whole-sequence minimum (and a doc under ``k`` words
+    contributes nothing, mirroring short_doc_fallback=False).
+    """
+    if w > 4 or w < 2:
+        raise ValueError("winnow_fingerprints: 2 <= w <= 4 (mod-4 keys)")
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60
+
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "wd"),
+    )
+    parts = [F.col("wd")] + [F.lead("wd", j).over(wnd) for j in range(1, k)]
+    g = (
+        ex.withColumn("gram", F.concat_ws(" ", *parts))
+        .withColumn("_tail", F.lead("wd", k - 1).over(wnd))
+        .where(F.col("_tail").isNotNull())
+        .select(F.col(id_col), "pos", h60(F.col("gram")).alias("h"))
+    )
+    # same id-partition, pos order: the gram count and the window min
+    # reuse the lead window's exchange
+    key = (F.col("h") * 4 - F.col("pos")).alias("key")
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    kd = g.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min(key).over(frame).alias("mk"),
+        F.count("*").over(whole).alias("m"),
+        F.min("pos").over(whole).alias("p0"),
+    )
+    # valid window starts: pos - p0 <= max(m - w, 0)
+    valid = kd.where(
+        F.col("pos") - F.col("p0")
+        <= F.greatest(F.col("m") - w, F.lit(0))
+    )
+    r = F.pmod(-F.col("mk"), F.lit(4))
+    fp_pos = F.col("pos") + F.pmod(r - F.pmod(F.col("pos"), F.lit(4)), F.lit(4))
+    return (
+        valid.select(
+            F.col(id_col),
+            fp_pos.alias("fp_pos"),
+            F.expr("(mk + (pos + pmod(pmod(-mk, 4) - pmod(pos, 4), 4))) div 4").alias(
+                "fp_hash"
+            ),
+        )
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_value_docs: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — passage-level
+    near-dup / plagiarism candidates: ``(doc_a, doc_b, n_shared)`` with
+    ``n_shared`` = count of DISTINCT fingerprint values both select,
+    kept when >= ``min_shared``.
+
+    Scale: the self-join shuffles (value, doc) rows — fingerprint
+    density is ~2/(w+1) of grams, so the relation is a fraction of the
+    corpus — and in-bucket pair volume is bounded per fingerprint
+    VALUE.  A value selected by more than ``max_value_docs`` documents
+    is dropped BEFORE the join (declared contract, mirrored in the
+    oracle): such a value is mass-boilerplate — the heavy_hitters
+    operator's territory, where pair enumeration is meaningless — and
+    the cap turns the worst case from docs² into docs x cap.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col), F.col("fp_hash")
+    ).distinct()
+    if max_value_docs is not None:
+        from pyspark.sql import Window
+
+        vw = Window.partitionBy("fp_hash")
+        fps = (
+            fps.withColumn("_nd", F.count("*").over(vw))
+            .where(F.col("_nd") <= max_value_docs)
+            .drop("_nd")
+        )
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -105,6 +105,72 @@ def test_minhash_recall_eval_tier_split(spark):
         assert (r["n_shared_bands"] > 0) == (r["found"] == 1)
 
 
+def test_winnow_fingerprints_vs_python_reference(spark):
+    # independent pure-Python winnower (rightmost-min per window, the
+    # SIGMOD'03 selection) vs the single-window-pass integer-key plan
+    import hashlib
+
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    def h60_py(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+    def ref_fps(text, k=3, w=4):
+        ws = text.split(" ")
+        hs = [
+            h60_py(" ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)
+        ]
+        m = len(hs)
+        out = set()
+        for p in range(0, max(m - w, 0) + (1 if m else 0)):
+            win = range(p, min(p + w, m))
+            best = min(win, key=lambda q: (hs[q], -q))
+            out.add((best, hs[best]))
+        return out
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(d).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    for r in d.select("doc_id", "text").collect():
+        assert got.get(r["doc_id"], set()) == ref_fps(r["text"]), r["doc_id"]
+
+
+def test_winnow_local_guarantee(spark):
+    # the SIGMOD'03 guarantee: a shared run of >= w+k-1 = 6 words yields
+    # a shared fingerprint — two synthetic docs sharing exactly one
+    # 6-word passage must pair up
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {passage} four five six"),
+        (2, f"seven eight nine ten {passage} eleven"),
+        (3, "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_shared_pairs(d, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_guard(spark):
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mod-4"):
+        winnow_fingerprints(d, w=5)
+
+
 def test_simhash_hamming_pairs_vs_bruteforce(spark):
     # pigeonhole recall: banded plan == quadratic scan, exactly
     from substreams_sink_graph_load_spark.operators.dedup import (
