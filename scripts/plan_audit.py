@@ -41,6 +41,9 @@ AUDIT = [
     "minhash_precision_eval", "bpe_pair_counts", "embedding_pca_power",
     "minhash_precision_tuned", "embedding_drift_by_source",
     "embedding_pc1_outliers",
+    # round-7 continuation: pair materializers / sketch / skew / winnowing
+    "simhash_hamming_pairs", "heavy_hitters_phrases", "join_salted_skew",
+    "minhash_recall_eval", "winnow_fingerprints", "winnow_plagiarism_pairs",
 ]
 
 

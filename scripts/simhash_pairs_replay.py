@@ -15,6 +15,14 @@ already hash-MATCHes the quadratic DuckDB oracle, so replay==Spark there
 pins replay==oracle transitively.
 
 Usage: SPARK_GRAFT_SF_DIR=... python scripts/simhash_pairs_replay.py
+       SPARK_GRAFT_SF_DIR=... python scripts/simhash_pairs_replay.py --recall
+
+``--recall`` checks ``minhash_recall_eval`` the same way: its oracle
+embeds the same quadratic SimHash truth CTE, so at sf10 the truth pairs
+come from this replay's numpy banding, the Jaccard annotation runs in
+DuckDB over the BOUNDED truth pair set only, and the MinHash candidate
+side is the shipped (sf10-tractable, banded) dedup_minhash_pairs oracle
+— every non-replayed piece stays cross-engine.
 """
 
 from __future__ import annotations
@@ -71,6 +79,71 @@ def replay_pairs(ids: np.ndarray, sims: np.ndarray) -> set[tuple[int, int, int]]
     return out
 
 
+def main_recall() -> int:
+    t0 = time.time()
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sig = con.execute(
+        f"WITH {_SIMHASH_CTE_SQL} SELECT doc_id, simhash FROM sim"
+    ).df()
+    ids = sig["doc_id"].to_numpy(np.int64)
+    sims = sig["simhash"].to_numpy(np.int64).astype(np.uint64)
+    truth = replay_pairs(ids, sims)
+    print(f"truth replay: {len(truth)} pairs ({time.time() - t0:.1f}s)")
+
+    con.execute(
+        "create table truth(doc_a bigint, doc_b bigint, hamming bigint)"
+    )
+    con.executemany(
+        "insert into truth values (?, ?, ?)", [list(t) for t in truth]
+    )
+    from substreams_sink_graph_load_spark.plans.queries import (
+        ORACLES as _OR,
+        _GRAMS2_SQL,
+    )
+
+    want_df = con.execute(f"""
+        WITH cand AS ({_OR["dedup_minhash_pairs"]}),
+        g AS (SELECT doc_id, grams, len(grams) AS n_grams FROM {_GRAMS2_SQL}),
+        tj AS (
+          SELECT t.doc_a, t.doc_b, t.hamming,
+                 cast(floor(1000000.0 * len(list_intersect(ga.grams, gb.grams))
+                      / (ga.n_grams + gb.n_grams
+                         - len(list_intersect(ga.grams, gb.grams)))) AS bigint)
+                   AS jaccard_ppm
+          FROM truth t
+          JOIN g ga ON ga.doc_id = t.doc_a
+          JOIN g gb ON gb.doc_id = t.doc_b)
+        SELECT tj.doc_a, tj.doc_b, tj.hamming, tj.jaccard_ppm,
+               cast(coalesce(c.n_shared_bands, 0) AS bigint) AS n_shared_bands,
+               cast(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS bigint)
+                 AS found
+        FROM tj LEFT JOIN cand c
+          ON c.doc_a = tj.doc_a AND c.doc_b = tj.doc_b
+    """).df()
+    want = set(map(tuple, want_df.itertuples(index=False)))
+    print(f"annotated: {len(want)} rows ({time.time() - t0:.1f}s)")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"], r["jaccard_ppm"],
+         r["n_shared_bands"], r["found"])
+        for r in entry_mod.queries()["minhash_recall_eval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ok = got == want
+    print(f"spark: {len(got)} rows — {'MATCH' if ok else 'MISMATCH'} "
+          f"({time.time() - t0:.1f}s total)")
+    if not ok:
+        print("only-spark:", sorted(got - want)[:3])
+        print("only-replay:", sorted(want - got)[:3])
+    return 0 if ok else 1
+
+
 def main() -> int:
     t0 = time.time()
     con = duckdb.connect()
@@ -104,4 +177,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(
+        main_recall() if sys.argv[1:] == ["--recall"] else main()
+    )

@@ -62,6 +62,39 @@ def test_heavy_hitters_exact_any_partitioning(spark, partitions):
     assert got == truth == {"a": 50, "b": 30, "c": 11}
 
 
+def test_heavy_hitters_property(spark):
+    # randomized streams: MG candidates + exact recount == Counter truth,
+    # under an adversarial partitioning, for every (k, capacity) tried
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=1,
+            max_size=400,
+        ),
+        st.integers(min_value=2, max_value=12),
+    )
+    def check(words, k):
+        n = len(words)
+        truth = {t: c for t, c in Counter(words).items() if c * k > n}
+        got = {
+            r["term"]: r["freq"]
+            for r in heavy_hitters_exact(
+                _stream(spark, words, 3), "term", k=k, capacity=k
+            ).collect()
+        }
+        assert got == truth
+
+    check()
+
+
 def test_heavy_hitters_capacity_guard(spark):
     with pytest.raises(ValueError, match="superset"):
         heavy_hitters_exact(_stream(spark, ["x"], 1), "term", k=10, capacity=5)
