@@ -170,6 +170,11 @@ SF1_SUBSET = [
     # round-7 continuation: the corpus-scan covariance fold feeding the
     # constant-size PCA epilogue
     "embedding_pca_power",
+    # round-7 continuation: the two new self-join pair materializers —
+    # SimHash banding (4 rows/doc) and winnowed fingerprints (~40% gram
+    # density) — are the shapes whose scale behavior needs measuring
+    "simhash_hamming_pairs",
+    "winnow_plagiarism_pairs",
 ]
 
 
