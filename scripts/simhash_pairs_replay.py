@@ -43,6 +43,11 @@ from substreams_sink_graph_load_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+# the sf10 recall run builds ~0.5 GB of gram-array join state; the test
+# default 8g heap dies building a broadcast there (observed:
+# notEnoughMemoryToBuildAndBroadcastTableError at sf10) — match bench.py
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 
 def popcount64(x: np.ndarray) -> np.ndarray:
     """SWAR popcount for uint64 arrays (numpy<2 has no bitwise_count).
