@@ -53,41 +53,70 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _cross_fn(threshold: int):
+def _cross_fn(threshold: int, ttl_ms: int | None):
     def _cross(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (term,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle horizon passed: the burst is over
+            return
         cum, emitted = state.get if state.exists else (0, 0)
         if emitted:
-            return  # monotone: once heavy, always heavy — emit-once
+            # already alarmed for this burst; in TTL mode keep refreshing
+            # the horizon so the emitted marker dies only when idle
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
         for pdf in pdfs:
             cum += len(pdf)
         if cum >= threshold:
             state.update((cum, 1))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame({"term": [term], "cum_count": [cum]})
         else:
             state.update((cum, 0))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
     return _cross
 
 
 def streaming_heavy_hitters(
-    occurrences: DataFrame, col: str = "term", threshold: int = 1000
+    occurrences: DataFrame,
+    col: str = "term",
+    threshold: int = 1000,
+    idle_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """One row per term the trigger its cumulative count first reaches
     ``threshold``.  ``occurrences`` is a streaming DataFrame with one row
-    per term occurrence."""
+    per term occurrence.
+
+    ``idle_ttl_minutes`` switches to BURST semantics: a term's counter
+    (and its already-alarmed marker) evicts after that long with no new
+    occurrences, so the alarm means "``threshold`` occurrences within one
+    burst" and a term can re-alarm in a later burst — and, like the
+    streaming-dedup TTL mode, state is bounded by the active horizon
+    instead of all-time distinct terms.  With no TTL the flagged set is
+    monotone and each term emits exactly once (== the batch answer)."""
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
+    ttl_ms = (
+        None if idle_ttl_minutes is None else int(idle_ttl_minutes) * 60_000
+    )
     return (
         occurrences.select(occurrences[col].alias("term"))
         .groupBy("term")
         .applyInPandasWithState(
-            _cross_fn(threshold),
+            _cross_fn(threshold, ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

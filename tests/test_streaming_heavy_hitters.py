@@ -80,6 +80,41 @@ def test_streaming_equals_batch(spark, tmp_path, n_files):
         assert threshold <= row["cum_count"] <= totals[row["term"]]
 
 
+def test_ttl_mode_matches_exact_within_horizon(spark, tmp_path):
+    # TTL far beyond the run: burst mode must equal the plain mode (no
+    # premature eviction) while exercising the ProcessingTimeTimeout
+    # state path — the streaming-dedup TTL test discipline
+    grams = _grams(spark)
+    threshold = 20
+    truth = {
+        r["term"]
+        for r in grams.groupBy("term")
+        .count()
+        .where(F.col("count") >= threshold)
+        .collect()
+    }
+    src = tmp_path / "src"
+    grams.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    q = (
+        streaming_heavy_hitters(stream, "term", threshold, idle_ttl_minutes=60)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(out)).toPandas()
+    assert got["term"].is_unique
+    assert set(got["term"]) == truth
+
+
 def test_threshold_guard(spark):
     with pytest.raises(ValueError, match="threshold"):
         streaming_heavy_hitters(_grams(spark), "term", 0)
