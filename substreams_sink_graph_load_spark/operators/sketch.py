@@ -56,6 +56,13 @@ def misra_gries_candidates(
     partition; the union over partitions is a superset of every term with
     global frequency > n/(capacity+1).
 
+    NULL occurrences are ignored (``value_counts`` drops them) — and the
+    recount pass can't resurrect them either, since NULL never
+    equi-joins the candidate set — so a NULL term cannot be reported
+    heavy.  Feed non-null occurrence streams (the registry query's gram
+    explode guarantees this by construction; a SQL oracle whose GROUP BY
+    would produce a NULL group would diverge otherwise).
+
     Per Arrow batch the occurrences are counted exactly (vectorized
     ``value_counts``) and merged into the running summary; the summary is
     then pruned back to ``capacity`` by subtracting the (capacity+1)-th
