@@ -3,12 +3,15 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Stdout contract: the compact JSON line
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {12 flagship},
+   "query_count": N, "detail": "BENCH_DETAIL.json", "sf": ...}
 is printed FIRST (so a bounded-capture consumer always parses it) and
-again LAST (so tail-capture works too) — both lines identical.  The
-variance section (per-pass totals, worst per-query spread) and the sf1
-scale run move to BENCH_DETAIL.json next to this script; they are not
-on stdout.
+again LAST (so tail-capture works too) — both lines identical and
+bounded (~450 bytes: the r7 driver record proved a full per-query map
+outgrows the tail-capture window and nulls `parsed`).  The FULL
+per-query map, the variance section (per-pass totals, worst per-query
+spread) and the sf1 scale run live in BENCH_DETAIL.json next to this
+script; they are not on stdout.
 
 Each query runs ``BENCH_RUNS`` times (default 3, full passes so one
 query's JIT warm-up never flatters its neighbor); ``queries`` carries the
@@ -231,20 +234,40 @@ def main() -> None:
     spreads = {name: max(ts) - min(ts) for name, ts in samples.items()}
     worst = max(spreads, key=spreads.get)
 
-    # the driver records a bounded slice of stdout — keep the parseable
-    # contract line COMPACT (metric + per-query mins only) and print it
-    # both first and last, with the variance/sf1 detail in a side file
-    # (BENCH_DETAIL.json, committed) instead of the contract line
+    # the driver records a bounded slice of stdout — the r7 report proved
+    # that a full 82-query map (~2.4 KB) outgrows the capture window and
+    # nulls the driver's `parsed` field.  The contract line therefore
+    # carries ONLY a fixed 12-query flagship subset plus total/count/sf
+    # and a pointer (~450 bytes, printed first AND last); the complete
+    # per-query map lives in BENCH_DETAIL.json, committed next to this
+    # script.
+    flagship = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "scd2_versions",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "similarity_topk",
+        "ann_ivf_topk",
+        "events_sessionize",
+        "window_running_total",
+        "token_count",
+    ]
     core = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {q: timings[q] for q in flagship if q in timings},
+        "query_count": len(timings),
+        "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }
     print(json.dumps(core), flush=True)
 
     out = dict(core)
+    out["queries"] = timings
     out["variance"] = {
         "runs": runs,
         "pass_totals": pass_totals,

@@ -167,28 +167,78 @@ def simhash_sketch(
     bit j of the output is set when the majority of word occurrences have
     bit j set in their h60 hash (ties -> set, i.e. 2*cnt >= n).
 
-    Physical shape: explode words -> ONE md5 per word -> hash-agg with 60
-    conditional-count aggregates + count -> one scalar bit-assembly
-    expression.  (The array-lambda formulation re-hashes every word 60
-    times interpreted — 25x slower; see minhash_sketch.)
+    Physical shape (r8 rewrite): ONE Arrow-batched ``mapInArrow`` pass
+    over (id, text) — per doc, tokenize, h60 each DISTINCT word once
+    through a per-task vocabulary cache (word frequency is Zipfian, so
+    ~N occurrence hashes collapse to ~V distinct-word hashes), then fold
+    all 60 bit-majorities as one numpy (weights @ bits) matmul.  ZERO
+    shuffle, zero explode.  The previous formulation (explode words ->
+    md5 per occurrence -> hash-agg with 60 conditional-sum aggregates)
+    shipped every word occurrence through an exchange and paid 60
+    aggregate-buffer updates per occurrence — it was the dominant stage
+    of the sf10 ``simhash_hamming_pairs`` wall (297.7s, r7 PLANS.md).
+
+    Oracle parity (bit-for-bit, hash-checked by the driver):
+    tokenization is Java ``split(text, " ")`` semantics — single-space
+    delimiter, empty tokens KEPT, which Python ``str.split(" ")``
+    matches exactly (incl. leading/trailing/consecutive spaces); NULL
+    text yields no output row (the old explode dropped it), enforced by
+    a JVM-side filter; ``h60(w) = int(md5(utf8(w))[:15], 16)`` is the
+    same bytes in hashlib as in the JVM/DuckDB md5.
     """
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def fold(batches):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+
+        shifts = np.arange(60, dtype=np.uint64)
+        cache: dict[str, int] = {}
+
+        def h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                # bound the per-task cache; past the cap keep computing
+                # (correctness never depends on a hit)
+                if len(cache) < 4_000_000:
+                    cache[w] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sims = np.empty(len(texts), dtype=np.uint64)
+            for i, t in enumerate(texts):
+                counts = Counter(t.split(" "))
+                hs = np.fromiter(
+                    (h(w) for w in counts), dtype=np.uint64, count=len(counts)
+                )
+                wts = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64
+                )
+                c = wts @ bits
+                n = int(wts.sum())
+                sims[i] = (
+                    (2 * c >= n).astype(np.uint64) << shifts
+                ).sum()
+            yield pa.record_batch(
+                [ids, pa.array(sims.astype(np.int64))],
+                names=[id_col, "simhash"],
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .mapInArrow(fold, f"{id_col} {id_type}, simhash long")
     )
-    h = words.select(F.col(id_col), h60(F.col("w")).alias("h"))
-    bit_counts = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
-        for j in range(60)
-    ]
-    agg = h.groupBy(id_col).agg(F.count("*").alias("n"), *bit_counts)
-    sim = None
-    for j in range(60):
-        term = F.when(
-            2 * F.col(f"c{j}") >= F.col("n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
