@@ -234,11 +234,17 @@ def simhash_sketch(
                 names=[id_col, "simhash"],
             )
 
-    return (
-        df.select(id_col, text_col)
-        .where(F.col(text_col).isNotNull())
-        .mapInArrow(fold, f"{id_col} {id_type}, simhash long")
-    )
+    src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    # mapInArrow inherits the scan's partitioning; a small-SF parquet
+    # scan can be narrower than the cluster (sf1 documents = 2 input
+    # splits), which would cap the Python fold at 2 tasks.  Fan out only
+    # in that case — at production scale the scan already yields far
+    # more splits than cores and the repartition branch never fires, so
+    # the operator stays zero-shuffle where it matters.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    return src.mapInArrow(fold, f"{id_col} {id_type}, simhash long")
 
 
 def ngram_jaccard_pairs(

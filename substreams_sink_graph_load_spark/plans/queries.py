@@ -6922,11 +6922,12 @@ def simhash_hamming_pairs(spark, sf_dir):
     (the join_interval_bins pattern): the banded plan and the quadratic
     scan must produce identical sets.
 
-    Scale: the signature subtree (explode + 60 conditional sums, the
+    Scale: the signature subtree (the zero-shuffle mapInArrow fold, the
     dedup_simhash shape) is persisted and feeds both join sides; the
-    self-join shuffles 4 rows of (int, long) per doc — never text — and
-    in-bucket pair volume is bounded by 15-bit-band collision counts,
-    not corpus².  At 100 TB the 2^15 band values hash-partition evenly;
+    self-join shuffles 4 rows of (int, long) per doc — never text — the
+    Hamming trim runs inside the join residual so only true pairs reach
+    the dedup exchange, and in-bucket candidate volume is bounded by
+    15-bit-band collision counts, not corpus².  At 100 TB the 2^15 band values hash-partition evenly;
     a skewed band value (mass-duplicated boilerplate) is the same hot
     bucket every LSH dedup has and routes through the same cap
     machinery (minhash_candidate_pairs.max_bucket) if it appears.
@@ -6955,31 +6956,47 @@ def simhash_hamming_pairs(spark, sf_dir):
         ).alias("band_idx", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        # Two deliberate physical choices, both r8 re-measurements:
+        #
+        # SHUFFLE_HASH pinned — the sketch is a cached mapInArrow
+        # relation whose planner size estimate is far below reality,
+        # which flips this self-join to a BroadcastHashJoin: the whole
+        # banded corpus built driver-side and probed at scan parallelism
+        # (14 tasks at sf10) with no shuffle fan-out.  Hash-partitioning
+        # both sides on the band key spreads candidate enumeration over
+        # all shuffle partitions (13.1M sf1 candidates enumerate in
+        # 2.0s) and is the plan the 100 TB claim describes: 2^15 band
+        # values partition evenly.
+        #
+        # Hamming filter INSIDE the join residual — the filter-after-
+        # groupBy formulation shipped every band-collision candidate
+        # (~1.3e9 rows at sf10, tens of GB) through the dedup exchange;
+        # evaluating bit_count(xor) during the probe means only TRUE
+        # near-dup pairs (313,644 at sf10) ever leave the join, and the
+        # share-several-bands dedup groupBy runs on that tiny survivor
+        # set instead.  Same output by construction: the collapse only
+        # merged rows whose (doc_a, doc_b) — hence whose hamming — were
+        # equal.
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= 3),
         )
-        # a pair sharing several bands appears once per shared band:
-        # collapse before the (cheap) Hamming filter
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
         )
-        .agg(
-            F.first("a.simhash").alias("sim_a"),
-            F.first("b.simhash").alias("sim_b"),
-        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        .cast("long")
-        .alias("hamming"),
-    ).where(F.col("hamming") <= 3)
 
 
 # Planted-boilerplate fixture for the heavy-hitter detector: the shipped
