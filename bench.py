@@ -124,6 +124,8 @@ HEADLINE = [
     "minhash_recall_eval",
     # round-7 continuation: the winnowing (local-fingerprint) tier
     "winnow_fingerprints",
+    # round-8 addition: the winnowing tier's removal transformation
+    "winnow_remove",
     "winnow_plagiarism_pairs",
 ]
 

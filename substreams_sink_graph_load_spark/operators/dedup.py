@@ -899,3 +899,80 @@ def winnow_shared_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Shared-passage REMOVAL over winnowed fingerprints — the
+    transformation counterpart of ``winnow_shared_pairs``, the way
+    ``dedup_substring_remove`` completes ``dedup_substring_stats``
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", over the Schleimer/Wilkerson/Aiken SIGMOD'03 selection):
+    every fingerprint VALUE selected by >= 2 distinct documents marks a
+    cross-document shared passage; each marking document cuts the
+    ``k`` words its selected gram covers, and re-joins the survivors in
+    order.  Output ``(id, n_words, n_removed, kept_md5)`` — the md5 of
+    the reconstructed text pins the rewrite byte-for-byte.
+
+    Winnowing's local guarantee bounds what this removes: any shared
+    run of >= w+k-1 words yields a shared fingerprint in BOTH docs, so
+    every long lifted passage loses at least one gram from every copy —
+    a guaranteed de-boilerplating pass at ~2/(w+1) of the gram cost of
+    the exact-substring tier.  (It is deliberately NOT a full-passage
+    cut: winnowing samples the passage; the exact tier is the total
+    rewrite.)
+
+    Scale: no self-join anywhere — unlike the pairs query this needs no
+    ``max_value_docs`` cap, because mass-boilerplate values cost one
+    group row, not bucket² pairs.  The duplicated-value set is a
+    partial-agg ``groupBy(fp_hash)`` with count>=2; marks join back on
+    the value key, then on (id, pos) against the word explode; coverage
+    is a ``k``-row sliding max in the doc window; reassembly is the
+    substring_remove aggregation shape.  Every stage linear, every
+    shuffle on a bounded key.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    dupv = (
+        fps.select(id_col, "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("fp_hash")
+    )
+    marked = fps.join(dupv, "fp_hash").select(
+        F.col(id_col), F.col("fp_pos").alias("pos"), F.lit(1).alias("isd")
+    )
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "wd"),
+    )
+    m = words.join(marked, [id_col, "pos"], "left").withColumn(
+        "isd", F.coalesce(F.col("isd"), F.lit(0))
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    c = m.withColumn("cov", F.max("isd").over(wdoc.rowsBetween(-(k - 1), 0)))
+    return c.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("cov").cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("cov") == 0, F.struct("pos", "wd"))
+                        )
+                    ),
+                    lambda x: x["wd"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

@@ -7287,6 +7287,55 @@ def winnow_plagiarism_pairs(spark, sf_dir):
 
 
 @_q(
+    "winnow_remove",
+    f"""
+    WITH {_WINNOW_SEL_SQL},
+    v AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+    dup AS (SELECT fp_hash FROM v GROUP BY fp_hash HAVING count(*) >= 2),
+    mk AS (SELECT s.doc_id, s.fp_pos FROM sel s JOIN dup USING (fp_hash)),
+    w AS (SELECT doc_id, unnest(ws) AS wd,
+                 unnest(range(0, len(ws))) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    m AS (SELECT w.doc_id, w.pos, w.wd,
+                 CASE WHEN mk.fp_pos IS NULL THEN 0 ELSE 1 END AS isd
+          FROM w LEFT JOIN mk
+            ON w.doc_id = mk.doc_id AND w.pos = mk.fp_pos),
+    c AS (SELECT doc_id, pos, wd,
+                 max(isd) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS cov
+          FROM m)
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_words,
+           cast(sum(cov) AS bigint) AS n_removed,
+           md5(coalesce(string_agg(wd, ' ' ORDER BY pos)
+                          FILTER (WHERE cov = 0), '')) AS kept_md5
+    FROM c GROUP BY doc_id
+    """,
+)
+def winnow_remove_q(spark, sf_dir):
+    """Shared-passage removal over winnowed fingerprints — the
+    transformation that completes the winnowing tier (r7 shipped the
+    audit: fingerprints + plagiarism pairs; this is the rewrite), the
+    way dedup_substring_remove completed dedup_substring_stats.  Every
+    fingerprint value selected by >= 2 distinct documents cuts its
+    3-word gram span from each selecting doc; survivors re-join in
+    order and the kept-text md5 pins the reconstruction byte-for-byte.
+    Winnowing's local guarantee makes the pass principled: any shared
+    run >= 6 words loses at least one gram from EVERY copy.
+
+    Scale: no self-join and therefore no value cap — a mass-boilerplate
+    fingerprint costs one group row here, not bucket² pairs; the
+    duplicated-value set is a partial-agg groupBy(fp_hash), marks flow
+    back on bounded keys, coverage is a 3-row doc window, reassembly
+    the substring_remove aggregation shape.  Every stage linear."""
+    from ..operators.dedup import winnow_remove
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_remove(d, "doc_id", "text", k=3, w=4)
+
+
+@_q(
     "join_salted_skew",
     """
     SELECT p_brand,
@@ -7467,6 +7516,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "simhash_hamming_pairs": 2.284, "heavy_hitters_phrases": 1.245,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
+    "winnow_remove": 1.611,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,

@@ -204,6 +204,70 @@ def test_winnow_guard(spark):
         winnow_fingerprints(d, w=5)
 
 
+def test_winnow_remove_planted_passage(spark):
+    # the removal twin of the local guarantee: a >= 6-word passage shared
+    # by two docs loses at least one 3-gram span from BOTH copies, a
+    # clean doc is byte-identical — checked against an independent
+    # pure-Python reference of the whole removal pipeline
+    import hashlib
+
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        winnow_remove,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {passage} four five six"),
+        (2, f"seven eight nine ten {passage} eleven"),
+        (3, "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+    ]
+
+    def h60_py(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+    def ref_fps(text, k=3, w=4):
+        ws = text.split(" ")
+        hs = [h60_py(" ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)]
+        m = len(hs)
+        out = set()
+        for p in range(0, max(m - w, 0) + (1 if m else 0)):
+            win = range(p, min(p + w, m))
+            best = min(win, key=lambda q: (hs[q], -q))
+            out.add((best, hs[best]))
+        return out
+
+    k = 3
+    fps = {i: ref_fps(t) for i, t in rows}
+    byval: dict[int, set] = {}
+    for i, s in fps.items():
+        for _, h in s:
+            byval.setdefault(h, set()).add(i)
+    dup = {h for h, docs in byval.items() if len(docs) >= 2}
+    expect = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        cut = set()
+        for pos, h in fps[i]:
+            if h in dup:
+                cut.update(range(pos, pos + k))
+        kept = [w for p, w in enumerate(ws) if p not in cut]
+        expect[i] = (
+            len(ws),
+            len(ws) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["kept_md5"])
+        for r in winnow_remove(d).collect()
+    }
+    assert got == expect
+    assert got[1][1] >= k and got[2][1] >= k  # both copies lose a span
+    assert got[3][1] == 0  # clean doc untouched
+    assert got[3][2] == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
 def test_simhash_hamming_pairs_vs_bruteforce(spark):
     # pigeonhole recall: banded plan == quadratic scan, exactly
     from substreams_sink_graph_load_spark.operators.dedup import (
