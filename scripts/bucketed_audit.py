@@ -1,0 +1,125 @@
+"""Bucketed-layout end-to-end audit (PLANS.md evidence for the
+write-once-shuffle-never claim).
+
+Builds the registry bucketed layout (plans/bucketing.registry_layout:
+documents by doc_id, embeddings by vec_id, events by user_id) for the
+given sf_dir, then runs the id-join family twice — plain parquet vs
+bucketed catalog tables (SPARK_GRAFT_BUCKETED_DB) — with broadcast joins
+disabled (at 100 TB neither join side fits an executor), and reports per
+query:
+
+- Exchange count in the formatted physical plan, both layouts
+- result parity: sorted-row md5 over the full output, both layouts
+
+Usage: python scripts/bucketed_audit.py [sf_dir] [--buckets N]
+       (default sf_dir: testdata_local/sf1)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from substreams_sink_graph_load_spark.session import get_spark
+
+AUDIT = [
+    "embedding_drift_by_source",
+    "dsir_importance",
+    "sessions_attribution",
+    "events_sessionize",
+    "split_leakage_safe",
+]
+
+DB = "graft_bucketed_audit"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    # formatted mode: one "(n) Exchange" detail entry per physical node
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def _result_md5(df) -> tuple[int, str]:
+    rows = sorted(map(lambda r: tuple(str(v) for v in r), df.collect()))
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+    return len(rows), h.hexdigest()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "testdata_local/sf1"
+    buckets = 32
+    for a in sys.argv[1:]:
+        if a.startswith("--buckets="):
+            buckets = int(a.split("=", 1)[1])
+
+    os.environ.pop("SPARK_GRAFT_BUCKETED_DB", None)
+    spark = get_spark()
+    from substreams_sink_graph_load_spark.plans import QUERIES
+    from substreams_sink_graph_load_spark.plans.bucketing import (
+        registry_layout,
+    )
+
+    loc = os.path.abspath(os.path.join(".tmp", "bucketed_audit_wh"))
+    print(f"# building bucketed layout for {sf_dir} ({buckets} buckets)")
+    t0 = time.perf_counter()
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    registry_layout(spark, sf_dir, DB, loc, buckets=buckets)
+    print(f"# layout built in {time.perf_counter() - t0:.1f}s")
+
+    # at target scale no join side broadcasts; disable so the audit shows
+    # the co-located plan, not a small-SF broadcast artifact
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(k, "-1")
+
+    ok = True
+    for name in AUDIT:
+        fn = QUERIES[name]
+        os.environ.pop("SPARK_GRAFT_BUCKETED_DB", None)
+        plain_df = fn(spark, sf_dir)
+        plain_ex = _exchanges(_explain(plain_df))
+        t0 = time.perf_counter()
+        plain_n, plain_h = _result_md5(plain_df)
+        plain_t = time.perf_counter() - t0
+        spark.catalog.clearCache()
+
+        os.environ["SPARK_GRAFT_BUCKETED_DB"] = DB
+        buck_df = fn(spark, sf_dir)
+        buck_ex = _exchanges(_explain(buck_df))
+        t0 = time.perf_counter()
+        buck_n, buck_h = _result_md5(buck_df)
+        buck_t = time.perf_counter() - t0
+        spark.catalog.clearCache()
+
+        match = (plain_n, plain_h) == (buck_n, buck_h)
+        ok = ok and match
+        print(
+            f"{name}: exchanges {plain_ex} -> {buck_ex}, "
+            f"rows {plain_n}, hash {'MATCH' if match else 'MISMATCH'}, "
+            f"wall {plain_t:.1f}s -> {buck_t:.1f}s"
+        )
+    os.environ.pop("SPARK_GRAFT_BUCKETED_DB", None)
+    print("parity OK" if ok else "PARITY FAILURE")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

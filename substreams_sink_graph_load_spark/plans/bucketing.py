@@ -77,3 +77,58 @@ def bucketed_tables(
     )
     for name, (df, buckets, keys) in frames.items():
         write_bucketed(df, f"{database}.{name}", buckets, *keys)
+
+
+# The id-join family's hot keys: the keys these tables are joined /
+# windowed / per-id-aggregated on by the registry queries every round.
+REGISTRY_BUCKET_KEYS: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("user_id",),
+}
+
+
+def registry_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str,
+    location: str,
+    buckets: int = 32,
+) -> None:
+    """Write the registry's id-join tables as a bucketed layout that the
+    query harness can consume opt-in (env ``SPARK_GRAFT_BUCKETED_DB``):
+    documents by doc_id, embeddings by vec_id, events by user_id.
+
+    With the env var set, ``plans.queries._t`` serves these tables from
+    the catalog instead of the raw parquet, and every equi-join /
+    window / aggregation keyed on the bucket column rides the write-time
+    partitioning with NO Exchange — the end-to-end demonstration of the
+    100 TB claim the per-query scale notes make (pay the id shuffle once
+    at ingest, never again).  Results are bit-identical either way: the
+    layout changes partitioning, not rows (scripts/bucketed_audit.py
+    checks both per run).
+
+    ``events`` is written through the same vintage normalization the
+    parquet path applies (plans.queries._events), so the bucketed table
+    stores the already-normalized microsecond timestamps.
+    """
+    from .queries import _events
+
+    frames = {
+        "documents": (
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            buckets,
+            REGISTRY_BUCKET_KEYS["documents"],
+        ),
+        "embeddings": (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            buckets,
+            REGISTRY_BUCKET_KEYS["embeddings"],
+        ),
+        "events": (
+            _events(spark, sf_dir),
+            buckets,
+            REGISTRY_BUCKET_KEYS["events"],
+        ),
+    }
+    bucketed_tables(spark, database, location, frames)

@@ -49,6 +49,16 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Registry table loader.  Default: the sf_dir parquet.  Opt-in: with
+    ``SPARK_GRAFT_BUCKETED_DB`` set and the table present there, serve
+    the bucketed catalog table instead (plans/bucketing.registry_layout)
+    — same rows, but every join/window/agg keyed on the bucket column
+    rides the write-time partitioning with no Exchange.  The env-var
+    gate keeps the driver's correctness runs on the plain layout unless
+    a session explicitly builds and requests the bucketed one."""
+    db = os.environ.get("SPARK_GRAFT_BUCKETED_DB")
+    if db and spark.catalog.tableExists(f"{db}.{name}"):
+        return spark.table(f"{db}.{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -73,6 +83,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_events_nanos_flag_scoped, which collects a nanos fixture after
     the restore.  A co-hosted workload that *wants* the nanos error keeps
     getting it."""
+    # bucketed-layout opt-in (see _t): the bucketed events table was
+    # written FROM this function's output, so it is already normalized —
+    # serve it directly, no vintage probe needed
+    db = os.environ.get("SPARK_GRAFT_BUCKETED_DB")
+    if db and spark.catalog.tableExists(f"{db}.events"):
+        return spark.table(f"{db}.events")
     flag = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(flag, None)
     spark.conf.set(flag, "true")

@@ -120,3 +120,65 @@ def test_bucketed_tables_escapes_quoted_location(spark, tmp_path):
         assert info["Location"].endswith("it's%20a%20path") or "it's a path" in info["Location"]
     finally:
         spark.sql("DROP DATABASE IF EXISTS quoted_loc_db CASCADE")
+
+
+@pytest.fixture(scope="module")
+def registry_bucketdb(spark, sf_dir, tmp_path_factory):
+    from substreams_sink_graph_load_spark.plans.bucketing import (
+        registry_layout,
+    )
+
+    loc = tmp_path_factory.mktemp("registry_bucket_wh")
+    registry_layout(spark, sf_dir, "registry_bucketdb", str(loc), buckets=8)
+    yield "registry_bucketdb"
+    spark.sql("DROP DATABASE IF EXISTS registry_bucketdb CASCADE")
+
+
+def test_registry_layout_elides_id_join_exchanges(
+    spark, sf_dir, registry_bucketdb, monkeypatch
+):
+    """The harness opt-in end-to-end: with SPARK_GRAFT_BUCKETED_DB set,
+    the user_id-windowed sessionize plans with ZERO Exchange (the id
+    shuffle happened at write time) and the embeddings<->documents id
+    join loses its data-scaled exchanges — results bit-identical to the
+    plain layout either way."""
+    from substreams_sink_graph_load_spark.plans import QUERIES
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        results = {}
+        for layout in ("plain", "bucketed"):
+            if layout == "bucketed":
+                monkeypatch.setenv("SPARK_GRAFT_BUCKETED_DB", registry_bucketdb)
+            else:
+                monkeypatch.delenv("SPARK_GRAFT_BUCKETED_DB", raising=False)
+            for name in ("events_sessionize", "embedding_drift_by_source"):
+                df = QUERIES[name](spark, sf_dir)
+                import re as _re
+
+                nex = len(_re.findall(r"\(\d+\) Exchange\b", _explain(df)))
+                rows = sorted(map(tuple, df.collect()))
+                results[(layout, name)] = (nex, rows)
+                spark.catalog.clearCache()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # parity: identical rows on both layouts
+    for name in ("events_sessionize", "embedding_drift_by_source"):
+        assert results[("plain", name)][1] == results[("bucketed", name)][1]
+    # the user_id window rides the bucketing: zero exchanges
+    assert results[("bucketed", "events_sessionize")][0] == 0
+    # the id join loses its data-scaled exchanges
+    assert (
+        results[("bucketed", "embedding_drift_by_source")][0]
+        < results[("plain", "embedding_drift_by_source")][0]
+    )
