@@ -5,12 +5,17 @@ typed metadata struct; decode / feature-extract / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 whole record batches without JVM<->Python per-row overhead.
 
-The decode boundary is REAL for two formats with stdlib-only codecs,
-both implemented from their public file-format specs:
+The decode boundary is REAL for three formats with stdlib(+numpy)-only
+codecs, each implemented from its public file-format spec:
 
 - ``image/png`` — chunk parse + zlib inflate + scanline unfilter
   (filters 0-4 incl. Paeth), 8-bit gray/RGB/graya/RGBA, non-interlaced;
   returns the raw pixel bytes (PNG spec, RFC 2083).
+- ``image/jpeg`` — baseline sequential DCT (ITU T.81 + JFIF): marker
+  walk, canonical Huffman entropy decode with byte unstuffing and
+  restart markers, dequantize, IDCT, chroma upsampling, YCbCr->RGB;
+  grayscale or YCbCr, any 1-2 sampling factors (4:4:4/4:2:2/4:2:0);
+  progressive/arithmetic/12-bit raise.
 - ``audio/wav`` / ``audio/x-wav`` — RIFF parse via the stdlib ``wave``
   module; returns the raw PCM sample bytes.
 
@@ -161,6 +166,279 @@ def decode_png(data: bytes) -> bytes:
     return bytes(out)
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over JPEG entropy-coded data: 0xFF00 byte
+    stuffing is unstuffed, RSTn markers are surfaced to the caller (they
+    reset DC prediction and byte-align the stream), any other marker
+    ends the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # past the scan: feed zeros (spec: a truncated final
+                # byte pads with 1s, but any read past EOB is an error
+                # we surface as a coefficient overrun below)
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller consumes via expect_rst()
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def expect_rst(self) -> None:
+        """Consume the pending RSTn and realign to the byte boundary."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("JPEG: expected restart marker")
+        self.pos += 2
+        self.marker = None
+
+
+def _jpeg_huff_table(counts: list[int], values: bytes) -> dict:
+    """Canonical Huffman table (ITU T.81 Annex C): {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_huff(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1 EXTEND: low-magnitude codes are negative
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def decode_jpeg(data: bytes) -> bytes:
+    """Pure stdlib+numpy baseline JPEG decode (public spec, ITU T.81 +
+    JFIF): marker walk, canonical Huffman entropy decode with byte
+    unstuffing and restart markers, dequantize, de-zigzag, float IDCT,
+    chroma upsampling by replication, JFIF YCbCr->RGB.  Supports
+    baseline sequential DCT (SOF0), 8-bit, 1 component (grayscale) or 3
+    components (YCbCr, any H/V sampling factors 1-2 incl. 4:2:0/4:2:2),
+    single interleaved scan.  Progressive (SOF2), arithmetic coding,
+    12-bit and hierarchical modes raise — this is a training-pipeline
+    feature extractor, not a general codec.  Returns raw pixel bytes,
+    row-major, ``w*h*channels`` long (channels = 1 or 3)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG: truncated segment")
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = struct.unpack(f">{64}H", seg[p : p + 128])
+                    p += 128
+                else:
+                    vals = seg[p : p + 64]
+                    p += 64
+                qt[tq] = np.array(list(vals), dtype=np.int32)
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                table = _jpeg_huff_table(counts, seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if nf not in (1, 3):
+                raise NotImplementedError("only 1/3-component JPEG")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{m - 0xC0}: only baseline sequential (SOF0)"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for j in range(ns):
+                cs, tdta = seg[1 + 2 * j], seg[2 + 2 * j]
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
+            pos = pos + 2 + seg_len
+            break
+        # APPn / COM / everything else: skip
+        pos = pos + 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise NotImplementedError("JPEG: single interleaved scan only")
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        if s["cs"] not in by_id:
+            raise ValueError("JPEG: scan references unknown component")
+        by_id[s["cs"]]["td"] = s["td"]
+        by_id[s["cs"]]["ta"] = s["ta"]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks across, MCU-padded
+        c["bh"] = mcus_y * c["v"]
+        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        c["pred"] = 0
+
+    # orthonormal 8x8 DCT-III basis for the IDCT (T.81 A.3.3)
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)
+    basis *= 0.5
+
+    br = _JpegBitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.expect_rst()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _jpeg_decode_huff(br, huff_dc[c["td"]])
+                        diff = _jpeg_extend(br.read(t), t)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        ki = 1
+                        while ki < 64:
+                            rs = _jpeg_decode_huff(br, huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    ki += 16
+                                    continue
+                                break  # EOB
+                            ki += r
+                            if ki > 63:
+                                raise ValueError("JPEG: AC index overrun")
+                            zz[ki] = _jpeg_extend(br.read(s), s)
+                            ki += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = zz * qt[c["tq"]]
+                        px = basis @ blk.reshape(8, 8) @ basis.T
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out.tobytes()
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
 def decode_wav(data: bytes) -> bytes:
     """RIFF/WAVE decode via the stdlib ``wave`` module: raw PCM sample
     bytes (frames x channels x sampwidth)."""
@@ -173,6 +451,7 @@ def decode_wav(data: bytes) -> bytes:
 
 _REAL_DECODERS = {
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }

@@ -238,3 +238,300 @@ def test_audio_windows_validates_params(payloads):
 
     with pytest.raises(ValueError):
         audio_windows(payloads, window_bytes=8, hop_bytes=0).collect()
+
+
+# ---------------------------------------------------------------------------
+# JPEG: an independent test-side baseline encoder (FDCT + fixed-length
+# canonical Huffman + byte stuffing + optional restart markers), so the
+# decoder is exercised by a second from-spec implementation, the PNG
+# pattern.  Quant tables are all-ones: a flat block then round-trips
+# EXACTLY (DC = 8*(v-128), no AC), smooth images to within IDCT rounding.
+# ---------------------------------------------------------------------------
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+def _cat(v: int) -> int:
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _fixed(symbols: list[int]):
+    import math
+
+    symbols = sorted(set(symbols))
+    ln = max(1, math.ceil(math.log2(len(symbols) + 1)))
+    counts = [0] * 16
+    counts[ln - 1] = len(symbols)
+    enc = {s: (i, ln) for i, s in enumerate(symbols)}
+    return enc, counts, bytes(symbols)
+
+
+def _blocks_of(plane, bh, bw):
+    import numpy as np
+
+    padded = np.full((bh * 8, bw * 8), 0.0)
+    padded[: plane.shape[0], : plane.shape[1]] = plane
+    # edge-extend padding (what real encoders do) keeps gradients smooth
+    if plane.shape[0] < bh * 8:
+        padded[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+    if plane.shape[1] < bw * 8:
+        padded[:, plane.shape[1]:] = padded[:, plane.shape[1] - 1 : plane.shape[1]]
+    return padded
+
+
+def make_jpeg(
+    planes, w: int, h: int, sampling=None, restart: int = 0
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr) planes, baseline sequential.
+    ``sampling``: list of (h, v) per component (default all (1,1));
+    chroma planes must already be subsampled to their plane size."""
+    import numpy as np
+
+    nf = len(planes)
+    sampling = sampling or [(1, 1)] * nf
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)
+    basis *= 0.5
+
+    # pass 1: FDCT all blocks in MCU-interleaved order, collect symbols
+    per_comp_blocks = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, sampling)):
+        bw, bh = mcux * sh, mcuy * sv
+        padded = _blocks_of(np.asarray(plane, dtype=np.float64), bh, bw)
+        blocks = {}
+        for by in range(bh):
+            for bx in range(bw):
+                f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F = basis.T @ f @ basis
+                blocks[(by, bx)] = np.round(F).astype(int).reshape(64)
+        per_comp_blocks.append(blocks)
+
+    def mcu_iter():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield my, mx
+
+    dc_syms, ac_syms = {0}, {0x00}
+    for pass_no in (1, 2):
+        if pass_no == 2:
+            dc_enc, dc_counts, dc_vals = _fixed(sorted(dc_syms))
+            ac_enc, ac_counts, ac_vals = _fixed(sorted(ac_syms))
+            bwr = _BitWriter()
+        preds = [0] * nf
+        mcu_no = 0
+        for my, mx in mcu_iter():
+            if restart and mcu_no and mcu_no % restart == 0:
+                if pass_no == 2:
+                    bwr.flush()
+                    bwr.out += bytes([0xFF, 0xD0 + ((mcu_no // restart - 1) % 8)])
+                preds = [0] * nf
+            mcu_no += 1
+            for ci in range(nf):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = per_comp_blocks[ci][(my * sv + by, mx * sh + bx)]
+                        zz = blk[_ZZ]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = _cat(diff)
+                        if pass_no == 1:
+                            dc_syms.add(s)
+                        else:
+                            code, ln = dc_enc[s]
+                            bwr.write(code, ln)
+                            if s:
+                                v = diff if diff >= 0 else diff + (1 << s) - 1
+                                bwr.write(v, s)
+                        run = 0
+                        last = max((i for i in range(1, 64) if zz[i]), default=0)
+                        for i in range(1, last + 1):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                if pass_no == 1:
+                                    ac_syms.add(0xF0)
+                                else:
+                                    code, ln = ac_enc[0xF0]
+                                    bwr.write(code, ln)
+                                run -= 16
+                            s = _cat(v)
+                            rs = (run << 4) | s
+                            if pass_no == 1:
+                                ac_syms.add(rs)
+                            else:
+                                code, ln = ac_enc[rs]
+                                bwr.write(code, ln)
+                                ev = v if v >= 0 else v + (1 << s) - 1
+                                bwr.write(ev, s)
+                            run = 0
+                        if last < 63:
+                            if pass_no == 1:
+                                ac_syms.add(0x00)
+                            else:
+                                code, ln = ac_enc[0x00]
+                                bwr.write(code, ln)
+    bwr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id0, all ones
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytearray([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_flat_gray_exact():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    for v in (0, 73, 128, 200, 255):
+        jpg = make_jpeg([np.full((8, 8), float(v))], 8, 8)
+        out = decode_jpeg(jpg)
+        assert out == bytes([v] * 64), f"flat {v}"
+
+
+def test_decode_jpeg_gray_gradient_roundtrip():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    h, w = 24, 16  # non-square, multiple blocks, exercises DC prediction
+    img = (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256).astype(float)
+    out = np.frombuffer(decode_jpeg(make_jpeg([img], w, h)), dtype=np.uint8)
+    err = np.abs(out.reshape(h, w).astype(int) - img.astype(int)).max()
+    assert err <= 2, err
+
+
+def test_decode_jpeg_color_444_and_420():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    # flat YCbCr -> known flat RGB (JFIF matrix), both samplings
+    y, cb, cr = 120.0, 90.0, 160.0
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    for sampling, planes in (
+        ([(1, 1)] * 3, [np.full((16, 16), y), np.full((16, 16), cb), np.full((16, 16), cr)]),
+        ([(2, 2), (1, 1), (1, 1)], [np.full((16, 16), y), np.full((8, 8), cb), np.full((8, 8), cr)]),
+    ):
+        out = np.frombuffer(
+            decode_jpeg(make_jpeg(planes, 16, 16, sampling=sampling)),
+            dtype=np.uint8,
+        ).reshape(16, 16, 3)
+        for ch, exp in enumerate((exp_r, exp_g, exp_b)):
+            assert abs(int(out[..., ch].mean().round()) - exp) <= 1
+            assert out[..., ch].std() == 0
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    h, w = 8, 48  # 6 MCUs; restart every 2 -> RST0, RST1
+    img = (np.add.outer(np.arange(h) * 7, np.arange(w) * 2) % 256).astype(float)
+    plain = decode_jpeg(make_jpeg([img], w, h))
+    rst = decode_jpeg(make_jpeg([img], w, h, restart=2))
+    assert plain == rst
+
+
+def test_decode_jpeg_rejects_malformed():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+    jpg = make_jpeg([np.full((8, 8), 99.0)], 8, 8)
+    # flip SOF0 -> SOF2 (progressive): loud NotImplementedError
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_jpeg(jpg[:20])
+
+
+def test_extract_features_real_jpeg(spark):
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    img = (np.add.outer(np.arange(16) * 3, np.arange(16) * 5) % 256).astype(float)
+    jpg = make_jpeg([img], 16, 16)
+    raw = decode_jpeg(jpg)
+    df = spark.createDataFrame(
+        [(7, "image/jpeg", bytearray(jpg), (len(jpg), "z"))],
+        "doc_id long, mime string, payload binary, meta struct<n_bytes:long,checksum:string>",
+    )
+    row = extract_features(df, fake=False).collect()[0]
+    assert row["n_bytes"] == len(raw) == 16 * 16
+    assert row["first_byte"] == raw[0]
+    assert row["head_sum"] == sum(raw[:16])
