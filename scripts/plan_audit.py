@@ -44,6 +44,8 @@ AUDIT = [
     # round-7 continuation: pair materializers / sketch / skew / winnowing
     "simhash_hamming_pairs", "heavy_hitters_phrases", "join_salted_skew",
     "minhash_recall_eval", "winnow_fingerprints", "winnow_plagiarism_pairs",
+    # round-8: the winnowing tier's removal transformation
+    "winnow_remove",
 ]
 
 
