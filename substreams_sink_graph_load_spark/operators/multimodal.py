@@ -81,6 +81,60 @@ def attach_binary(
     )
 
 
+def attach_png(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each row's UTF-8 text bytes as a REAL 1-row grayscale PNG
+    payload (w = byte length, h = 1) — the encode half of the real-codec
+    roundtrip.  Same output shape as ``attach_binary``; Arrow-batched
+    mapInPandas, 1:1 rows, no shuffle.  Rows with empty text are dropped
+    (a 0-wide PNG is invalid by spec)."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("checksum", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                png = encode_png(raw, len(raw), 1, 1)
+                ids.append(int(i))
+                payloads.append(png)
+                metas.append(
+                    {
+                        "n_bytes": len(png),
+                        "checksum": hashlib.md5(png).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return src.mapInPandas(batches, schema)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     # PNG spec 6.6: predictor closest to p = a + b - c, ties left/up/upleft
     pp = a + b - c
@@ -164,6 +218,41 @@ def decode_png(data: bytes) -> bytes:
         out[start : start + stride] = line
         prev_start = start
     return bytes(out)
+
+
+def encode_png(raw: bytes, w: int, h: int, channels: int = 1) -> bytes:
+    """Pure-stdlib PNG encode (filter 0, non-interlaced, 8-bit): the
+    write half of ``decode_png``, enough to round-trip raw pixel bytes
+    losslessly through the real codec path (used by the
+    multimodal_png_roundtrip registry query to hash-oracle the REAL
+    decode, not the fake identity)."""
+    import struct
+    import zlib
+
+    if len(raw) != w * h * channels:
+        raise ValueError("encode_png: raw length != w*h*channels")
+    if w <= 0 or h <= 0:
+        raise ValueError("encode_png: empty image")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    stride = w * channels
+    body = b"".join(
+        b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
 
 
 class _JpegBitReader:

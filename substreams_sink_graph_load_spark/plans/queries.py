@@ -1946,6 +1946,38 @@ def multimodal_features(spark, sf_dir):
     return extract_features(attach_binary(d, "doc_id", "text"), fake=True)
 
 
+@_q(
+    "multimodal_png_roundtrip",
+    """
+    SELECT doc_id, 'image/png' AS mime,
+           cast(strlen(text) AS bigint) AS n_bytes,
+           cast(ascii(substr(text, 1, 1)) AS bigint) AS first_byte,
+           cast(list_sum(list_transform(range(least(16, strlen(text))),
+                                        i -> ascii(substr(text, i+1, 1)))) AS bigint) AS head_sum
+    FROM documents WHERE strlen(text) > 0
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """The REAL codec path as a hash-oracled registry query (the
+    multimodal_features twin without the fake): every doc's UTF-8 bytes
+    are rendered into an actual 1-row grayscale PNG (operators/
+    multimodal.encode_png — stdlib zlib/CRC writer), and the feature
+    stage decodes it through the from-spec decode_png (fake=False)
+    before computing byte features.  PNG is lossless, so the decoded
+    bytes equal the original text bytes and the DuckDB oracle can state
+    the expected features directly on the text — any corruption in
+    either codec half breaks the driver hash.
+
+    Scale: two chained Arrow-batched mapInPandas stages (encode, then
+    decode+extract), 1:1 rows, partitioning inherited, no shuffle; the
+    binary payload crosses Python batches — the documented unavoidable
+    step the whole multimodal family declares."""
+    from ..operators.multimodal import attach_png, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(attach_png(d, "doc_id", "text"), fake=False)
+
+
 # ---------------------------------------------------------------------------
 # Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
 # ---------------------------------------------------------------------------
@@ -7532,7 +7564,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "simhash_hamming_pairs": 2.284, "heavy_hitters_phrases": 1.245,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
-    "winnow_remove": 1.611,
+    "winnow_remove": 1.611, "multimodal_png_roundtrip": 0.514,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,

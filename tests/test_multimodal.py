@@ -535,3 +535,18 @@ def test_extract_features_real_jpeg(spark):
     assert row["n_bytes"] == len(raw) == 16 * 16
     assert row["first_byte"] == raw[0]
     assert row["head_sum"] == sum(raw[:16])
+
+
+def test_encode_png_roundtrip():
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    raw = bytes(range(256)) * 3
+    assert decode_png(encode_png(raw, 256, 3, 1)) == raw
+    assert decode_png(encode_png(raw, 16, 16, 3)) == raw
+    with pytest.raises(ValueError, match="length"):
+        encode_png(b"abc", 2, 1, 1)
+    with pytest.raises(ValueError, match="empty"):
+        encode_png(b"", 0, 1, 1)
