@@ -127,6 +127,8 @@ HEADLINE = [
     # round-8 addition: the winnowing tier's removal transformation
     "winnow_remove",
     "winnow_plagiarism_pairs",
+    # round-8 addition: global concat-and-chunk packing (two-pass prefix scan)
+    "sequence_pack_chunks",
 ]
 
 

@@ -7430,6 +7430,62 @@ def join_salted_skew(spark, sf_dir):
     )
 
 
+@_q(
+    "sequence_pack_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) + 1 AS bigint) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             cast(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS bigint) AS start
+      FROM t),
+    x AS (
+      SELECT doc_id, n, start,
+             unnest(range(start // 512, (start + n - 1) // 512 + 1))
+               AS chunk_id
+      FROM s)
+    SELECT cast(chunk_id AS bigint) AS chunk_id,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN start // 512 = chunk_id THEN 1 ELSE 0 END)
+                AS bigint) AS n_starts,
+           cast(min(doc_id) AS bigint) AS head_doc_id,
+           cast(sum(least((chunk_id + 1) * 512, start + n)
+                    - greatest(chunk_id * 512, start)) AS bigint) AS n_tokens
+    FROM x
+    GROUP BY chunk_id
+    """,
+)
+def sequence_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (Brown et al. 2020 §2.1): every
+    document's token stream (whitespace words + 1 EOS) concatenates in
+    doc_id order and cuts into 512-token training sequences; this is the
+    resulting chunk table — per chunk, the documents intersecting it,
+    the sequence-boundary starts, the covering head document, and the
+    token fill (== 512 everywhere but the tail, a built-in invariant).
+    Complements ``pack_sequences`` (the per-shard packing MANIFEST,
+    which sidesteps the global order by hashing into 64 shards): this
+    query keeps the single global stream — the layout a curriculum-
+    ordered export needs — and earns it with a distributed prefix scan
+    instead of a one-task window.
+
+    Scale: the oracle's global running sum is a single-partition window
+    — the sequential bottleneck this plan exists to avoid.  The Spark
+    side is the two-pass integer prefix scan (operators/pack.py, the
+    poi_chain_distributed shape): per-group totals (the only collect,
+    n_docs/100k rows), broadcast exclusive offsets, per-group PARALLEL
+    windows, then a linear chunk fan-out (total_tokens/512 + n_docs
+    rows) into one partial-agg shuffle keyed on chunk_id.  The layout is
+    a pure function of (docs, seq_len); the grouping constant cannot
+    change it (partitioning-invariance pinned in test_pack.py)."""
+    from ..operators.pack import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 # ---------------------------------------------------------------------------
 # Registry export order
 # ---------------------------------------------------------------------------
