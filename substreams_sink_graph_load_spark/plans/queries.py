@@ -7621,6 +7621,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.611, "multimodal_png_roundtrip": 0.514,
+    "sequence_pack_chunks": 1.034,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
