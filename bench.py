@@ -182,6 +182,10 @@ SF1_SUBSET = [
     # density) — are the shapes whose scale behavior needs measuring
     "simhash_hamming_pairs",
     "winnow_plagiarism_pairs",
+    # round-8: the global concat-and-chunk prefix scan — the one shape
+    # whose oracle is a single-task window, so its Spark-vs-data ratio
+    # is the proof the two-pass scan actually removed the bottleneck
+    "sequence_pack_chunks",
 ]
 
 

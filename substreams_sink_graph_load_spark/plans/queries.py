@@ -5452,19 +5452,37 @@ def graph_pagerank(spark, sf_dir):
     # dedup on the INTEGER pair, label afterwards: the distinct's hash
     # table compares 16-byte fixed rows instead of variable strings, and
     # the label projection is free after the shrink
-    pairs = (
+    # dedup on the integer pair, then encode nodes as LONGS for the whole
+    # iterative phase — customers even (ck*2), suppliers odd (sk*2+1) —
+    # so all five join+agg rounds shuffle and hash 8-byte fixed keys, not
+    # strings; the oracle's labels are reconstructed in one projection at
+    # the very end (measured: the string-keyed variant spent the bench's
+    # single largest line here)
+    enc = (
         o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    edges = enc.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        enc.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank_ppm(edges, iterations=5, damping_pct=85)
+    pr = pagerank_ppm(edges, iterations=5, damping_pct=85)
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "deg",
+        "rank_ppm",
+    )
 
 
 _SESSIONS_SQL = """

@@ -5,6 +5,8 @@ and the structural invariants every packed layout must satisfy."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from substreams_sink_graph_load_spark.operators.pack import pack_chunks
 
@@ -97,3 +99,28 @@ def test_pack_empty_and_bad_args(spark):
         pack_chunks(df, seq_len=0)
     with pytest.raises(ValueError):
         pack_chunks(df, docs_per_group=0)
+
+
+@st.composite
+def corpora(draw):
+    # sparse doc_ids (gaps exercise group-id ranges with missing docs),
+    # word counts spanning sub-chunk to multi-chunk docs
+    ids = draw(
+        st.lists(st.integers(0, 500), min_size=1, max_size=40, unique=True)
+    )
+    return [
+        (i, " ".join("w" for _ in range(draw(st.integers(0, 40)))))
+        for i in sorted(ids)
+    ]
+
+
+@given(corpora(), st.integers(1, 20), st.integers(1, 13))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_property_matches_reference(spark, corpus, L, g):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = _collect(pack_chunks(df, seq_len=L, docs_per_group=g))
+    assert got == _reference(corpus, L)
