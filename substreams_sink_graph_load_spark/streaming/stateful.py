@@ -122,11 +122,19 @@ ROCKSDB_PROVIDER = (
 def tws_available() -> bool:
     """True when transformWithStateInPandas can actually run here: its
     streaming Python runner speaks protobuf to the state server and needs
-    the google.protobuf runtime, absent from this sandbox (the query
-    fails at start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
-    The processor's fold logic is sandbox-testable through a fake handle
-    (tests/test_streaming_stateful.py); the integration twin runs
-    wherever the runtime exists."""
+    a google.protobuf runtime.  When the real package is absent (this
+    sandbox) the clean-room mini-runtime in
+    :mod:`substreams_sink_graph_load_spark.protoshim` is activated
+    instead — it implements the public proto3 wire format for exactly
+    the StateMessage surface the worker's state clients use, and the JVM
+    parsing our bytes with the real Java protobuf makes the TWS
+    integration tests a cross-implementation differential for it.
+    Activation must precede SparkSession creation so workers inherit the
+    PYTHONPATH entry (get_spark does the same activation)."""
+    from .. import protoshim
+
+    if not protoshim.activate():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
