@@ -227,3 +227,72 @@ def test_varint_edges():
         minipb.read_varint(b"\xff" * 11, 0)
     with pytest.raises(ValueError):
         minipb.read_varint(b"\x80", 0)
+
+
+# -- property: random message trees round-trip bit-stably ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_i32 = hst.integers(-(2 ** 31), 2 ** 31 - 1)
+_i64 = hst.integers(-(2 ** 63), 2 ** 63 - 1)
+_txt = hst.text(max_size=40)
+_blob = hst.binary(max_size=40)
+
+
+@given(
+    code=_i32,
+    err=_txt,
+    vals=hst.lists(_blob, max_size=8),
+    more=hst.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_list_response_roundtrip(code, err, vals, more):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponseWithListGet(
+        statusCode=code, errorMessage=err, value=vals, requireNextFetch=more
+    )
+    wire = msg.SerializeToString()
+    out = sm.StateResponseWithListGet()
+    out.ParseFromString(wire)
+    assert (out.statusCode, out.errorMessage, list(out.value),
+            out.requireNextFetch) == (code, err, vals, more)
+    assert out.SerializeToString() == wire  # canonical re-encode
+
+
+@given(
+    name=_txt,
+    schema=_txt,
+    ttl_ms=hst.one_of(hst.none(), _i64),
+    pairs=hst.lists(hst.tuples(_blob, _blob), max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_nested_and_repeated_message_roundtrip(
+    name, schema, ttl_ms, pairs
+):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    cmd = sm.StateCallCommand(stateName=name, schema=schema)
+    if ttl_ms is not None:
+        cmd.ttl.durationMs = ttl_ms
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    wire = req.SerializeToString()
+    out = sm.StateRequest()
+    out.ParseFromString(wire)
+    got = out.statefulProcessorCall.getValueState
+    assert (got.stateName, got.schema) == (name, schema)
+    assert got.HasField("ttl") == (ttl_ms is not None)
+    if ttl_ms is not None:
+        assert got.ttl.durationMs == ttl_ms
+    assert out.WhichOneof("method") == "statefulProcessorCall"
+    assert out.SerializeToString() == wire
+
+    it = sm.StateResponseWithMapIterator(
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs]
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(it.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
