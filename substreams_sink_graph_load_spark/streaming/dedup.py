@@ -95,3 +95,76 @@ def streaming_exact_dedup(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin
+# ---------------------------------------------------------------------------
+
+try:  # Spark 4 TWS API; the import is cheap and always present in 4.x
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[misc,assignment]
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` twin of :func:`_first_seen_fn` —
+    identical first-seen-wins semantics on the successor API's typed
+    ValueState.  ``ttl_ms`` maps to the NATIVE per-state TTL
+    (``getValueState(..., ttlDurationMs=...)``): eviction happens inside
+    the state store instead of via processor-managed timeouts, so the
+    processor body stays timeout-free.  With a TTL the query must run
+    ``timeMode="processingTime"``; exact mode runs ``"none"``."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState(
+            "keeper", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (content_hash,) = key
+        if self._seen.exists():
+            return  # keeper already emitted: drop every arrival
+        keeper: int | None = None
+        for pdf in rows:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keeper = m if keeper is None else min(keeper, m)
+        if keeper is not None:
+            self._seen.update((keeper,))
+            yield pd.DataFrame(
+                {"doc_id": [keeper], "content_hash": [content_hash]}
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_exact_dedup_tws(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """:func:`streaming_exact_dedup` on transformWithStateInPandas —
+    same contract, native state-store TTL instead of group timeouts.
+    Requires the RocksDB state store provider (TWS is RocksDB-only)."""
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    ttl_ms = (
+        None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    )
+    return keyed.groupBy("content_hash").transformWithStateInPandas(
+        FirstSeenProcessor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none" if ttl_ms is None else "processingTime",
+    )

@@ -1,0 +1,154 @@
+"""transformWithStateInPandas twins beyond SCD-2: first-seen dedup on
+ValueState (exact + native-TTL config) and per-user event-type counts on
+MapState — each checked against its batch twin.  These also widen the
+protoshim's live JVM differential to the TTLConfig and MapStateCall
+encodings (ValueState-only SCD-2 never sends them)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from substreams_sink_graph_load_spark.streaming.counts import (
+    streaming_event_counts_tws,
+)
+from substreams_sink_graph_load_spark.streaming.dedup import (
+    streaming_exact_dedup_tws,
+)
+from substreams_sink_graph_load_spark.streaming.stateful import (
+    ROCKSDB_PROVIDER,
+    tws_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    "not __import__('substreams_sink_graph_load_spark.streaming.stateful', fromlist=['x']).tws_available()",
+    reason="transformWithStateInPandas needs a google.protobuf runtime",
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+BATCH1 = [(1, "alpha text"), (2, "alpha text"), (3, "beta text")]
+BATCH2 = [(4, "alpha text"), (5, "gamma text"), (6, "beta text")]
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+EV_BATCH1 = [(1, "view"), (1, "view"), (1, "click"), (2, "view")]
+EV_BATCH2 = [(1, "view"), (2, "buy"), (2, "view"), (3, "click")]
+
+
+def _write_jsonl(tmp_path, name, batches, cols):
+    d = tmp_path / name
+    d.mkdir()
+    now = time.time()
+    for i, chunk in enumerate(batches):
+        p = d / f"part-{i}.jsonl"
+        with open(p, "w") as fh:
+            for row in chunk:
+                fh.write(json.dumps(dict(zip(cols, row))) + "\n")
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _run(spark, df, ckpt, name):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    return spark.sql(f"select * from {name}").collect()
+
+
+@pytest.mark.parametrize("ttl_minutes", [None, 60])
+def test_tws_dedup_matches_batch(spark, tmp_path, ttl_minutes):
+    src = _write_jsonl(tmp_path, "docs", [BATCH1, BATCH2],
+                       ["doc_id", "text"])
+    stream = (
+        spark.readStream.format("json")
+        .schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rows = _run(
+        spark,
+        streaming_exact_dedup_tws(stream, state_ttl_minutes=ttl_minutes),
+        str(tmp_path / f"ckpt_{ttl_minutes}"),
+        f"tws_dedup_{ttl_minutes}",
+    )
+    got = {(r["doc_id"], r["content_hash"]) for r in rows}
+    all_docs = spark.createDataFrame(BATCH1 + BATCH2, DOCS_SCHEMA)
+    want = {
+        (r["doc_id"], r["content_hash"])
+        for r in all_docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    # a 60-minute TTL cannot expire inside the run: identical output —
+    # but the query DID ship the TTLConfig encoding to the JVM
+    assert got == want
+    assert {d for d, _ in got} == {1, 3, 5}
+
+
+def test_tws_map_counts_match_batch_groupby(spark, tmp_path):
+    src = _write_jsonl(tmp_path, "events", [EV_BATCH1, EV_BATCH2],
+                       ["user_id", "event_type"])
+    stream = (
+        spark.readStream.format("json")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rows = _run(
+        spark,
+        streaming_event_counts_tws(stream),
+        str(tmp_path / "ckpt_counts"),
+        "tws_counts",
+    )
+    # counts are monotone: the max emitted per key is the final total
+    final: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["user_id"], r["event_type"])
+        final[k] = max(final.get(k, 0), r["count"])
+    batch = spark.createDataFrame(EV_BATCH1 + EV_BATCH2, EVENTS_SCHEMA)
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in batch.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+    # cross-batch accumulation actually happened: user 1's "view" count
+    # passed through 2 (trigger 1) before finishing at 3
+    views = sorted(
+        r["count"] for r in rows
+        if r["user_id"] == 1 and r["event_type"] == "view"
+    )
+    assert views == [2, 3]
