@@ -7601,14 +7601,14 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "dedup_embedding": 0.8, "dedup_exact": 0.146, "dedup_minhash": 0.788,
     "dedup_minhash_pairs": 0.845, "dedup_ngram_jaccard": 0.724,
     "dedup_paragraphs": 0.425, "dedup_semantic_clusters": 1.344,
-    "dedup_simhash": 1.667, "dedup_substring_remove": 0.658,
+    "dedup_simhash": 0.6, "dedup_substring_remove": 0.658,
     "dedup_substring_stats": 0.663, "doc_fingerprint": 0.16,
     "docs_chunk_overlap": 0.164, "dsir_importance": 0.83,
     "embedding_quantize_int8": 0.204, "events_anomaly_mad": 0.314,
     "events_funnel": 0.539, "events_gapfill": 0.353, "events_retention":
     0.305, "events_sessionize": 0.267, "events_sliding_window": 0.208,
     "events_tumbling_hour": 0.214, "filter_range": 0.175, "fuzzy_pairs":
-    0.417, "graph_pagerank": 3.99, "join_anti_customers": 0.238,
+    0.417, "graph_pagerank": 3.299, "join_anti_customers": 0.238,
     "join_asof": 0.242, "join_broadcast_segments": 0.277,
     "join_correlated_min": 0.227, "join_interval_bins": 0.404,
     "join_left_outer": 0.305, "join_range": 0.303, "join_runtime_minmax":
@@ -7635,11 +7635,11 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "minhash_precision_eval": 1.531, "bpe_pair_counts": 0.342,
     "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
     "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
-    "simhash_hamming_pairs": 2.284, "heavy_hitters_phrases": 1.245,
+    "simhash_hamming_pairs": 0.678, "heavy_hitters_phrases": 1.245,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
-    "winnow_remove": 1.611, "multimodal_png_roundtrip": 0.514,
-    "sequence_pack_chunks": 1.034,
+    "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
+    "sequence_pack_chunks": 0.86,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
     "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
