@@ -1,7 +1,8 @@
 """transformWithStateInPandas twins beyond SCD-2: first-seen dedup on
-ValueState (exact + native-TTL config) and per-user event-type counts on
-MapState — each checked against its batch twin.  These also widen the
-protoshim's live JVM differential to the TTLConfig and MapStateCall
+ValueState (exact + native-TTL config), per-user event-type counts on
+MapState, and per-user last-K recent items on ListState — each checked
+against its batch twin.  Together they widen the protoshim's live JVM
+differential to the TTLConfig, MapStateCall, and ListStateCall
 encodings (ValueState-only SCD-2 never sends them)."""
 
 from __future__ import annotations
@@ -152,3 +153,63 @@ def test_tws_map_counts_match_batch_groupby(spark, tmp_path):
         if r["user_id"] == 1 and r["event_type"] == "view"
     )
     assert views == [2, 3]
+
+
+RECENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+# user 1 sees 7 docs across two triggers (window must slide: K=3);
+# user 2 stays under K (append-only path); user 3 appears late
+R_BATCH1 = [(1, 10, 0), (1, 11, 1), (2, 50, 2), (1, 12, 3)]
+R_BATCH2 = [(1, 13, 0), (1, 14, 1), (3, 90, 2), (2, 51, 3), (1, 15, 4)]
+
+
+def test_tws_list_recent_items_window(spark, tmp_path):
+    from substreams_sink_graph_load_spark.streaming.recent import (
+        streaming_recent_items_tws,
+    )
+
+    src = _write_jsonl(tmp_path, "recent", [R_BATCH1, R_BATCH2],
+                       ["user_id", "doc_id", "seq"])
+    stream = (
+        spark.readStream.format("json")
+        .schema(RECENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rows = _run(
+        spark,
+        streaming_recent_items_tws(stream, k=3),
+        str(tmp_path / "ckpt_recent"),
+        "tws_recent",
+    )
+    # one row per (trigger, user-with-events); keep each user's LAST
+    per_user: dict[int, list] = {}
+    emitted: dict[int, int] = {}
+    for r in rows:
+        per_user[r["user_id"]] = list(r["recent"])
+        emitted[r["user_id"]] = emitted.get(r["user_id"], 0) + 1
+    # stream order for user 1: 10,11,12 | 13,14,15 -> last 3 = 13,14,15
+    assert per_user == {1: [13, 14, 15], 2: [50, 51], 3: [90]}
+    assert emitted == {1: 2, 2: 2, 3: 1}
+
+    # batch twin: slice(collect_list ordered by arrival, -K)
+    both = R_BATCH1 + [(u, d, s + 10) for u, d, s in R_BATCH2]
+    batch = spark.createDataFrame(both, RECENT_SCHEMA)
+    want = {
+        r["user_id"]: r["recent"][-3:]
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(seq, doc_id))),"
+                " x -> x.doc_id)"
+            ).alias("recent")
+        )
+        .collect()
+    }
+    assert per_user == want
