@@ -213,3 +213,39 @@ def test_tws_list_recent_items_window(spark, tmp_path):
         .collect()
     }
     assert per_user == want
+
+
+# user 1 active in both triggers (timer deleted + re-armed, flushes only
+# after the SECOND); user 2 only in trigger 1 (flushes during trigger 2)
+T_BATCH1 = [(1,), (1,), (2,)]
+T_BATCH2 = [(1,)]
+
+
+def test_tws_timers_idle_flush(spark, tmp_path):
+    from substreams_sink_graph_load_spark.streaming.timers import (
+        streaming_idle_flush_tws,
+    )
+
+    src = _write_jsonl(tmp_path, "tev", [T_BATCH1, T_BATCH2], ["user_id"])
+    stream = (
+        spark.readStream.format("json")
+        .schema(T.StructType([T.StructField("user_id", T.LongType())]))
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rows = _run(
+        spark,
+        streaming_idle_flush_tws(stream, idle_grace_ms=1),
+        str(tmp_path / "ckpt_timers"),
+        "tws_timers",
+    )
+    got = {(r["user_id"], r["n_events"]) for r in rows}
+    # user 2's trigger-1 timer fires in trigger 2 -> flush with count 1.
+    # user 1 re-arms in trigger 2 (its trigger-1 timer was DELETED, not
+    # fired: a fired timer would have evicted the count and split 2+1);
+    # whether its final timer gets a closing microbatch is up to
+    # availableNow, so accept the flush either way — but the count MUST
+    # be the full 3 if it flushed.
+    assert (2, 1) in got
+    assert not any(u == 1 and n != 3 for u, n in got)
+    assert all(r["flushed_at_ms"] > 0 for r in rows)
