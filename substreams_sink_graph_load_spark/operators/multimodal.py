@@ -5,7 +5,7 @@ typed metadata struct; decode / feature-extract / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 whole record batches without JVM<->Python per-row overhead.
 
-The decode boundary is REAL for three formats with stdlib(+numpy)-only
+The decode boundary is REAL for four formats with stdlib(+numpy)-only
 codecs, each implemented from its public file-format spec:
 
 - ``image/png`` — chunk parse + zlib inflate + scanline unfilter
@@ -18,6 +18,10 @@ codecs, each implemented from its public file-format spec:
   progressive/arithmetic/12-bit raise.
 - ``audio/wav`` / ``audio/x-wav`` — RIFF parse via the stdlib ``wave``
   module; returns the raw PCM sample bytes.
+- ``video/x-msvideo`` / ``video/avi`` — RIFF AVI container walk
+  (``movi`` ``00dc`` chunks) with each MJPEG frame decoded through the
+  from-spec JPEG path; ``sample_video_frames`` decodes only every n-th
+  frame (the sampling contract that bounds codec cost on real video).
 
 Every other mime still hits the documented stub: ``decode_payload``
 raises ``NotImplementedError`` unless ``fake=True``, in which case a
@@ -538,11 +542,160 @@ def decode_wav(data: bytes) -> bytes:
         return wf.readframes(wf.getnframes())
 
 
+def encode_const_jpeg(value: int) -> bytes:
+    """Minimal valid baseline JPEG: one 8x8 grayscale block, every pixel
+    ``value`` — built by direct integer construction (no float DCT).  A
+    constant block's DCT is a single DC coefficient ``8*(value-128)``
+    (exactly integral) with all AC exactly zero, so with an all-ones
+    quantization table the encode/decode pair is LOSSLESS — the property
+    the AVI frame-sample oracle states in SQL.  Tables: DQT all ones;
+    one DC Huffman table of twelve 5-bit codes for categories 0-11
+    (|8*(v-128)| <= 1024 -> category <= 11; canonical codes 0..11 never
+    hit the all-ones pattern T.81 reserves); one AC table holding only
+    EOB at a single bit."""
+    import struct
+
+    if not 0 <= value <= 255:
+        raise ValueError("pixel value must be a byte")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dc_counts = [0] * 16
+    dc_counts[4] = 12  # twelve length-5 codes: symbols 0..11 = codes 0..11
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
+    ac_counts = [0] * 16
+    ac_counts[0] = 1  # one length-1 code: EOB = '0'
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes([0x00]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: comp 1, td/ta 0
+
+    dc = 8 * (value - 128)
+    s = abs(dc).bit_length()
+    bits: list[tuple[int, int]] = [(s, 5)]  # DC category, 5-bit code == symbol
+    if s:
+        bits.append((dc if dc >= 0 else dc + (1 << s) - 1, s))
+    bits.append((0, 1))  # AC EOB
+    acc = n = 0
+    entropy = bytearray()
+    for v, ln in bits:
+        acc = (acc << ln) | (v & ((1 << ln) - 1))
+        n += ln
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            entropy.append(b)
+            if b == 0xFF:
+                entropy.append(0x00)  # byte stuffing
+    if n:
+        b = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF  # pad with 1s
+        entropy.append(b)
+        if b == 0xFF:
+            entropy.append(0x00)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""  # RIFF pads chunks to even
+    return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """Wrap JPEG frame payloads in a minimal-but-spec-complete RIFF AVI
+    (Microsoft AVI RIFF form, public spec): LIST hdrl (avih + LIST strl
+    (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) then LIST movi with one
+    ``00dc`` chunk per frame."""
+    import struct
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max((len(f) for f in frames), default=0), 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<Iii2H4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
+    """RIFF AVI container walk (public AVI RIFF spec): validate the
+    ``RIFF``/``AVI `` form, pull width/height from ``avih`` (payload
+    offsets 32/36), and collect the compressed-video frame payloads —
+    chunks whose fourcc ends ``dc``/``db`` inside the ``movi`` LIST.
+    Returns ``(width, height, [jpeg_bytes, ...])``; malformed input
+    (bad magic, truncated chunk, missing avih) raises ValueError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI magic")
+    end = 8 + int.from_bytes(data[4:8], "little")
+    if end > len(data):
+        raise ValueError("AVI: RIFF size exceeds payload")
+    dims: list[int] = []
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int, in_hdrl: bool, in_movi: bool) -> None:
+        while pos + 8 <= stop:
+            fourcc = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body, body_end = pos + 8, pos + 8 + size
+            if body_end > stop:
+                raise ValueError("AVI: truncated chunk")
+            if fourcc == b"LIST":
+                sub = data[body : body + 4]
+                walk(
+                    body + 4,
+                    body_end,
+                    in_hdrl or sub == b"hdrl",
+                    in_movi or sub == b"movi",
+                )
+            elif in_hdrl and fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("AVI: short avih header")
+                dims[:] = [
+                    int.from_bytes(data[body + 32 : body + 36], "little"),
+                    int.from_bytes(data[body + 36 : body + 40], "little"),
+                ]
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body:body_end]))
+            pos = body_end + (size & 1)
+
+    walk(12, end, False, False)
+    if not dims:
+        raise ValueError("AVI: missing avih header")
+    return dims[0], dims[1], frames
+
+
+def decode_avi(data: bytes) -> bytes:
+    """Full-video decode: every MJPEG frame through ``decode_jpeg``,
+    pixel bytes concatenated in frame order."""
+    _, _, frames = decode_avi_mjpeg(data)
+    return b"".join(decode_jpeg(f) for f in frames)
+
+
 _REAL_DECODERS = {
     "image/png": decode_png,
     "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
+    "video/x-msvideo": decode_avi,
+    "video/avi": decode_avi,
 }
 
 
@@ -718,3 +871,129 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("pix_first", LongType()),
+        StructField("pix_sum", LongType()),
+    ]
+)
+
+
+def attach_avi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frames: int = 24,
+) -> DataFrame:
+    """Render each row's text as a REAL MJPEG AVI: frame *i* is an 8x8
+    constant-gray baseline JPEG whose pixel value is byte *i* of the
+    UTF-8 text (first ``max_frames`` bytes) — the encode half of the
+    lossless video roundtrip ``encode_const_jpeg`` documents.  Same
+    output shape as ``attach_binary``; Arrow-batched mapInPandas, 1:1
+    rows, no shuffle.  Rows with empty text are dropped (a 0-frame clip
+    carries nothing to verify)."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("checksum", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")[:max_frames]
+                avi = encode_avi_mjpeg(
+                    [encode_const_jpeg(b) for b in raw], 8, 8
+                )
+                ids.append(int(i))
+                payloads.append(avi)
+                metas.append(
+                    {
+                        "n_bytes": len(avi),
+                        "checksum": hashlib.md5(avi).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "mime": "video/x-msvideo",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return src.mapInPandas(batches, schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 3, fake: bool = True
+) -> DataFrame:
+    """Container-aware video frame sampling: walk the RIFF AVI, keep
+    every ``every_n``-th MJPEG frame, decode each kept frame through the
+    from-spec JPEG path, and emit one numeric feature row per frame
+    (pixel count, first pixel, pixel sum) — the shape a real
+    frame-embedding pipeline feeds its vision encoder.  Decoding only
+    the KEPT frames is the point of sampling: at stride n the codec cost
+    is 1/n of the clip, which at 100 TB of video is the difference
+    between feasible and not.
+
+    ``fake=True`` keeps the byte-splitter stand-in over the raw payload
+    (64-byte pseudo-frames) for mimes without a real codec.  1->N
+    fan-out via mapInPandas; partitioning inherited, no shuffle."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, npix, first, sums = [], [], [], [], []
+
+            def emit(doc_id: int, i: int, px: bytes) -> None:
+                ids.append(doc_id)
+                idxs.append(i)
+                npix.append(len(px))
+                first.append(px[0] if px else -1)
+                sums.append(int(sum(px)))
+
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = bytes(payload)
+                if not fake:
+                    _, _, frames = decode_avi_mjpeg(raw)
+                    for i in range(0, len(frames), every_n):
+                        emit(int(doc_id), i, decode_jpeg(frames[i]))
+                else:
+                    n_frames = max(1, len(raw) // 64)
+                    for i in range(0, n_frames, every_n):
+                        emit(int(doc_id), i, raw[i * 64 : (i + 1) * 64])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_pix": pd.Series(npix, dtype="int64"),
+                    "pix_first": pd.Series(first, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)

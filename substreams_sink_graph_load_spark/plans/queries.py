@@ -1978,6 +1978,45 @@ def multimodal_png_roundtrip(spark, sf_dir):
     return extract_features(attach_png(d, "doc_id", "text"), fake=False)
 
 
+@_q(
+    "multimodal_avi_frame_sample",
+    """
+    SELECT doc_id,
+           cast(i AS bigint) AS frame_idx,
+           cast(64 AS bigint) AS n_pix,
+           cast(ascii(substr(text, i + 1, 1)) AS bigint) AS pix_first,
+           cast(64 * ascii(substr(text, i + 1, 1)) AS bigint) AS pix_sum
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, least(strlen(text), 24), 3)) AS i
+          FROM documents WHERE strlen(text) > 0)
+    """,
+)
+def multimodal_avi_frame_sample(spark, sf_dir):
+    """REAL video decode as a hash-oracled registry query: every doc's
+    first 24 text bytes are rendered into an actual MJPEG AVI (frame i =
+    an 8x8 constant-gray baseline JPEG of byte i; operators/multimodal
+    encode_const_jpeg + encode_avi_mjpeg), then the frame-sampling stage
+    walks the RIFF container, keeps every 3rd frame, and decodes each
+    kept frame through the from-spec ITU T.81 JPEG path (fake=False).
+    A constant 8x8 block with an all-ones quantization table roundtrips
+    EXACTLY (DC = 8*(v-128) is integral, all AC are zero), so the DuckDB
+    oracle states the per-frame pixel features directly on the text —
+    any corruption in the container writer, the walker, or either JPEG
+    half breaks the driver hash.
+
+    Scale: two chained Arrow-batched mapInPandas stages (encode, then
+    sample+decode), partitioning inherited, no shuffle; sampling decodes
+    only the kept 1/3 of frames — the codec-cost contract that makes
+    video feasible at 100 TB.  The payload crosses Python batches once
+    per stage, the multimodal family's documented unavoidable step."""
+    from ..operators.multimodal import attach_avi, sample_video_frames
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_video_frames(
+        attach_avi(d, "doc_id", "text", max_frames=24), every_n=3, fake=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
 # ---------------------------------------------------------------------------
@@ -7639,6 +7678,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
+    "multimodal_avi_frame_sample": 0.99,
     "sequence_pack_chunks": 0.86,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,

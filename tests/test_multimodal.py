@@ -550,3 +550,115 @@ def test_encode_png_roundtrip():
         encode_png(b"abc", 2, 1, 1)
     with pytest.raises(ValueError, match="empty"):
         encode_png(b"", 0, 1, 1)
+
+
+def test_encode_const_jpeg_lossless_all_values():
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_const_jpeg,
+    )
+
+    # the lossless-roundtrip theorem the AVI oracle relies on, exhaustively
+    for v in range(256):
+        assert decode_jpeg(encode_const_jpeg(v)) == bytes([v] * 64), v
+    with pytest.raises(ValueError, match="byte"):
+        encode_const_jpeg(256)
+
+
+def test_avi_container_roundtrip_general_frames():
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_avi,
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+    )
+
+    # non-trivial frames through the general encoder: container walk must
+    # hand back the exact JPEG payloads (incl. odd lengths -> RIFF padding)
+    h, w = 16, 24
+    frames = [
+        make_jpeg(
+            [(np.add.outer(np.arange(h) * k, np.arange(w)) % 256).astype(float)],
+            w,
+            h,
+        )
+        for k in (1, 3, 7)
+    ]
+    avi = encode_avi_mjpeg(frames, w, h, fps=25)
+    gw, gh, back = decode_avi_mjpeg(avi)
+    assert (gw, gh) == (w, h)
+    assert back == frames
+    assert decode_avi(avi) == b"".join(decode_jpeg(f) for f in frames)
+
+
+def test_decode_avi_rejects_malformed():
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        _riff_chunk,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_const_jpeg,
+    )
+
+    avi = encode_avi_mjpeg([encode_const_jpeg(7)], 8, 8)
+    with pytest.raises(ValueError, match="magic"):
+        decode_avi_mjpeg(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_avi_mjpeg(avi[:30])
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_avi_mjpeg(b"RIFF" + (10**6).to_bytes(4, "little") + b"AVI ")
+    with pytest.raises(ValueError, match="truncated"):
+        # inner chunk declares more bytes than its enclosing form holds
+        decode_avi_mjpeg(
+            b"RIFF" + (16).to_bytes(4, "little") + b"AVI "
+            + b"avih" + (100).to_bytes(4, "little") + b"\x00" * 4
+        )
+    with pytest.raises(ValueError, match="avih"):
+        decode_avi_mjpeg(
+            _riff_chunk(
+                b"RIFF",
+                b"AVI "
+                + _riff_chunk(
+                    b"LIST", b"movi" + _riff_chunk(b"00dc", encode_const_jpeg(7))
+                ),
+            )
+        )
+
+
+def test_sample_video_frames_real_through_spark(spark):
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        attach_avi,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "Z"), (3, "")],  # 7 frames / 1 frame / dropped
+        "doc_id long, text string",
+    )
+    rows = sample_video_frames(
+        attach_avi(df, "doc_id", "text", max_frames=24), every_n=3, fake=False
+    ).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["n_pix"], r["pix_first"], r["pix_sum"]) for r in rows}
+    want = {
+        (1, 0): (64, ord("a"), 64 * ord("a")),
+        (1, 3): (64, ord("d"), 64 * ord("d")),
+        (1, 6): (64, ord("g"), 64 * ord("g")),
+        (2, 0): (64, ord("Z"), 64 * ord("Z")),
+    }
+    assert got == want
+
+
+def test_extract_features_real_avi(spark):
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        attach_avi,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(9, "hi")], "doc_id long, text string")
+    row = extract_features(attach_avi(df), fake=False).collect()[0]
+    # full decode: 2 frames x 64 px; first byte 'h'; head = 16 x 'h'
+    assert row["mime"] == "video/x-msvideo"
+    assert row["n_bytes"] == 128
+    assert row["first_byte"] == ord("h")
+    assert row["head_sum"] == 16 * ord("h")
