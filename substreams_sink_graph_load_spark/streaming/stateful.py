@@ -228,3 +228,39 @@ def stateful_versions_tws(changes: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+class Scd2SeededProcessor(Scd2Processor):
+    """:class:`Scd2Processor` plus snapshot seeding via
+    ``handleInitialState`` — the TWS form of the reference's start-POI
+    resume (cmd run.go:101-117; the ingest-level seed lives at
+    streaming/run.py): each key's OPEN version at the seed block becomes
+    its initial state before the first batch, so a stream picks up
+    mid-history exactly where a prior run (or the batch
+    ``scd2_state_at_block`` snapshot) stopped.  Decomposition contract,
+    pinned by test: ``fold(full) == fold(prefix).closed ∪
+    seeded_tws(suffix, snapshot=fold(prefix).open)``."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        if len(initialState) == 0:
+            return
+        row = initialState.iloc[0]
+        self._state.update(
+            (int(row["start_block"]), _canon(json.loads(row["fields_json"])))
+        )
+
+
+def stateful_versions_tws_seeded(
+    changes: DataFrame, snapshot: DataFrame
+) -> DataFrame:
+    """Seeded SCD-2 stream: ``snapshot`` holds one OPEN version per id
+    (columns ``id, start_block, fields_json`` — the open rows of
+    ``scd2_state_at_block``); versions that close after the seed point
+    emit with their original pre-seed start block."""
+    return changes.groupBy("id").transformWithStateInPandas(
+        Scd2SeededProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+        initialState=snapshot.groupBy("id"),
+    )

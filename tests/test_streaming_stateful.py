@@ -447,6 +447,97 @@ def test_tws_final_evicts_state(spark, tmp_path):
     }
 
 
+@pytest.mark.skipif(
+    "not __import__('substreams_sink_graph_load_spark.streaming.stateful', fromlist=['x']).tws_available()",
+    reason="transformWithState needs the google.protobuf runtime (absent here)",
+)
+def test_tws_seeded_resume_decomposition(spark, tmp_path):
+    """Start-POI resume on the TWS initial-state API: seed the processor
+    with the OPEN versions of the fold at the split point, stream only
+    the SUFFIX of the history, and the union
+
+        fold(prefix).closed  ∪  seeded_tws(suffix)
+
+    must equal fold(full) — versions closing after the seed keep their
+    original pre-seed start block."""
+    from substreams_sink_graph_load_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        stateful_versions_tws_seeded,
+    )
+
+    d = tmp_path / "suffix"
+    d.mkdir()
+    import time
+
+    now = time.time()
+    # EVENTS split at block 2000: suffix = delete a1, final b1, create c1
+    for i, chunk in enumerate([EVENTS[3:4], EVENTS[4:]]):
+        p = d / f"part-{i}.jsonl"
+        with open(p, "w") as fh:
+            for id_, block, seq, op, fields in chunk:
+                fh.write(
+                    json.dumps(
+                        {
+                            "id": id_,
+                            "block_num": block,
+                            "seq": seq,
+                            "operation": op,
+                            "fields_json": json.dumps(
+                                fields, sort_keys=True, separators=(",", ":")
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now + i, now + i))
+
+    # fold(prefix).open — what scd2_state_at_block(2000) emits as open rows
+    snapshot = spark.createDataFrame(
+        [
+            ("a1", 500, '{"balance":"250","name":"alice"}'),
+            ("b1", 600, '{"name":"bob"}'),
+        ],
+        "id string, start_block long, fields_json string",
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.format("json")
+            .schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = (
+            stateful_versions_tws_seeded(stream, snapshot)
+            .writeStream.format("memory")
+            .queryName("tws_seeded")
+            .option("checkpointLocation", str(tmp_path / "ckpt_seeded"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    rows = {
+        (r["id"], r["block_range_start"], r["block_range_end"]): r["fields_json"]
+        for r in spark.sql("select * from tws_seeded").collect()
+    }
+    # fold(prefix).closed is a1 [1,500) — union with these two rows equals
+    # the full-history result test_tws_versions_match_applyinpandas_twin pins
+    assert rows == {
+        ("a1", 500, 2100): '{"balance":"250","name":"alice"}',
+        ("b1", 600, None): '{"name":"bob"}',
+    }
+
+
 class _FakeValueState:
     """Stand-in for the TWS ValueState: exists/get/update/clear over a dict
     slot, so Scd2Processor's fold runs without the streaming runner (whose
