@@ -104,3 +104,123 @@ def streaming_idle_flush_tws(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_ms", LongType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("armed_expiry_ms", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class EventTimeSessionProcessor(StatefulProcessor):
+    """Gap-based sessionization on EVENT-TIME timers: a session closes
+    either in-data (the next event of the key arrives past the gap) or
+    by watermark (the registered event-time timer at ``last_ts + gap``
+    fires once the watermark passes it — the only correct close for a
+    key that stops sending).  The streaming twin of
+    ``F.session_window``: emitted ``(start, last)`` pairs equal the
+    built-in's ``(window.start, window.end - gap)`` exactly, which the
+    test pins as a differential."""
+
+    def __init__(self, gap_ms: int):
+        if gap_ms <= 0:
+            raise ValueError("gap_ms must be positive")
+        self._gap = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        ts_list: list[int] = []
+        for pdf in rows:
+            ts_list.extend(int(t) for t in pdf["ts_ms"])
+        if not ts_list:
+            return
+        ts_list.sort()
+
+        if self._sess.exists():
+            start, last, n, armed = self._sess.get()
+            self._handle.deleteTimer(armed)
+        else:
+            start = last = None
+            n = 0
+
+        closed: list[tuple[int, int, int, int]] = []
+        for ts in ts_list:
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last <= self._gap:
+                last, n = max(last, ts), n + 1
+            else:
+                closed.append((int(user_id), start, last, n))
+                start, last, n = ts, ts, 1
+
+        expiry = last + self._gap
+        self._handle.registerTimer(expiry)
+        self._sess.update((start, last, n, expiry))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if not self._sess.exists():
+            return
+        start, last, n, _ = self._sess.get()
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "session_start_ms": [start],
+                "session_end_ms": [last],
+                "n_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessionize_tws(
+    events: DataFrame,
+    gap_ms: int,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Append stream of closed sessions ``(user_id, session_start_ms,
+    session_end_ms, n_events)``; ``ts_col`` must be a timestamp column.
+    Watermark-driven: a session only emits once it is provably closed —
+    in-data, or when the watermark passes ``last_ts + gap``.  Requires
+    the RocksDB state store."""
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    ).withWatermark("ts", watermark_delay)
+    keyed = keyed.select(
+        "user_id",
+        (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        "ts",
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        EventTimeSessionProcessor(gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

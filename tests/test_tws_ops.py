@@ -249,3 +249,72 @@ def test_tws_timers_idle_flush(spark, tmp_path):
     assert (2, 1) in got
     assert not any(u == 1 and n != 3 for u, n in got)
     assert all(r["flushed_at_ms"] > 0 for r in rows)
+
+
+# gap 30s. u10: one 2-event session then a later singleton; u20: singleton;
+# u30: TWO sessions inside one batch (in-data close). u98/u99: watermark
+# sentinels that push event time forward so every real timer fires.
+# epoch base keeps every event past the initial (0) watermark
+_B = 1_000_000
+S_BATCH1 = [(10, _B + 0), (10, _B + 10), (20, _B + 5), (30, _B + 0), (30, _B + 50)]
+S_BATCH2 = [(10, _B + 100)]
+S_BATCH3 = [(99, _B + 10_000)]
+S_BATCH4 = [(98, _B + 20_000)]
+
+
+def test_tws_eventtime_sessionize_matches_session_window(spark, tmp_path):
+    from substreams_sink_graph_load_spark.streaming.timers import (
+        streaming_sessionize_tws,
+    )
+
+    src = _write_jsonl(
+        tmp_path,
+        "sess_ev",
+        [S_BATCH1, S_BATCH2, S_BATCH3, S_BATCH4],
+        ["user_id", "ts_s"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_s", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    rows = _run(
+        spark,
+        streaming_sessionize_tws(stream, gap_ms=30_000),
+        str(tmp_path / "ckpt_sess"),
+        "tws_sessions",
+    )
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in rows
+        if r["user_id"] < 90  # sentinels' own sessions are out of scope
+    }
+
+    # the batch truth: Spark's built-in session_window over the same
+    # events; its window is [start, last+gap), so end-gap == our last_ts
+    batch = spark.createDataFrame(
+        [r for r in S_BATCH1 + S_BATCH2], "user_id long, ts_s long"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    want = {
+        (
+            r["user_id"],
+            r["win"]["start"].timestamp() * 1000,
+            r["win"]["end"].timestamp() * 1000 - 30_000,
+            r["n"],
+        )
+        for r in batch.groupBy(
+            F.session_window("ts", "30 seconds").alias("win"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want, (got, want)
+    assert len(got) == 5
