@@ -662,3 +662,28 @@ def test_extract_features_real_avi(spark):
     assert row["n_bytes"] == 128
     assert row["first_byte"] == ord("h")
     assert row["head_sum"] == 16 * ord("h")
+
+
+def test_avi_container_property_roundtrip():
+    """Random frame payloads (any bytes, odd and even lengths — RIFF's
+    even-padding path) survive the container roundtrip bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        frames=st.lists(st.binary(min_size=0, max_size=200), max_size=12),
+        w=st.integers(1, 4096),
+        h=st.integers(1, 4096),
+    )
+    def prop(frames, w, h):
+        gw, gh, back = decode_avi_mjpeg(encode_avi_mjpeg(frames, w, h))
+        assert (gw, gh) == (w, h)
+        assert back == frames
+
+    prop()
