@@ -945,6 +945,70 @@ def attach_avi(
     return src.mapInPandas(batches, schema)
 
 
+def attach_wav(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each row's UTF-8 text bytes as a REAL 8-bit mono PCM WAV
+    (stdlib ``wave`` writer; unsigned 8-bit samples ARE the raw bytes,
+    so encode->decode is lossless) — the audio counterpart of
+    ``attach_png``/``attach_avi``.  Same output shape as
+    ``attach_binary``; Arrow-batched mapInPandas, 1:1 rows, no shuffle.
+    Rows with empty text are dropped (zero-frame audio carries nothing
+    to verify)."""
+    import hashlib
+    import io
+    import wave
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("checksum", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(16000)
+                    wf.writeframes(raw)
+                wav = buf.getvalue()
+                ids.append(int(i))
+                payloads.append(wav)
+                metas.append(
+                    {
+                        "n_bytes": len(wav),
+                        "checksum": hashlib.md5(wav).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return src.mapInPandas(batches, schema)
+
+
 def sample_video_frames(
     df: DataFrame, every_n: int = 3, fake: bool = True
 ) -> DataFrame:

@@ -2017,6 +2017,57 @@ def multimodal_avi_frame_sample(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_wav_windows",
+    """
+    WITH d AS (SELECT doc_id, text, strlen(text) AS n
+               FROM documents WHERE strlen(text) > 0),
+    base AS (SELECT doc_id, text, n,
+                    unnest(range(0, greatest(n - 16, 0) + 1, 8)) AS start
+             FROM d),
+    extra AS (SELECT doc_id, text, n,
+                     ((greatest(n - 16, 0) // 8) + 1) * 8 AS start
+              FROM d
+              WHERE (greatest(n - 16, 0) // 8) * 8 + 16 < n),
+    s AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT doc_id,
+           cast(start // 8 AS bigint) AS win_idx,
+           cast(least(16, n - start) AS bigint) AS win_bytes,
+           cast(list_sum(list_transform(range(least(16, n - start)),
+                j -> ascii(substr(text, start + j + 1, 1)))) AS bigint) AS energy
+    FROM s
+    """,
+)
+def multimodal_wav_windows(spark, sf_dir):
+    """REAL audio decode as a hash-oracled registry query, completing
+    the modality triple (PNG r8, MJPEG-AVI r8-late, now WAV): every
+    doc's UTF-8 bytes are rendered as an actual 8-bit mono PCM WAV
+    (attach_wav — unsigned 8-bit samples ARE the raw bytes, so the
+    stdlib wave encode/decode pair is lossless), then audio_windows
+    decodes through the real RIFF path (fake=False) and emits the
+    STFT-frame shape: window 16 / hop 8 overlapping windows with
+    integer energies (the silence-trim signal).  Losslessness lets the
+    DuckDB oracle state every window's start, length, and energy
+    directly on the text — the window-start formula (incl. the trailing
+    partial window librosa-style padding keeps) is property-matched
+    against the Python operator for every length.
+
+    Scale: two chained Arrow-batched mapInPandas stages (encode, then
+    decode+window), declared 1->N fan-out, partitioning inherited — no
+    shuffle; pruned 2-column scan."""
+    from ..operators.multimodal import attach_wav, audio_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_windows(
+        attach_wav(d, "doc_id", "text"), window_bytes=16, hop_bytes=8, fake=False
+    ).select(
+        "doc_id",
+        "win_idx",
+        F.octet_length("win").cast("long").alias("win_bytes"),
+        "energy",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
 # ---------------------------------------------------------------------------
@@ -7678,7 +7729,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
-    "multimodal_avi_frame_sample": 0.99,
+    "multimodal_avi_frame_sample": 0.99, "multimodal_wav_windows": 0.432,
     "sequence_pack_chunks": 0.86,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,

@@ -687,3 +687,29 @@ def test_avi_container_property_roundtrip():
         assert back == frames
 
     prop()
+
+
+def test_attach_wav_real_windows_through_spark(spark):
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        attach_wav,
+        audio_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstu"), (2, "")],  # 21 bytes / dropped
+        "doc_id long, text string",
+    )
+    rows = audio_windows(
+        attach_wav(df), window_bytes=16, hop_bytes=8, fake=False
+    ).collect()
+    got = {
+        (r["doc_id"], r["win_idx"]): (bytes(r["win"]), r["energy"])
+        for r in rows
+    }
+    raw = b"abcdefghijklmnopqrstu"
+    # n=21, w=16, h=8: starts [0, 8] (trailing partial window kept)
+    want = {
+        (1, 0): (raw[0:16], sum(raw[0:16])),
+        (1, 1): (raw[8:21], sum(raw[8:21])),
+    }
+    assert got == want
