@@ -22,6 +22,10 @@ codecs, each implemented from its public file-format spec:
   (``movi`` ``00dc`` chunks) with each MJPEG frame decoded through the
   from-spec JPEG path; ``sample_video_frames`` decodes only every n-th
   frame (the sampling contract that bounds codec cost on real video).
+- ``video/mp4`` — the CONTAINER layer only: ``parse_mp4_meta`` walks
+  ISO-BMFF boxes (ISO 14496-12) for dimensions / sample count /
+  duration / codec without touching media data (the probe-first triage
+  shape); H.264/HEVC frame decode stays behind the stub boundary.
 
 Every other mime still hits the documented stub: ``decode_payload``
 raises ``NotImplementedError`` unless ``fake=True``, in which case a
@@ -945,6 +949,124 @@ def attach_avi(
     return src.mapInPandas(batches, schema)
 
 
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def encode_mp4_stub(
+    w: int,
+    h: int,
+    n_samples: int,
+    duration_ms: int,
+    codec: bytes = b"avc1",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) metadata skeleton (ISO 14496-12,
+    public spec): ftyp + moov(mvhd + trak(tkhd + mdia(mdhd + stbl(stsd +
+    stts + stsz)))).  Carries everything a metadata probe reads —
+    dimensions, sample count, duration, codec fourcc — with no media
+    data (mdat omitted; this is the moov-only shape probe tests need)."""
+    import struct
+
+    duration = duration_ms * timescale // 1000
+    unity = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    mvhd = (
+        bytes(4)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + unity
+        + bytes(24)
+        + struct.pack(">I", 2)
+    )
+    tkhd = (
+        struct.pack(">BBH", 0, 0, 7)  # version 0, flags: enabled|in-movie
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", w << 16, h << 16)  # 16.16 fixed
+    )
+    mdhd = bytes(4) + struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    entry = codec + bytes(6) + struct.pack(">H", 1) + bytes(16) + struct.pack(
+        ">HH", w, h
+    ) + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1) + bytes(32) + struct.pack(
+        ">Hh", 24, -1
+    )
+    stsd = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", len(entry) + 8) + entry
+    stts = bytes(4) + struct.pack(">III", 1, n_samples, 40)
+    stsz = bytes(4) + struct.pack(">II", 0, n_samples)
+    stbl = (
+        _mp4_box(b"stsd", stsd) + _mp4_box(b"stts", stts) + _mp4_box(b"stsz", stsz)
+    )
+    mdia = _mp4_box(b"mdhd", mdhd) + _mp4_box(b"minf", _mp4_box(b"stbl", stbl))
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(
+        b"trak", _mp4_box(b"tkhd", tkhd) + _mp4_box(b"mdia", mdia)
+    )
+    ftyp = b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41"
+    return _mp4_box(b"ftyp", ftyp) + _mp4_box(b"moov", moov)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """ISO-BMFF box walk (ISO 14496-12): read the metadata a triage
+    pipeline needs WITHOUT touching media data — ``mvhd``
+    timescale/duration, ``tkhd`` track dimensions (16.16 fixed),
+    ``stsd`` codec fourcc, ``stsz`` sample count.  This moov-only probe
+    is the correct 100 TB video operation: at petabyte scale you filter
+    on container metadata first and decode only survivors.  Malformed
+    input (short box, size overrun, missing moov/mvhd) raises
+    ValueError."""
+    import struct
+
+    meta: dict = {}
+
+    def walk(pos: int, stop: int) -> None:
+        while pos < stop:
+            if pos + 8 > stop:
+                raise ValueError("MP4: truncated box header")
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            typ = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 0:
+                size = stop - pos  # box extends to end of enclosing scope
+            elif size == 1:
+                if pos + 16 > stop:
+                    raise ValueError("MP4: truncated largesize")
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            if size < 8 or pos + size > stop:
+                raise ValueError("MP4: box size overruns enclosing scope")
+            end = pos + size
+            if typ in _MP4_CONTAINERS:
+                if typ == b"moov":
+                    meta["has_moov"] = True
+                walk(body, end)
+            elif typ == b"mvhd" and end - body >= 20:
+                meta["timescale"] = struct.unpack(">I", data[body + 12 : body + 16])[0]
+                meta["duration"] = struct.unpack(">I", data[body + 16 : body + 20])[0]
+            elif typ == b"tkhd" and end - body >= 84:
+                meta["width"] = struct.unpack(">I", data[end - 8 : end - 4])[0] >> 16
+                meta["height"] = struct.unpack(">I", data[end - 4 : end])[0] >> 16
+            elif typ == b"stsd" and end - body >= 16:
+                meta["codec"] = data[body + 12 : body + 16].decode("latin-1")
+            elif typ == b"stsz" and end - body >= 12:
+                meta["n_samples"] = struct.unpack(">I", data[body + 8 : body + 12])[0]
+            pos = end
+
+    walk(0, len(data))
+    if not meta.get("has_moov") or "timescale" not in meta:
+        raise ValueError("MP4: missing moov/mvhd metadata")
+    meta["duration_ms"] = meta["duration"] * 1000 // max(meta["timescale"], 1)
+    return meta
+
+
 def attach_wav(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1007,6 +1129,123 @@ def attach_wav(
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
     return src.mapInPandas(batches, schema)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def attach_mp4(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each row as a REAL ISO-BMFF metadata skeleton whose
+    parameters derive deterministically from the text (n_samples =
+    byte count, duration 40 ms/sample, width keyed on the first byte)
+    — the fixture generator for the moov-probe path.  Same shape as
+    ``attach_binary``; mapInPandas, 1:1, no shuffle."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("checksum", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                n = len(raw)
+                mp4 = encode_mp4_stub(
+                    w=16 * ((raw[0] % 16) + 1),
+                    h=144,
+                    n_samples=n,
+                    duration_ms=40 * n,
+                )
+                ids.append(int(i))
+                payloads.append(mp4)
+                metas.append(
+                    {
+                        "n_bytes": len(mp4),
+                        "checksum": hashlib.md5(mp4).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "mime": "video/mp4",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return src.mapInPandas(batches, schema)
+
+
+def probe_video_metadata(df: DataFrame) -> DataFrame:
+    """Container-metadata triage WITHOUT decoding media: per payload,
+    walk the MP4 ``moov`` (or the AVI header for RIFF payloads) and
+    emit dimensions / sample count / duration / codec.  At 100 TB this
+    probe-first shape is how a video pipeline prunes: filter on
+    metadata (resolution floors, duration bands, codec allowlists) and
+    pay codec cost only for survivors.  mapInPandas, 1:1 rows, no
+    shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, ns, durs, codecs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] == b"RIFF":
+                    w, h, frames = decode_avi_mjpeg(raw)
+                    m = {
+                        "width": w,
+                        "height": h,
+                        "n_samples": len(frames),
+                        "duration_ms": 0,
+                        "codec": "MJPG",
+                    }
+                else:
+                    m = parse_mp4_meta(raw)
+                ids.append(int(doc_id))
+                ws.append(m["width"])
+                hs.append(m["height"])
+                ns.append(m["n_samples"])
+                durs.append(m["duration_ms"])
+                codecs.append(m["codec"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "codec": codecs,
+                }
+            )
+
+    return df.mapInPandas(batches, PROBE_SCHEMA)
 
 
 def sample_video_frames(

@@ -2068,6 +2068,39 @@ def multimodal_wav_windows(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_mp4_probe",
+    """
+    SELECT doc_id,
+           cast(16 * ((ascii(substr(text, 1, 1)) % 16) + 1) AS bigint) AS width,
+           cast(144 AS bigint) AS height,
+           cast(strlen(text) AS bigint) AS n_samples,
+           cast(40 * strlen(text) AS bigint) AS duration_ms,
+           'avc1' AS codec
+    FROM documents WHERE strlen(text) > 0
+    """,
+)
+def multimodal_mp4_probe(spark, sf_dir):
+    """Container-metadata triage as a hash-oracled query: each doc
+    becomes a REAL ISO-BMFF (MP4) metadata skeleton (attach_mp4 —
+    ftyp + moov/mvhd/trak/tkhd/mdia/stbl written from the public
+    ISO 14496-12 box layouts, parameters derived from the text), then
+    probe_video_metadata walks the boxes and emits dimensions, sample
+    count, duration, and codec WITHOUT touching media data.  This
+    probe-first shape is the correct 100 TB video operation: filter on
+    moov metadata (resolution floors, duration bands, codec
+    allowlists), decode only survivors.  The writer and walker are
+    independent codepaths over the same spec, so the oracle stating the
+    parameters straight from the text catches a corruption in either.
+
+    Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
+    shuffle; pruned 2-column scan."""
+    from ..operators.multimodal import attach_mp4, probe_video_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    return probe_video_metadata(attach_mp4(d, "doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
 # ---------------------------------------------------------------------------
@@ -7730,6 +7763,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
     "multimodal_avi_frame_sample": 0.99, "multimodal_wav_windows": 0.432,
+    "multimodal_mp4_probe": 0.446,
     "sequence_pack_chunks": 0.86,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,

@@ -713,3 +713,49 @@ def test_attach_wav_real_windows_through_spark(spark):
         (1, 1): (raw[8:21], sum(raw[8:21])),
     }
     assert got == want
+
+
+def test_mp4_probe_roundtrip_and_malformed():
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        encode_mp4_stub,
+        parse_mp4_meta,
+    )
+
+    mp4 = encode_mp4_stub(1920, 1080, 300, 12_000, b"hvc1", timescale=90_000)
+    m = parse_mp4_meta(mp4)
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_samples"] == 300
+    assert m["duration_ms"] == 12_000
+    assert m["codec"] == "hvc1"
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp4_meta(mp4[:6])
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(b"\xff\xff\xff\xff" + mp4[4:])
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4_meta(mp4[: mp4.index(b"moov") - 4])
+
+
+def test_probe_video_metadata_both_containers(spark):
+    """One probe over a mixed batch: an MP4 moov skeleton AND a real
+    MJPEG AVI — the dispatch a mixed-corpus triage pass needs."""
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        attach_mp4,
+        encode_avi_mjpeg,
+        encode_const_jpeg,
+        probe_video_metadata,
+    )
+
+    mp4_rows = attach_mp4(
+        spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    )
+    avi = encode_avi_mjpeg([encode_const_jpeg(5), encode_const_jpeg(6)], 8, 8)
+    avi_rows = spark.createDataFrame(
+        [(2, "video/x-msvideo", bytearray(avi), (len(avi), "z"))],
+        "doc_id long, mime string, payload binary, meta struct<n_bytes:long,checksum:string>",
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_samples"], r["codec"])
+        for r in probe_video_metadata(mp4_rows.unionByName(avi_rows)).collect()
+    }
+    assert got[1] == (16 * ((ord("a") % 16) + 1), 144, 3, "avc1")
+    assert got[2] == (8, 8, 2, "MJPG")
