@@ -320,8 +320,15 @@ def main() -> None:
             },
         }
 
+    # the committed BENCH_DETAIL.json is the sf0.1 headline record ONLY —
+    # a quick smoke at another SF must not overwrite it
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if out["sf"] == 0.1
+        else f"BENCH_DETAIL_sf{out['sf']}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(out, fh, indent=1)
