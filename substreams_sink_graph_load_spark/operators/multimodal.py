@@ -26,6 +26,10 @@ codecs, each implemented from its public file-format spec:
   ISO-BMFF boxes (ISO 14496-12) for dimensions / sample count /
   duration / codec without touching media data (the probe-first triage
   shape); H.264/HEVC frame decode stays behind the stub boundary.
+- ``audio/mpeg`` — the HEADER layer only: ``parse_mp3_meta`` skips an
+  ID3v2 tag and walks MPEG-1 Layer III frame headers (ISO 11172-3) for
+  bitrate / sample rate / channels / frame count; the hybrid-filterbank
+  sample decode stays behind the stub boundary.
 
 Every other mime still hits the documented stub: ``decode_payload``
 raises ``NotImplementedError`` unless ``fake=True``, in which case a
@@ -1067,6 +1071,94 @@ def parse_mp4_meta(data: bytes) -> dict:
     return meta
 
 
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]  # MPEG-1 Layer III, kbps (ISO 11172-3 table); index 0/15 invalid
+_MP3_SAMPLERATES = [44100, 48000, 32000]  # MPEG-1; index 3 reserved
+
+
+def encode_mp3_stub(
+    n_frames: int, bitrate_idx: int, mono: bool, tag: bytes = b""
+) -> bytes:
+    """Synthetic MPEG-1 Layer III stream (public ISO 11172-3 frame
+    header layout): optional ID3v2.3 tag (syncsafe size), then
+    ``n_frames`` frames at 48 kHz — chosen because the Layer III frame
+    size 144*bitrate/samplerate is exactly ``3*bitrate_kbps`` there, so
+    the walk is integer-exact.  Frame payloads are zeros (a header
+    probe never reads them)."""
+    import struct
+
+    if not 1 <= bitrate_idx <= 14:
+        raise ValueError("bitrate index must be 1..14")
+    out = bytearray()
+    if tag:
+        ss = len(tag)
+        syncsafe = bytes(
+            [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F, (ss >> 7) & 0x7F, ss & 0x7F]
+        )
+        out += b"ID3" + bytes([3, 0, 0]) + syncsafe + tag
+    frame_len = 3 * _MP3_BITRATES[bitrate_idx]
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG-1 + Layer III + no CRC
+            (bitrate_idx << 4) | (1 << 2),  # bitrate idx, samplerate idx 1
+            (0b11 if mono else 0b01) << 6,  # mono / joint stereo
+        ]
+    )
+    for _ in range(n_frames):
+        out += hdr + bytes(frame_len - 4)
+    return bytes(out)
+
+
+def parse_mp3_meta(data: bytes) -> dict:
+    """MP3 header probe (ISO 11172-3): skip an ID3v2 tag if present
+    (syncsafe size), read bitrate / sample rate / channel mode from the
+    first frame header, then COUNT frames by walking the computed frame
+    lengths — media payloads are never read, the metadata-triage shape.
+    Only MPEG-1 Layer III is in scope; malformed sync, reserved
+    bitrate/samplerate indices, or a walk that lands mid-stream raise
+    ValueError."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        ss = data[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("MP3: ID3v2 size is not syncsafe")
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    meta: dict = {}
+    n = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("MP3: truncated frame header")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("MP3: lost frame sync")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise NotImplementedError("MP3: only MPEG-1 Layer III")
+        br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("MP3: reserved bitrate/samplerate index")
+        bitrate = _MP3_BITRATES[br_idx]
+        samplerate = _MP3_SAMPLERATES[sr_idx]
+        if not meta:
+            meta = {
+                "bitrate_kbps": bitrate,
+                "sample_rate": samplerate,
+                "channels": 1 if (b3 >> 6) == 0b11 else 2,
+            }
+        frame_len = 144_000 * bitrate // samplerate + pad
+        if pos + frame_len > len(data):
+            raise ValueError("MP3: frame overruns payload")
+        pos += frame_len
+        n += 1
+    if not meta:
+        raise ValueError("MP3: no frames")
+    meta["n_frames"] = n
+    return meta
+
+
 def attach_wav(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1246,6 +1338,109 @@ def probe_video_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, PROBE_SCHEMA)
+
+
+MP3_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bitrate_kbps", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def attach_mp3(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frames: int = 32,
+) -> DataFrame:
+    """Render each row as a REAL MPEG-1 Layer III stream whose
+    parameters derive from the text (bitrate index keyed on the first
+    byte, mono when it is odd, one frame per text byte capped at
+    ``max_frames``, the text itself as the ID3v2 tag payload) — the
+    fixture generator for the mp3 header probe.  mapInPandas, 1:1, no
+    shuffle; empty-text rows dropped."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("checksum", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                mp3 = encode_mp3_stub(
+                    n_frames=min(len(raw), max_frames),
+                    bitrate_idx=(raw[0] % 14) + 1,
+                    mono=bool(raw[0] % 2),
+                    tag=raw,
+                )
+                ids.append(int(i))
+                payloads.append(mp3)
+                metas.append(
+                    {
+                        "n_bytes": len(mp3),
+                        "checksum": hashlib.md5(mp3).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "mime": "audio/mpeg",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return src.mapInPandas(batches, schema)
+
+
+def probe_mp3_metadata(df: DataFrame) -> DataFrame:
+    """Header-walk metadata triage for MP3 payloads: bitrate / sample
+    rate / channel mode from the first frame header, frame count from
+    the length walk — media payloads never read.  mapInPandas, 1:1
+    rows, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, brs, srs, chs, nfs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_mp3_meta(bytes(payload))
+                ids.append(int(doc_id))
+                brs.append(m["bitrate_kbps"])
+                srs.append(m["sample_rate"])
+                chs.append(m["channels"])
+                nfs.append(m["n_frames"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bitrate_kbps": pd.Series(brs, dtype="int64"),
+                    "sample_rate": pd.Series(srs, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, MP3_PROBE_SCHEMA)
 
 
 def sample_video_frames(

@@ -2101,6 +2101,41 @@ def multimodal_mp4_probe(spark, sf_dir):
     return probe_video_metadata(attach_mp4(d, "doc_id", "text"))
 
 
+@_q(
+    "multimodal_mp3_probe",
+    """
+    SELECT doc_id,
+           cast(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                [(ascii(substr(text, 1, 1)) % 14) + 1] AS bigint) AS bitrate_kbps,
+           cast(48000 AS bigint) AS sample_rate,
+           cast(CASE WHEN ascii(substr(text, 1, 1)) % 2 = 1
+                     THEN 1 ELSE 2 END AS bigint) AS channels,
+           cast(least(strlen(text), 32) AS bigint) AS n_frames
+    FROM documents WHERE strlen(text) > 0
+    """,
+)
+def multimodal_mp3_probe(spark, sf_dir):
+    """MP3 header-walk triage as a hash-oracled query, the audio
+    counterpart of the mp4 moov probe: each doc becomes a REAL MPEG-1
+    Layer III stream (attach_mp3 — ID3v2.3 tag with syncsafe size +
+    per-byte frames at 48 kHz, from the public ISO 11172-3 header
+    layout), then probe_mp3_metadata skips the tag, reads bitrate /
+    sample rate / channel mode from the first header, and counts frames
+    by walking the computed frame lengths — payload bytes never read.
+    Writer and walker are independent codepaths over the same spec; the
+    oracle stating the parameters from the text (bitrate via the public
+    Layer III table as a SQL array literal) catches corruption in
+    either.  Frame decode (hybrid filterbank/huffman) stays behind the
+    documented stub boundary — triage is the 100 TB operation.
+
+    Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
+    shuffle; pruned 2-column scan."""
+    from ..operators.multimodal import attach_mp3, probe_mp3_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    return probe_mp3_metadata(attach_mp3(d, "doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # Core parity surface as oracle-checked queries (SURVEY §2.12 first table)
 # ---------------------------------------------------------------------------
@@ -7763,7 +7798,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
     "multimodal_avi_frame_sample": 0.99, "multimodal_wav_windows": 0.432,
-    "multimodal_mp4_probe": 0.446,
+    "multimodal_mp4_probe": 0.446, "multimodal_mp3_probe": 0.5,
     "sequence_pack_chunks": 0.86,
     "scalar_array_funcs": 0.183,
     "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,

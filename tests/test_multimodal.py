@@ -759,3 +759,53 @@ def test_probe_video_metadata_both_containers(spark):
     }
     assert got[1] == (16 * ((ord("a") % 16) + 1), 144, 3, "avc1")
     assert got[2] == (8, 8, 2, "MJPG")
+
+
+def test_mp3_probe_roundtrip_and_malformed():
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        encode_mp3_stub,
+        parse_mp3_meta,
+    )
+
+    m = parse_mp3_meta(encode_mp3_stub(7, 9, False, tag=b"title: test"))
+    assert m == {
+        "bitrate_kbps": 128,
+        "sample_rate": 48000,
+        "channels": 2,
+        "n_frames": 7,
+    }
+    # no tag, mono, every valid bitrate index
+    for idx in range(1, 15):
+        m = parse_mp3_meta(encode_mp3_stub(2, idx, True))
+        assert m["n_frames"] == 2 and m["channels"] == 1
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_meta(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp3_meta(encode_mp3_stub(2, 5, True)[:-10])
+    with pytest.raises(ValueError, match="no frames"):
+        parse_mp3_meta(encode_mp3_stub(0, 5, True, tag=b"x"))
+    with pytest.raises(ValueError, match="reserved"):
+        parse_mp3_meta(bytes([0xFF, 0xFB, 0xF4, 0x40]))  # bitrate idx 15
+
+
+def test_probe_mp3_metadata_through_spark(spark):
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        attach_mp3,
+        probe_mp3_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 50), (2, "B")],  # 'a' odd -> mono; 'B' even -> stereo
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["bitrate_kbps"], r["sample_rate"], r["channels"], r["n_frames"]
+        )
+        for r in probe_mp3_metadata(attach_mp3(df)).collect()
+    }
+    assert got[1] == (
+        [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][ord("a") % 14],
+        48000, 1, 32,  # 50 bytes capped at 32 frames
+    )
+    assert got[2][2:] == (2, 1)
