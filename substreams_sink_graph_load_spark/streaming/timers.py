@@ -106,6 +106,72 @@ def streaming_idle_flush_tws(
     )
 
 
+COUNT_SCHEMA = StructType([StructField("n_events", LongType())])
+
+
+class IdleFlushListTimersProcessor(StatefulProcessor):
+    """:class:`IdleFlushProcessor` with the armed deadline recovered
+    from the timer service itself (``handle.listTimers()``) instead of
+    a state column — timers ARE addressable per-key state, so the
+    ``armed_expiry_ms`` column is redundant; the twin test pins that
+    both variants emit identical output.  Also the only live exercise
+    of the ListTimers protoshim encoding (Register/Delete/Expiry are
+    covered by the other timer processors)."""
+
+    def __init__(self, idle_grace_ms: int = 1):
+        if idle_grace_ms < 0:
+            raise ValueError("idle_grace_ms must be >= 0")
+        self._grace = idle_grace_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._acc = handle.getValueState("n", COUNT_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = sum(len(pdf) for pdf in rows)
+        if n == 0:
+            return
+        for expiry in list(self._handle.listTimers()):
+            self._handle.deleteTimer(expiry)
+        prev = self._acc.get()[0] if self._acc.exists() else 0
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._grace
+        )
+        self._acc.update((prev + n,))
+        return
+        yield  # pragma: no cover - generator contract, no batch output
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if not self._acc.exists():
+            return
+        (n_events,) = self._acc.get()
+        self._acc.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_events": [int(n_events)],
+                "flushed_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_idle_flush_tws_listtimers(
+    events: DataFrame, idle_grace_ms: int = 1
+) -> DataFrame:
+    """:func:`streaming_idle_flush_tws` on the ListTimers variant."""
+    keyed = events.select(F.col("user_id").cast("long").alias("user_id"))
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        IdleFlushListTimersProcessor(idle_grace_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
 SESSION_STATE_SCHEMA = StructType(
     [
         StructField("session_start_ms", LongType()),

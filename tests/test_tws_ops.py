@@ -318,3 +318,38 @@ def test_tws_eventtime_sessionize_matches_session_window(spark, tmp_path):
     }
     assert got == want, (got, want)
     assert len(got) == 5
+
+
+def test_tws_listtimers_twin_matches_statecolumn_variant(spark, tmp_path):
+    """The ListTimers variant recovers the armed deadline from the timer
+    service instead of a state column — identical behavior on the same
+    input as the state-column processor (and the only live exercise of
+    the ListTimers encoding)."""
+    from substreams_sink_graph_load_spark.streaming.timers import (
+        streaming_idle_flush_tws,
+        streaming_idle_flush_tws_listtimers,
+    )
+
+    outs = []
+    for name, fn in [
+        ("lt_a", streaming_idle_flush_tws),
+        ("lt_b", streaming_idle_flush_tws_listtimers),
+    ]:
+        src = _write_jsonl(
+            tmp_path, f"tev_{name}", [T_BATCH1, T_BATCH2], ["user_id"]
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema(T.StructType([T.StructField("user_id", T.LongType())]))
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        rows = _run(
+            spark,
+            fn(stream, idle_grace_ms=1),
+            str(tmp_path / f"ckpt_{name}"),
+            name,
+        )
+        outs.append({(r["user_id"], r["n_events"]) for r in rows})
+    assert outs[0] == outs[1]
+    assert (2, 1) in outs[1]  # user 2 flushed by its fired timer
