@@ -975,6 +975,10 @@ def encode_mp4_stub(
     import struct
 
     duration = duration_ms * timescale // 1000
+    if duration > 0xFFFFFFFF:
+        # version-0 boxes carry 32-bit durations; longer clips need the
+        # version-1 (64-bit) forms this minimal writer doesn't emit
+        raise ValueError("MP4 stub: duration overflows the version-0 u32 field")
     unity = struct.pack(
         ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
     )

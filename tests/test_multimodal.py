@@ -809,3 +809,52 @@ def test_probe_mp3_metadata_through_spark(spark):
         48000, 1, 32,  # 50 bytes capped at 32 frames
     )
     assert got[2][2:] == (2, 1)
+
+
+def test_mp4_mp3_probe_property_roundtrip():
+    """Random parameters survive writer->walker bit-exactly for both
+    metadata probes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from substreams_sink_graph_load_spark.operators.multimodal import (
+        encode_mp3_stub,
+        encode_mp4_stub,
+        parse_mp3_meta,
+        parse_mp4_meta,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        w=st.integers(1, 8192),
+        h=st.integers(1, 8192),
+        n=st.integers(0, 100_000),
+        dur=st.integers(0, 10**7),
+        codec=st.sampled_from([b"avc1", b"hvc1", b"mp4v", b"av01"]),
+        ts=st.integers(1, 1_000_000),
+    )
+    def mp4_prop(w, h, n, dur, codec, ts):
+        from hypothesis import assume
+
+        assume(dur * ts // 1000 <= 0xFFFFFFFF)  # version-0 u32 duration
+        m = parse_mp4_meta(encode_mp4_stub(w, h, n, dur, codec, timescale=ts))
+        assert (m["width"], m["height"], m["n_samples"]) == (w, h, n)
+        assert m["codec"] == codec.decode()
+        # writer quantizes duration to the timescale; walker recovers the
+        # quantized value exactly
+        assert m["duration_ms"] == (dur * ts // 1000) * 1000 // ts
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        nf=st.integers(1, 64),
+        idx=st.integers(1, 14),
+        mono=st.booleans(),
+        tag=st.binary(max_size=300),
+    )
+    def mp3_prop(nf, idx, mono, tag):
+        m = parse_mp3_meta(encode_mp3_stub(nf, idx, mono, tag=tag))
+        assert m["n_frames"] == nf
+        assert m["channels"] == (1 if mono else 2)
+
+    mp4_prop()
+    mp3_prop()
