@@ -9,7 +9,8 @@ The decode boundary is REAL for four formats with stdlib(+numpy)-only
 codecs, each implemented from its public file-format spec:
 
 - ``image/png`` — chunk parse + zlib inflate + scanline unfilter
-  (filters 0-4 incl. Paeth), 8-bit gray/RGB/graya/RGBA, non-interlaced;
+  (filters 0-4 incl. Paeth), 8-bit gray/RGB/graya/RGBA, both interlace
+  methods (none + Adam7 pass scatter);
   returns the raw pixel bytes (PNG spec, RFC 2083).
 - ``image/jpeg`` — baseline sequential DCT (ITU T.81 + JFIF): marker
   walk, canonical Huffman entropy decode with byte unstuffing and
@@ -156,50 +157,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> bytes:
-    """Pure-stdlib PNG decode (public spec, RFC 2083): chunk walk, zlib
-    inflate, per-scanline unfilter (types 0-4).  Supports the 8-bit
-    non-interlaced color types (gray / RGB / gray+alpha / RGBA); palette
-    and sub-byte depths raise — this is a training-pipeline feature
-    extractor, not a general image library.  Returns raw pixel bytes,
-    row-major, ``w*h*channels`` long."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG: bad signature")
-    pos, idat = 8, bytearray()
-    w = h = depth = color = interlace = None
-    while pos + 8 <= len(data):
-        ln = int.from_bytes(data[pos : pos + 4], "big")
-        typ = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + ln]
-        if len(chunk) != ln:
-            raise ValueError("truncated PNG chunk")
-        pos += 12 + ln  # 4 len + 4 type + data + 4 crc
-        if typ == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-        elif typ == b"IDAT":
-            idat += chunk
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {color} not supported")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(stride * h)
+
+def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, channels: int) -> bytearray:
+    """Unfilter one (sub-)image of ``ph`` scanlines x ``pw`` pixels
+    starting at ``off`` in the inflated stream; each scanline = 1 filter
+    byte + pw*channels data bytes."""
+    stride = pw * channels
+    out = bytearray(stride * ph)
     prev_start = -1
-    for row in range(h):
-        fpos = row * (stride + 1)
+    for row in range(ph):
+        fpos = off + row * (stride + 1)
         ftype = raw[fpos]
         line = bytearray(raw[fpos + 1 : fpos + 1 + stride])
         start = row * stride
@@ -229,6 +202,76 @@ def decode_png(data: bytes) -> bytes:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[start : start + stride] = line
         prev_start = start
+    return out
+
+
+def decode_png(data: bytes) -> bytes:
+    """Pure-stdlib PNG decode (public spec, RFC 2083): chunk walk, zlib
+    inflate, per-scanline unfilter (types 0-4), both interlace methods
+    (none + Adam7 — each of the 7 passes is an independently filtered
+    sub-image whose pixels scatter into the final raster on the pass
+    grid).  Supports the 8-bit color types (gray / RGB / gray+alpha /
+    RGBA); palette and sub-byte depths raise — this is a
+    training-pipeline feature extractor, not a general image library.
+    Returns raw pixel bytes, row-major, ``w*h*channels`` long."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, bytearray()
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln  # 4 len + 4 type + data + 4 crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if interlace == 0:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG pixel data length mismatch")
+        return bytes(_png_unfilter(raw, 0, w, h, channels))
+    out = bytearray(stride * h)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty at this image size (spec 8.2)
+        need = (pw * channels + 1) * ph
+        if off + need > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        sub = _png_unfilter(raw, off, pw, ph, channels)
+        off += need
+        for r in range(ph):
+            src = r * pw * channels
+            drow = (y0 + r * dy) * stride
+            for c in range(pw):
+                di = drow + (x0 + c * dx) * channels
+                si = src + c * channels
+                out[di : di + channels] = sub[si : si + channels]
+    if off != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
     return bytes(out)
 
 

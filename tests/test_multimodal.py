@@ -858,3 +858,78 @@ def test_mp4_mp3_probe_property_roundtrip():
 
     mp4_prop()
     mp3_prop()
+
+
+def make_png_adam7(w: int, h: int, channels: int, filters: list[int]) -> tuple[bytes, bytes]:
+    """Interlaced twin of make_png: the same deterministic pixels split
+    into the 7 Adam7 passes, each forward-filtered independently."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    pix = [
+        [
+            bytes(((x * 37 + y * 11 + c * 7) % 256) for c in range(channels))
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    raw = b"".join(b"".join(row) for row in pix)
+
+    def filt_rows(rows: list[bytes], stride: int) -> bytes:
+        out = bytearray()
+        for y, cur in enumerate(rows):
+            f = filters[y % len(filters)]
+            prev = rows[y - 1] if y > 0 else bytes(stride)
+            line = bytearray([f])
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                up = prev[i]
+                ul = prev[i - channels] if i >= channels else 0
+                v = cur[i]
+                if f == 0:
+                    line.append(v)
+                elif f == 1:
+                    line.append((v - left) & 0xFF)
+                elif f == 2:
+                    line.append((v - up) & 0xFF)
+                elif f == 3:
+                    line.append((v - (left + up) // 2) & 0xFF)
+                else:
+                    line.append((v - _paeth(left, up, ul)) & 0xFF)
+            out += line
+        return bytes(out)
+
+    stream = bytearray()
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows = [
+            b"".join(pix[y0 + r * dy][x0 + c * dx] for c in range(pw))
+            for r in range(ph)
+        ]
+        stream += filt_rows(rows, pw * channels)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+    return png, raw
+
+
+def test_decode_png_adam7_interlaced():
+    # sizes chosen to hit empty passes (1x1..3x3), ragged pass widths,
+    # and full 8x8 tiles; all filter types cycle inside each pass
+    for w, h in [(1, 1), (2, 2), (3, 3), (7, 5), (8, 8), (16, 9), (13, 21)]:
+        for channels in (1, 3, 4):
+            png, raw = make_png_adam7(w, h, channels, filters=[0, 1, 2, 3, 4])
+            assert decode_png(png) == raw, (w, h, channels)
+    # interlaced output must equal the non-interlaced decode of the
+    # same pixels (the scatter is a pure permutation)
+    png_i, raw_i = make_png_adam7(12, 10, 3, filters=[4])
+    png_n, raw_n = make_png(12, 10, 3, filters=[4])
+    assert raw_i == raw_n
+    assert decode_png(png_i) == decode_png(png_n)
