@@ -37,6 +37,16 @@ raises ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic byte-level identity "decode" runs instead — the Spark-side
 contract (schema, partitioning, UDF signature, batch shape) is real and
 tested for all mimes; only the exotic-codec call is fake.
+
+Scale note — Arrow batch sizing: every operator here is mapInPandas, so
+one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+default 10,000 rows) is materialized per call.  The synthetic corpora
+carry ~KB payloads, but at production sizes (multi-MB images/clips) the
+peak per-task memory is ``batch_rows x payload_bytes`` — size the conf
+so that product fits executor memory (e.g. 256 rows for ~10 MB
+payloads), or pre-split oversized payloads upstream.  This is the one
+knob the family needs turned at 100 TB; everything else (no shuffle,
+inherited partitioning, declared fan-out) holds as-is.
 """
 
 from __future__ import annotations
