@@ -1431,6 +1431,47 @@ _SIG_CTE_SQL = f"""
 """
 
 
+def _minhash_pairs_sql(num_perm: int, bands: int) -> str:
+    """Parameterized DuckDB twin of ``minhash_candidate_pairs`` — built
+    from the SAME ``perm_params()`` sequence the Spark operator hashes
+    with, so one generator serves every (num_perm, bands) tier."""
+    rows = num_perm // bands
+    sig_sql = (
+        "[ "
+        + ", ".join(
+            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P}))"
+            for a, b in _perm_params(num_perm)
+        )
+        + " ]"
+    )
+    return f"""
+    WITH grams AS {_GRAMS2_SQL},
+    h AS (SELECT doc_id,
+                 list_transform(grams, g -> {_h60_sql('g')} % {_P}) AS hs
+          FROM grams),
+    sig AS (SELECT doc_id, {sig_sql} AS sig FROM h),
+    bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(
+               sig[b.band_idx*{rows}+1 : b.band_idx*{rows}+{rows}], ',')) AS band_key
+      FROM sig, (SELECT unnest(range({bands})) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands,
+             first(a.sig) AS sig_a, first(b.sig) AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, cast(n_shared_bands AS bigint) AS n_shared_bands,
+           cast(len(list_filter(range({num_perm}),
+                i -> sig_a[i+1] = sig_b[i+1])) AS bigint) AS n_sig_agree
+    FROM pairs
+    """
+
+
 @_q(
     "dedup_minhash",
     f"""
@@ -1467,32 +1508,18 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@_q(
-    "dedup_minhash_pairs",
-    f"""
-    WITH {_SIG_CTE_SQL},
-    bands AS (
-      SELECT doc_id, sig, b.band_idx,
-             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
-      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             count(*) AS n_shared_bands,
-             first(a.sig) AS sig_a, first(b.sig) AS sig_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b, cast(n_shared_bands AS bigint) AS n_shared_bands,
-           cast(len(list_filter(range(16), i -> sig_a[i+1] = sig_b[i+1])) AS bigint) AS n_sig_agree
-    FROM pairs
-    """,
-)
+@_q("dedup_minhash_pairs", _minhash_pairs_sql(32, 4))
 def dedup_minhash_pairs(spark, sf_dir):
-    """LSH candidate pairs: docs sharing >= 1 of 4 signature bands, with the
-    exact signature-agreement count (est. Jaccard = n_sig_agree/16).
+    """LSH candidate pairs: docs sharing >= 1 of 4 signature bands, with
+    the exact signature-agreement count (est. Jaccard = n_sig_agree/32).
+
+    Parameters are the SCALE-SAFE tier measured by the r8 precision study:
+    32 perms / 4 bands (8 rows per band, S-curve threshold
+    (1/4)^(1/8)=0.84).  The old 16/4 default measured 60.4% precision at
+    sf0.1 and a 23x superlinear sf1 wall as buckets filled;
+    minhash_precision_tuned proved 32/4 keeps ~99% of true dups with 37x
+    fewer candidates at sf10, so 32/4 is what ships — 16/4 survives only
+    as the minhash_precision_eval study query.
 
     Scale: the self-join shuffles on 16-byte band keys, never text; skewed
     buckets are capped via max_bucket in the operator (off here for oracle
@@ -1501,7 +1528,7 @@ def dedup_minhash_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
-        d, "doc_id", "text", num_perm=16, bands=4, k=2
+        d, "doc_id", "text", num_perm=32, bands=4, k=2
     )
 
 
@@ -2708,18 +2735,8 @@ def join_runtime_minmax(spark, sf_dir):
 @_q(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE {_SIG_CTE_SQL},
-    bands AS (
-      SELECT doc_id, b.band_idx,
-             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
-      FROM sig, (SELECT unnest(range(4)) AS band_idx) b
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE cand AS ({_minhash_pairs_sql(32, 4)}),
+    pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -2735,7 +2752,10 @@ def join_runtime_minmax(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components over the MinHash-LSH
     candidate graph.  Cluster id = smallest doc_id in the component — the
-    canonical representative a dedup pipeline keeps.
+    canonical representative a dedup pipeline keeps.  Candidates come
+    from the shipped dedup_minhash_pairs tier, i.e. the scale-safe
+    (32, 4) parameters since r9 (the oracle composes the same
+    parameterized band SQL, so a sketch drift breaks the hash).
 
     Execution is adaptive (operators/dedup.py connected_components): the
     LSH graph is orders of magnitude smaller than the corpus, so a
@@ -2748,7 +2768,7 @@ def dedup_clusters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(
-        d, "doc_id", "text", num_perm=16, bands=4, k=2
+        d, "doc_id", "text", num_perm=32, bands=4, k=2
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
@@ -6600,47 +6620,6 @@ def embedding_covariance(spark, sf_dir):
     return covariance(_t(spark, sf_dir, "embeddings"), "embedding")
 
 
-def _minhash_pairs_sql(num_perm: int, bands: int) -> str:
-    """Parameterized DuckDB twin of ``minhash_candidate_pairs`` — the
-    generalization of the 16/4 ``dedup_minhash_pairs`` oracle, built from
-    the SAME ``perm_params()`` sequence the Spark operator hashes with."""
-    rows = num_perm // bands
-    sig_sql = (
-        "[ "
-        + ", ".join(
-            f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P}))"
-            for a, b in _perm_params(num_perm)
-        )
-        + " ]"
-    )
-    return f"""
-    WITH grams AS {_GRAMS2_SQL},
-    h AS (SELECT doc_id,
-                 list_transform(grams, g -> {_h60_sql('g')} % {_P}) AS hs
-          FROM grams),
-    sig AS (SELECT doc_id, {sig_sql} AS sig FROM h),
-    bands AS (
-      SELECT doc_id, sig, b.band_idx,
-             md5(array_to_string(
-               sig[b.band_idx*{rows}+1 : b.band_idx*{rows}+{rows}], ',')) AS band_key
-      FROM sig, (SELECT unnest(range({bands})) AS band_idx) b
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             count(*) AS n_shared_bands,
-             first(a.sig) AS sig_a, first(b.sig) AS sig_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b, cast(n_shared_bands AS bigint) AS n_shared_bands,
-           cast(len(list_filter(range({num_perm}),
-                i -> sig_a[i+1] = sig_b[i+1])) AS bigint) AS n_sig_agree
-    FROM pairs
-    """
-
-
 def _minhash_eval_sql(cand_sql: str) -> str:
     """True-Jaccard annotation of a candidate-pair relation (the
     precision-eval epilogue, shared by the 16/4 and tuned variants)."""
@@ -6663,7 +6642,10 @@ def _minhash_eval_sql(cand_sql: str) -> str:
     """
 
 
-_MINHASH_EVAL_ORACLE = _minhash_eval_sql(ORACLES["dedup_minhash_pairs"])
+# Pinned EXPLICITLY at (16, 4): the precision eval is the parameter STUDY
+# of the loose tier, and must keep measuring 16/4 even though the shipped
+# dedup_minhash_pairs default moved to the scale-safe (32, 4) in r9.
+_MINHASH_EVAL_ORACLE = _minhash_eval_sql(_minhash_pairs_sql(16, 4))
 
 
 def _minhash_eval_frame(spark, sf_dir, num_perm: int, bands: int):
@@ -7325,7 +7307,7 @@ _MINHASH_RECALL_ORACLE = f"""
 
 @_q(
     "minhash_recall_eval",
-    _MINHASH_RECALL_ORACLE.format(cand=ORACLES["dedup_minhash_pairs"]),
+    _MINHASH_RECALL_ORACLE.format(cand=_minhash_pairs_sql(32, 4)),
 )
 def minhash_recall_eval(spark, sf_dir):
     """Recall audit of the MinHash-LSH tier — the other half of the
@@ -7334,12 +7316,12 @@ def minhash_recall_eval(spark, sf_dir):
     on the 60-bit signature — simhash_hamming_pairs' lossless pigeonhole
     set, an INDEPENDENT near-dup definition, so the eval is not
     circular), annotated with its exact word-2-gram Jaccard, whether the
-    16-perm/4-band MinHash LSH surfaced it as a candidate, and on how
-    many shared bands.  Precision measured how much sub-threshold junk
-    the S-curve admits (60.4% at sf0.1); this measures what the same
-    banding MISSES of the other tier's high-confidence near-dups — the
-    two-sided evidence a deployment needs before standardizing on one
-    tier.
+    SHIPPED MinHash LSH tier (32 perms / 4 bands since r9) surfaced it
+    as a candidate, and on how many shared bands.  Precision measured
+    how much sub-threshold junk the loose 16/4 S-curve admits (60.4% at
+    sf0.1); this measures what the production banding MISSES of the
+    other tier's high-confidence near-dups — the two-sided evidence a
+    deployment needs before standardizing on one tier.
 
     All three relations ARE shipped queries (truth = the SimHash
     Hamming ball; annotation = the ngram-Jaccard gram table; candidates
@@ -7388,7 +7370,7 @@ def minhash_recall_eval(spark, sf_dir):
         .alias("jaccard_ppm")
     )
     cand = minhash_candidate_pairs(
-        d, "doc_id", "text", num_perm=16, bands=4, k=2
+        d, "doc_id", "text", num_perm=32, bands=4, k=2
     ).select("doc_a", "doc_b", "n_shared_bands")
     return (
         truth.join(ga, "doc_a")
@@ -7678,6 +7660,18 @@ def sequence_pack_chunks(spark, sf_dir):
 # and hid five broken queries from the driver — never again.
 
 
+# Queries whose SEMANTICS changed in round N: driver rows from earlier
+# rounds witnessed the OLD definition, so they are non-evidence and the
+# query must sort into the never-verified front of the budget until a
+# row >= N exists.  r9: the MinHash pairs tier and its two downstream
+# compositions moved from (16, 4) to the scale-safe (32, 4) parameters.
+_REWITNESS: dict[str, int] = {
+    "dedup_minhash_pairs": 9,
+    "dedup_clusters": 9,
+    "minhash_recall_eval": 9,
+}
+
+
 def _driver_rounds(oracled: set[str] | None = None) -> dict[str, int]:
     """Newest CORRECTNESS_r*.json round carrying a PASSING row per query.
 
@@ -7723,6 +7717,10 @@ def _driver_rounds(oracled: set[str] | None = None) -> dict[str, int]:
             )
             if passed:
                 newest[name] = max(newest.get(name, 0), rnd)
+    # rows older than a semantic change witnessed a different query
+    for name, min_round in _REWITNESS.items():
+        if newest.get(name, min_round) < min_round:
+            del newest[name]
     return newest
 
 # Core parity surface: re-verified EVERY round right after the

@@ -229,19 +229,35 @@ def test_covariance_numpy_differential(spark):
 
 
 def test_minhash_eval_covers_all_candidates(spark):
-    """The eval annotates EVERY LSH candidate pair — same pair set as
-    the shipped dedup_minhash_pairs query — and its Jaccard is exact."""
+    """The eval annotates EVERY 16/4 LSH candidate pair (the study tier)
+    and its Jaccard is exact.  The SHIPPED dedup_minhash_pairs tier is
+    (32, 4) since r9; because perm_params(32) extends perm_params(16)
+    with the same leading constants, an 8-row 32/4 band collision
+    implies two 4-row 16/4 band collisions — so the shipped pair set is
+    a SUBSET of the study's, which this test pins."""
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
     from substreams_sink_graph_load_spark.plans.queries import (
+        _t,
         dedup_minhash_pairs,
         minhash_precision_eval,
     )
 
+    d = _t(spark, SF_DIR, "documents")
     cand = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup_minhash_pairs(spark, SF_DIR).collect()
+        for r in minhash_candidate_pairs(
+            d, "doc_id", "text", num_perm=16, bands=4, k=2
+        ).collect()
     }
     rows = minhash_precision_eval(spark, SF_DIR).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    shipped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_pairs(spark, SF_DIR).collect()
+    }
+    assert shipped <= cand
     for r in rows:
         assert 0 <= r["jaccard_ppm"] <= 1_000_000
         assert r["is_dup"] == (1 if r["jaccard_ppm"] >= 200_000 else 0)
