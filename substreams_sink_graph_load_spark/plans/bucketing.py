@@ -79,6 +79,9 @@ def bucketed_tables(
         write_bucketed(df, f"{database}.{name}", buckets, *keys)
 
 
+# Table property recording the source sf_dir of a bucketed layout.
+SF_DIR_PROP = "spark_graft.sf_dir"
+
 # The id-join family's hot keys: the keys these tables are joined /
 # windowed / per-id-aggregated on by the registry queries every round.
 REGISTRY_BUCKET_KEYS: dict[str, tuple[str, ...]] = {
@@ -132,3 +135,12 @@ def registry_layout(
         ),
     }
     bucketed_tables(spark, database, location, frames)
+    # Provenance stamp: record WHICH sf_dir each table was built from, so
+    # the query harness can refuse to serve wrong-scale data when the env
+    # var points a different sf_dir's run at this layout (r8 advice item).
+    src = sf_dir.replace("'", "''")
+    for name in frames:
+        spark.sql(
+            f"ALTER TABLE {database}.{name} SET TBLPROPERTIES "
+            f"('{SF_DIR_PROP}' = '{src}')"
+        )

@@ -48,6 +48,47 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# SHOW TBLPROPERTIES results per (db, table) — one catalog roundtrip per
+# session, not one per query
+_BUCKETED_SF: dict[tuple[str, str], str] = {}
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """The bucketed catalog table for ``name`` if the session opted in
+    (``SPARK_GRAFT_BUCKETED_DB``) AND the layout was built from the
+    requested ``sf_dir`` — else None (fall through to parquet).  A layout
+    built from a DIFFERENT sf_dir raises instead of silently serving
+    wrong-scale rows, validated against the provenance property
+    ``registry_layout`` stamps at write time (r8 advice item); a layout
+    with no stamp predates r9 — rebuild it."""
+    db = os.environ.get("SPARK_GRAFT_BUCKETED_DB")
+    if not db or not spark.catalog.tableExists(f"{db}.{name}"):
+        return None
+    key = (db, name)
+    if key not in _BUCKETED_SF:
+        from .bucketing import SF_DIR_PROP
+
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {db}.{name}").collect()
+        }
+        _BUCKETED_SF[key] = props.get(SF_DIR_PROP, "")
+    src = _BUCKETED_SF[key]
+    if not src:
+        raise ValueError(
+            f"bucketed table {db}.{name} carries no source-sf_dir stamp "
+            "(layout predates provenance stamping) — rebuild it with "
+            "plans.bucketing.registry_layout"
+        )
+    if os.path.normpath(src) != os.path.normpath(sf_dir):
+        raise ValueError(
+            f"bucketed table {db}.{name} was built from {src!r} but this "
+            f"run requests {sf_dir!r} — unset SPARK_GRAFT_BUCKETED_DB or "
+            "rebuild the layout at the requested scale"
+        )
+    return spark.table(f"{db}.{name}")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Registry table loader.  Default: the sf_dir parquet.  Opt-in: with
     ``SPARK_GRAFT_BUCKETED_DB`` set and the table present there, serve
@@ -55,10 +96,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     — same rows, but every join/window/agg keyed on the bucket column
     rides the write-time partitioning with no Exchange.  The env-var
     gate keeps the driver's correctness runs on the plain layout unless
-    a session explicitly builds and requests the bucketed one."""
-    db = os.environ.get("SPARK_GRAFT_BUCKETED_DB")
-    if db and spark.catalog.tableExists(f"{db}.{name}"):
-        return spark.table(f"{db}.{name}")
+    a session explicitly builds and requests the bucketed one; a layout
+    built from a different sf_dir than requested raises (see
+    ``_bucketed``)."""
+    b = _bucketed(spark, sf_dir, name)
+    if b is not None:
+        return b
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -86,9 +129,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed-layout opt-in (see _t): the bucketed events table was
     # written FROM this function's output, so it is already normalized —
     # serve it directly, no vintage probe needed
-    db = os.environ.get("SPARK_GRAFT_BUCKETED_DB")
-    if db and spark.catalog.tableExists(f"{db}.events"):
-        return spark.table(f"{db}.events")
+    b = _bucketed(spark, sf_dir, "events")
+    if b is not None:
+        return b
     flag = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(flag, None)
     spark.conf.set(flag, "true")
@@ -1948,6 +1991,18 @@ def join_range(spark, sf_dir):
     )
 
 
+# --- multimodal family: ASCII-corpus oracle assumption -------------------
+# The Spark fixture generators (attach_binary/png/avi/wav/mp4/mp3) derive
+# payload parameters from text BYTES (`text.encode("utf-8")[i]`, strlen in
+# bytes), while the DuckDB oracles state them via `ascii(substr(text, i, 1))`
+# — the i-th CODE POINT.  The two agree only because the driver corpus (and
+# scripts/gen_sf.py) is pure ASCII, where byte i == code point i and
+# strlen == octet_length.  The OPERATORS are byte-correct on any input
+# (PNG/WAV roundtrip the exact bytes); only the SQL twins assume ASCII —
+# so the assumption is enforced where it lives:
+# tests/test_multimodal.py::test_corpus_is_ascii_for_byte_oracles fails
+# loudly if any driver documents.text ever gains a non-ASCII character.
+
 @_q(
     "multimodal_features",
     """
@@ -1993,7 +2048,9 @@ def multimodal_png_roundtrip(spark, sf_dir):
     before computing byte features.  PNG is lossless, so the decoded
     bytes equal the original text bytes and the DuckDB oracle can state
     the expected features directly on the text — any corruption in
-    either codec half breaks the driver hash.
+    either codec half breaks the driver hash.  (Oracle indexes code
+    points, Spark indexes bytes: valid under the enforced ASCII-corpus
+    assumption — see the section comment above multimodal_features.)
 
     Scale: two chained Arrow-batched mapInPandas stages (encode, then
     decode+extract), 1:1 rows, partitioning inherited, no shuffle; the
@@ -2119,6 +2176,10 @@ def multimodal_mp4_probe(spark, sf_dir):
     allowlists), decode only survivors.  The writer and walker are
     independent codepaths over the same spec, so the oracle stating the
     parameters straight from the text catches a corruption in either.
+    (attach_mp4 keys the width on raw[0], the first UTF-8 BYTE; the
+    oracle's ascii(substr(text,1,1)) is the first CODE POINT — equal
+    under the enforced ASCII-corpus assumption, see the section comment
+    above multimodal_features.)
 
     Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
     shuffle; pruned 2-column scan."""
@@ -2152,7 +2213,9 @@ def multimodal_mp3_probe(spark, sf_dir):
     Writer and walker are independent codepaths over the same spec; the
     oracle stating the parameters from the text (bitrate via the public
     Layer III table as a SQL array literal) catches corruption in
-    either.  Frame decode (hybrid filterbank/huffman) stays behind the
+    either.  (attach_mp3 keys bitrate/channels on the first UTF-8 BYTE
+    vs the oracle's first code point — equal under the enforced
+    ASCII-corpus assumption, see above multimodal_features.)  Frame decode (hybrid filterbank/huffman) stays behind the
     documented stub boundary — triage is the 100 TB operation.
 
     Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
@@ -6671,16 +6734,23 @@ def _minhash_eval_frame(spark, sf_dir, num_perm: int, bands: int):
         .withColumn("n_grams", F.size("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # SHUFFLE_HASH pinned (the r8 simhash_hamming_pairs finding, same
+    # cause): g is candidate-bounded but carries the gram ARRAYS, and the
+    # planner's size estimate for the persisted join output sits far
+    # below reality — at sf10 the flip to BroadcastHashJoin builds a
+    # multi-GB driver-side table of shingle arrays and dies with a
+    # broadcast OOM.  Hash-partitioning on the pair keys is the 100 TB
+    # plan: grams shuffle once, keyed by doc id.
     ga = g.select(
         F.col("doc_id").alias("doc_a"),
         F.col("grams").alias("grams_a"),
         F.col("n_grams").alias("na"),
-    )
+    ).hint("shuffle_hash")
     gb = g.select(
         F.col("doc_id").alias("doc_b"),
         F.col("grams").alias("grams_b"),
         F.col("n_grams").alias("nb"),
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.col("na") + F.col("nb") - inter
     jac = F.floor(1000000.0 * inter / union).cast("long")
@@ -7353,16 +7423,20 @@ def minhash_recall_eval(spark, sf_dir):
         .join(ids, "doc_id")
         .withColumn("n_grams", F.size("grams"))
     )
+    # SHUFFLE_HASH pinned — same broadcast-OOM cause as _minhash_eval_frame
+    # (found by the r9 sf10 run): the gram relations are candidate-bounded
+    # in ROWS but carry shingle arrays, so a planner-estimated broadcast
+    # builds GBs on the driver at sf10.
     ga = g.select(
         F.col("doc_id").alias("doc_a"),
         F.col("grams").alias("grams_a"),
         F.col("n_grams").alias("na"),
-    )
+    ).hint("shuffle_hash")
     gb = g.select(
         F.col("doc_id").alias("doc_b"),
         F.col("grams").alias("grams_b"),
         F.col("n_grams").alias("nb"),
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     jac = (
         F.floor(1000000.0 * inter / (F.col("na") + F.col("nb") - inter))

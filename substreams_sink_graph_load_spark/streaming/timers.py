@@ -197,9 +197,22 @@ class EventTimeSessionProcessor(StatefulProcessor):
     by watermark (the registered event-time timer at ``last_ts + gap``
     fires once the watermark passes it — the only correct close for a
     key that stops sending).  The streaming twin of
-    ``F.session_window``: emitted ``(start, last)`` pairs equal the
-    built-in's ``(window.start, window.end - gap)`` exactly, which the
-    test pins as a differential."""
+    ``F.session_window``: at ``watermark_delay='0 seconds'`` the emitted
+    ``(start, last)`` pairs equal the built-in's ``(window.start,
+    window.end - gap)`` exactly, which the test pins as a differential.
+
+    Late data (``watermark_delay > 0``): admissible late events merge by
+    INTERVAL semantics — the state's ``[start, last]`` interval and the
+    batch's events merge wherever they sit within one gap of each other,
+    so a late event in ``[start - gap, start)`` extends ``session_start``
+    backward, and an event older than ``start - gap`` forms its own
+    earlier session (emitted closed in-data, since a later session
+    already exists).  Exact ``F.session_window`` equality is only
+    guaranteed at delay 0: the built-in holds every window open until
+    the watermark passes it, so with a large delay it can merge a
+    future late event into a session this processor already emitted —
+    an inherent difference between watermark-held and eager in-data
+    emission, not a state-merge bug."""
 
     def __init__(self, gap_ms: int):
         if gap_ms <= 0:
@@ -219,29 +232,33 @@ class EventTimeSessionProcessor(StatefulProcessor):
             return
         ts_list.sort()
 
+        # [start, end, count] intervals: one per event, plus the state's
+        # open session — sorted, then gap-merged (classic interval merge,
+        # so backward extension and splits fall out of one rule)
+        intervals = [[ts, ts, 1] for ts in ts_list]
         if self._sess.exists():
             start, last, n, armed = self._sess.get()
             self._handle.deleteTimer(armed)
-        else:
-            start = last = None
-            n = 0
+            intervals.append([start, last, n])
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
 
-        closed: list[tuple[int, int, int, int]] = []
-        for ts in ts_list:
-            if start is None:
-                start, last, n = ts, ts, 1
-            elif ts - last <= self._gap:
-                last, n = max(last, ts), n + 1
+        merged = [intervals[0]]
+        for iv in intervals[1:]:
+            cur = merged[-1]
+            if iv[0] - cur[1] <= self._gap:
+                cur[1] = max(cur[1], iv[1])
+                cur[2] += iv[2]
             else:
-                closed.append((int(user_id), start, last, n))
-                start, last, n = ts, ts, 1
+                merged.append(iv)
 
+        # every session but the latest is provably closed in-data
+        *closed, (start, last, n) = merged
         expiry = last + self._gap
         self._handle.registerTimer(expiry)
         self._sess.update((start, last, n, expiry))
         if closed:
             yield pd.DataFrame(
-                closed,
+                [(int(user_id), s, e, c) for s, e, c in closed],
                 columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
             )
 
@@ -274,7 +291,14 @@ def streaming_sessionize_tws(
     session_end_ms, n_events)``; ``ts_col`` must be a timestamp column.
     Watermark-driven: a session only emits once it is provably closed —
     in-data, or when the watermark passes ``last_ts + gap``.  Requires
-    the RocksDB state store."""
+    the RocksDB state store.
+
+    ``watermark_delay`` admits late events, which merge by interval
+    semantics (including backward ``session_start`` extension and
+    splits — see :class:`EventTimeSessionProcessor`); exact
+    ``F.session_window`` output equality is guaranteed only at the
+    default ``'0 seconds'`` delay, where no admissible event can
+    precede an already-emitted session."""
     keyed = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col(ts_col).alias("ts"),

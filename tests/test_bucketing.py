@@ -182,3 +182,24 @@ def test_registry_layout_elides_id_join_exchanges(
         results[("bucketed", "embedding_drift_by_source")][0]
         < results[("plain", "embedding_drift_by_source")][0]
     )
+
+
+def test_bucketed_layout_refuses_wrong_sf_dir(
+    spark, sf_dir, registry_bucketdb, monkeypatch
+):
+    """The layout is stamped with its source sf_dir at write time; a run
+    requesting a DIFFERENT sf_dir must raise, not silently serve the
+    wrong scale's rows (r8 advice item)."""
+    from substreams_sink_graph_load_spark.plans import queries as Q
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_DB", registry_bucketdb)
+    Q._BUCKETED_SF.clear()
+    # the stamped sf_dir serves the catalog table
+    assert Q._t(spark, sf_dir, "documents").count() > 0
+    # a different sf_dir is refused loudly
+    with pytest.raises(ValueError, match="was built from"):
+        Q._t(spark, "/root/testdata/sf0.1", "documents")
+    with pytest.raises(ValueError, match="was built from"):
+        Q._events(spark, "/root/testdata/sf0.1")
+    # and an equivalent spelling of the same path is accepted
+    assert Q._t(spark, sf_dir + "/", "documents").count() > 0

@@ -933,3 +933,20 @@ def test_decode_png_adam7_interlaced():
     png_n, raw_n = make_png(12, 10, 3, filters=[4])
     assert raw_i == raw_n
     assert decode_png(png_i) == decode_png(png_n)
+
+
+def test_corpus_is_ascii_for_byte_oracles():
+    """The multimodal family's DuckDB oracles index text by CODE POINT
+    (ascii(substr(...))/strlen) while the Spark fixtures index the UTF-8
+    BYTES — equal only on a pure-ASCII corpus.  Enforce the assumption
+    on every shipped driver SF so a corpus change breaks loudly here,
+    not as a silent oracle desync (r8 advice item)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        (n_bad,) = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE strlen(text) != octet_length(encode(text))"
+        ).fetchone()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents.text rows"

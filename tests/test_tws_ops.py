@@ -320,6 +320,62 @@ def test_tws_eventtime_sessionize_matches_session_window(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_tws_eventtime_sessionize_late_events_merge_backward(spark, tmp_path):
+    """With watermark_delay > 0, admissible late events merge by INTERVAL
+    semantics: a late event within gap of the open session's start extends
+    session_start BACKWARD, and a late event older than start - gap forms
+    its own earlier session (closed in-data).  Pins the r9 interval-merge
+    rewrite — the old fold absorbed ANY ts <= last into the session and
+    never moved start."""
+    from substreams_sink_graph_load_spark.streaming.timers import (
+        streaming_sessionize_tws,
+    )
+
+    # gap 30s, delay 50s.  Batch 1 opens u1 at B+200 (watermark B+150).
+    # Batch 2 delivers two admissible late events: B+185 merges (and
+    # extends start 200 -> 185), B+151 is > gap older than 185 so it is
+    # its own earlier singleton session.  Sentinels push the watermark
+    # past B+230 so the open session's timer fires.
+    b1 = [(1, _B + 200)]
+    b2 = [(1, _B + 185), (1, _B + 151)]
+    b3 = [(99, _B + 400)]
+    b4 = [(98, _B + 500)]
+    src = _write_jsonl(
+        tmp_path, "sess_late", [b1, b2, b3, b4], ["user_id", "ts_s"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_s", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    rows = _run(
+        spark,
+        streaming_sessionize_tws(
+            stream, gap_ms=30_000, watermark_delay="50 seconds"
+        ),
+        str(tmp_path / "ckpt_sess_late"),
+        "tws_sessions_late",
+    )
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in rows
+        if r["user_id"] < 90
+    }
+    want = {
+        (1, (_B + 151) * 1000, (_B + 151) * 1000, 1),
+        (1, (_B + 185) * 1000, (_B + 200) * 1000, 2),
+    }
+    assert got == want, (got, want)
+
+
 def test_tws_listtimers_twin_matches_statecolumn_variant(spark, tmp_path):
     """The ListTimers variant recovers the armed deadline from the timer
     service instead of a state column — identical behavior on the same
