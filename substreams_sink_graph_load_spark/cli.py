@@ -226,45 +226,61 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("start-poi requires --start-block")
 
         spark = _spark()
-        files = run_ingest(
-            spark,
-            args.dest,
-            entities=entities,
-            stop_block=args.stop_block,
-            wire_path=args.wire,
-            bundle_size=args.bundle_size,
-            chain_id=args.chain_id,
-            start_poi=start_poi,
-            first_block=first_block,
-            workdir=args.working_dir,
-        )
+        # 15 s throughput heartbeat (ref sinker/stats.go cadence)
+        from .streaming.stats import ProgressReporter
+
+        rep = ProgressReporter(spark, "run").start()
+        try:
+            files = run_ingest(
+                spark,
+                args.dest,
+                entities=entities,
+                stop_block=args.stop_block,
+                wire_path=args.wire,
+                bundle_size=args.bundle_size,
+                chain_id=args.chain_id,
+                start_poi=start_poi,
+                first_block=first_block,
+                workdir=args.working_dir,
+            )
+        finally:
+            rep.stop(
+                last_block=args.stop_block - 1,
+                bundles=sum(len(fs) for fs in files.values())
+                if "files" in dir()
+                else "n/a",
+            )
         for ent, fs in sorted(files.items()):
             print(f"{ent}: {len(fs)} bundles")
         return 0
 
     if args.cmd == "tocsv":
+        from .streaming.stats import ProgressReporter
         from .tocsv import tocsv
 
         spark = _spark()
-        files = tocsv(
-            spark, args.src, args.dest, args.entity, args.schema,
-            stop_block=args.stop_block, bundle_size=args.bundle_size,
-        )
+        with ProgressReporter(spark, f"tocsv {args.entity}"):
+            files = tocsv(
+                spark, args.src, args.dest, args.entity, args.schema,
+                stop_block=args.stop_block, bundle_size=args.bundle_size,
+            )
         for f in files:
             print(f)
         return 0
 
     if args.cmd == "tocsv-all":
+        from .streaming.stats import ProgressReporter
         from .tocsv import tocsv_all
 
         spark = _spark()
-        for ent, fs in sorted(
-            tocsv_all(
-                spark, args.src, args.dest, args.schema,
-                stop_block=args.stop_block, bundle_size=args.bundle_size,
-            ).items()
-        ):
-            print(f"{ent}: {len(fs)} bundles")
+        with ProgressReporter(spark, "tocsv-all"):
+            for ent, fs in sorted(
+                tocsv_all(
+                    spark, args.src, args.dest, args.schema,
+                    stop_block=args.stop_block, bundle_size=args.bundle_size,
+                ).items()
+            ):
+                print(f"{ent}: {len(fs)} bundles")
         return 0
 
     if args.cmd == "inject-csv":

@@ -91,7 +91,12 @@ def write_bundled_lines(
     (
         data_rows
         .repartition("bundle_start")
-        .sortWithinPartitions("bundle_start", "_hdr", *order_cols)
+        # the rendered line is the FINAL tiebreaker: rows tied on every
+        # order_col (e.g. two versions of a duplicated id closed by the
+        # same block) would otherwise land in partitioning-dependent
+        # order — output bytes must not depend on the physical plan
+        # (found by the r9 replay-vs-TWS CSV differential)
+        .sortWithinPartitions("bundle_start", "_hdr", *order_cols, "line")
         # text sink accepts exactly one string column; the projection after
         # the sort is order-preserving (no exchange in between)
         .select("bundle_start", "line")

@@ -116,10 +116,19 @@ def scd2_versions(
     out = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block_range_start"),
-        # next UPDATE/DELETE closes the version; next FINAL (or nothing)
-        # leaves it open.
-        F.when(next_op.isin(OP_UPDATE, OP_DELETE), F.col("_next_block"))
-        .alias("block_range_end"),
+        # next starter or DELETE closes the version; next FINAL (or
+        # nothing) leaves it open.  A next CREATE here is the tolerated
+        # create-on-live path (the reference treats it as FATAL,
+        # processor.go:238-241 — validate_ops reports it): it must close
+        # the previous version at its block exactly like UPDATE, matching
+        # the sequential reference_fold and the streaming state folds
+        # (found by the r9 cross-engine CSV differential: duplicate ids
+        # in a synthesized log made the window emit open-range rows the
+        # fold closed).
+        F.when(
+            next_op.isin(OP_CREATE, OP_UPDATE, OP_DELETE),
+            F.col("_next_block"),
+        ).alias("block_range_end"),
         # block whose processing emits this row (bundle routing): the closing
         # event's block for superseded rows, the FINAL block for finalized
         # rows, NULL for end-of-log flush rows.

@@ -850,7 +850,7 @@ def _synth_log(spark, sf_dir):
     ),
     ver AS (
       SELECT id, operation, block_num AS block_range_start,
-        CASE WHEN next_op IN (2,3) THEN next_block END AS block_range_end,
+        CASE WHEN next_op IN (1,2,3) THEN next_block END AS block_range_end,
         last_value(CASE WHEN operation IN (1,2) THEN f_value END IGNORE NULLS)
           OVER (PARTITION BY id, lifetime ORDER BY block_num, seq
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_value,
@@ -890,7 +890,7 @@ def scd2_versions_q(spark, sf_dir):
     ),
     ver AS (
       SELECT id, operation, block_num AS block_range_start,
-        CASE WHEN next_op IN (2,3) THEN next_block END AS block_range_end,
+        CASE WHEN next_op IN (1,2,3) THEN next_block END AS block_range_end,
         last_value(CASE WHEN operation IN (1,2) THEN f_value END IGNORE NULLS)
           OVER (PARTITION BY id, lifetime ORDER BY block_num, seq
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_value

@@ -149,6 +149,35 @@ def _psql_copy(dsn: str, copy_sql: str, path: str) -> None:
         )
 
 
+def _psql_copy_many(dsn: str, copy_sql: str, paths: Sequence[str]) -> None:
+    """COPY many files over ONE psql process/connection: each file becomes
+    a client-side ``\\copy`` meta-command on stdin.  One subprocess + one
+    connection per task, like the psycopg path and the reference's libpq
+    loop — the per-file process spawn of :func:`_psql_copy` dominated the
+    measured injection rate at bundle-file granularity (scripts/
+    throughput_copy.py: 1000-row bundles made COPY *slower* than batched
+    INSERT until this)."""
+    # COPY ... FROM STDIN ... -> \copy ... from '<path>' ...
+    head, _, opts = copy_sql.partition(" FROM STDIN ")
+    script = "".join(
+        "\\copy "
+        + head[len("COPY "):]
+        + f" from '{p}' "
+        + opts
+        + "\n"
+        for p in paths
+    )
+    res = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q"],
+        input=script.encode(), capture_output=True,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"psql COPY of {list(paths)!r} failed: "
+            f"{res.stderr.decode(errors='replace')}"
+        )
+
+
 def inject_csv_files(
     spark,
     files: Sequence[str],
@@ -197,10 +226,9 @@ def inject_csv_files(
                 "psycopg not installed and psql not on PATH; install either "
                 "to inject, or run the generated COPY statements manually"
             )
-        for p in paths:
-            _psql_copy(dsn, copy_sql, p)
-            n += 1
-        return [n]
+        paths = list(paths)
+        _psql_copy_many(dsn, copy_sql, paths)
+        return [len(paths)]
 
     rdd = spark.sparkContext.parallelize(list(files), min(pool_conns, len(files)))
     return sum(rdd.mapPartitions(load_partition).collect())

@@ -159,11 +159,137 @@ class StreamingSink:
         return res
 
     def write_last_block(self, dest_dir: str, block: int, hash_: str = "") -> str:
-        """``last_block.txt`` marker (ref sinker.go:167-180)."""
-        path = os.path.join(dest_dir, "last_block.txt")
-        with open(path, "w") as fh:
-            fh.write(f"{block}:{hash_}\n")
-        return path
+        return write_last_block(dest_dir, block, hash_)
+
+
+def write_last_block(dest_dir: str, block: int, hash_: str = "") -> str:
+    """``last_block.txt`` marker (ref sinker.go:167-180) — shared by both
+    state engines."""
+    path = os.path.join(dest_dir, "last_block.txt")
+    with open(path, "w") as fh:
+        fh.write(f"{block}:{hash_}\n")
+    return path
+
+
+def _tws_versions(
+    spark: SparkSession,
+    stream: DataFrame,
+    desc: EntityDesc,
+    workdir: str,
+    checkpoint: str,
+    stop_block: int,
+) -> DataFrame:
+    """The transformWithStateInPandas production path: the per-id SCD-2
+    fold runs INCREMENTALLY in Spark's RocksDB state store — O(batch) per
+    trigger — instead of the foreachBatch replay of (state ⊎ batch),
+    which re-windows the accumulated open state every microbatch
+    (O(open-state) per trigger).  Closed/finalized versions append to a
+    parquet streaming sink (exactly-once via the sink's commit log);
+    still-open versions are recovered AFTER the run through Spark's
+    state-store reader (``format("statestore")``) — the state store IS
+    the open-version table, so no flush event or state-dir hand-off is
+    needed.  Returns the same (id, block_range_start, block_range_end,
+    emit_block, *fields) frame StreamingSink.flush() produces."""
+    from ..sources.jsonl import parse_change_lines_stream, typed_extract
+    from .stateful import (
+        OUTPUT_SCHEMA_EMIT,
+        ROCKSDB_PROVIDER,
+        stateful_versions_tws_emit,
+    )
+
+    field_cols = [f.name for f in desc.ordered_fields() if f.name != "id"]
+    parsed = parse_change_lines_stream(stream).where(
+        F.col("block_num") < stop_block
+    )
+    events = typed_extract(
+        parsed, desc, originals=list(desc.fields), extra_cols=["sub_seq"]
+    )
+    typed_fields = {f.name: events.schema[f.name].dataType for f in
+                    desc.ordered_fields() if f.name != "id"}
+    changes = events.select(
+        "id",
+        "block_num",
+        "seq",
+        "sub_seq",
+        "operation",
+        F.to_json(
+            F.struct(*field_cols), {"ignoreNullFields": "true"}
+        ).alias("fields_json"),
+    )
+
+    emitted_dir = os.path.join(workdir, "emitted_tws")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        query = (
+            stateful_versions_tws_emit(changes)
+            .writeStream.format("parquet")
+            .option("path", emitted_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    closed = spark.read.schema(OUTPUT_SCHEMA_EMIT).parquet(emitted_dir)
+    try:
+        st = (
+            spark.read.format("statestore")
+            .option("stateVarName", "open_version")
+            .load(checkpoint)
+        )
+        opens = st.select(
+            F.col("key.id").alias("id"),
+            F.col("value.start_block").alias("block_range_start"),
+            F.lit(None).cast("long").alias("block_range_end"),
+            F.col("value.fields_json").alias("fields_json"),
+            F.lit(None).cast("long").alias("emit_block"),
+        )
+        raw = closed.unionByName(opens)
+    except Exception:
+        # no committed state (e.g. zero batches ran) — closed rows only
+        raw = closed
+    if raw.isEmpty():
+        raise ValueError("nothing consumed: no emitted rows and no state")
+
+    # fields_json -> typed columns.  from_json has no BinaryType support;
+    # binary fields read back as the base64 string to_json wrote, then
+    # unbase64 restores the bytes.
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    read_schema = StructType(
+        [
+            StructField(n, StringType() if isinstance(t, BinaryType) else t)
+            for n, t in typed_fields.items()
+        ]
+    )
+    typed = raw.withColumn("_f", F.from_json("fields_json", read_schema))
+    return typed.select(
+        "id",
+        "block_range_start",
+        "block_range_end",
+        "emit_block",
+        *[
+            (
+                F.unbase64(F.col(f"_f.{n}"))
+                if isinstance(t, BinaryType)
+                else F.col(f"_f.{n}")
+            ).alias(n)
+            for n, t in typed_fields.items()
+        ],
+    )
 
 
 def run_stream(
@@ -176,22 +302,46 @@ def run_stream(
     bundle_size: int = 1000,
     workdir: str | None = None,
     max_files_per_trigger: int = 1,
+    stateful: str = "auto",
 ) -> list[str]:
     """Streaming equivalent of :func:`..tocsv.tocsv`: consume the entity's
     JSONL directory as a file stream (availableNow), maintain incremental
     SCD-2 state across microbatches, and write the same bundled CSV files.
 
+    ``stateful`` selects the state engine for mutable entities:
+
+    - ``"tws"`` — transformWithStateInPandas on the RocksDB state store:
+      the per-id fold is incremental, O(batch) per trigger, with open
+      versions recovered from the state store itself (the production
+      path; requires a google.protobuf runtime — the bundled protoshim
+      suffices).
+    - ``"replay"`` — the foreachBatch (state ⊎ batch) window replay:
+      one code path with batch, no state-store dependency, but each
+      trigger re-folds the accumulated open state (O(open-state)).
+    - ``"auto"`` (default) — ``tws`` when available, else ``replay``.
+
+    Immutable entities carry no state and always use the direct path.
+    Both engines produce byte-identical bundled CSV (pinned by
+    tests/test_streaming.py).
+
     On a live deployment the trigger would be ``processingTime`` and the
     source a custom DataSourceStreamReader over gRPC (SURVEY §2.1 S1); the
     file-stream shape, state hand-off, and output contract are identical.
     """
+    if stateful not in ("auto", "tws", "replay"):
+        raise ValueError(f"unknown stateful mode {stateful!r}")
     descs = parse_schema_file(schema_file)
     if entity not in descs:
         raise ValueError(f"cannot find entity {entity!r} in {schema_file!r}")
     desc = descs[entity]
     workdir = workdir or os.path.join(dest_dir, f"_work_{entity}")
     checkpoint = os.path.join(workdir, "checkpoint")
-    sink = StreamingSink(spark, desc, workdir, stop_block)
+
+    use_tws = not desc.immutable and stateful != "replay"
+    if use_tws and stateful == "auto":
+        from .stateful import tws_available
+
+        use_tws = tws_available()
 
     stream = (
         spark.readStream.format("text")
@@ -203,15 +353,21 @@ def run_stream(
             F.col("_metadata.file_block_start").alias("_bstart"),
         )
     )
-    query = (
-        stream.writeStream.foreachBatch(sink.process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
 
-    versions = sink.flush()
+    if use_tws:
+        versions = _tws_versions(
+            spark, stream, desc, workdir, checkpoint, stop_block
+        )
+    else:
+        sink = StreamingSink(spark, desc, workdir, stop_block)
+        query = (
+            stream.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        versions = sink.flush()
     if desc.immutable:
         last_block = versions.agg(F.max("block$")).collect()[0][0] or 0
         routed = (
@@ -247,5 +403,5 @@ def run_stream(
         bundle_size=bundle_size,
         order_cols=["_order_block", "_order_seq"],
     )
-    sink.write_last_block(dest_dir, last_block)
+    write_last_block(dest_dir, last_block)
     return files

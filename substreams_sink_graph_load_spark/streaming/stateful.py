@@ -50,6 +50,50 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# OUTPUT_SCHEMA plus the emitting event's block — what bundle routing
+# (streaming/run.py) keys CSV file assignment on: the closing event's
+# block for superseded rows, the FINAL block for finalized rows (exactly
+# scd2_versions' emit_block column).
+OUTPUT_SCHEMA_EMIT = StructType(
+    list(OUTPUT_SCHEMA) + [StructField("emit_block", LongType())]
+)
+
+# within-batch event order: (block_num, seq) always; a chain that cannot
+# number lines with a window (fully-streaming sources) appends the split
+# tiebreaker column instead
+SORT_COLS = ("block_num", "seq", "sub_seq")
+
+
+def _fold_events(entity_id, start_block, live, pdf):
+    """The per-id SCD-2 fold core (ref csvprocessor/processor.go:235-307),
+    shared verbatim by the applyInPandasWithState and both TWS twins.
+    Returns (rows, start_block, live) where each row carries emit_block
+    as its last element — callers that expose the 4-column contract strip
+    it."""
+    out: list[tuple] = []
+    cols = [c for c in SORT_COLS if c in pdf.columns]
+    pdf = pdf.sort_values(cols)
+    for row in pdf.itertuples(index=False):
+        op, block = int(row.operation), int(row.block_num)
+        ev_fields = json.loads(row.fields_json) if row.fields_json else {}
+        if op in (OP_CREATE, OP_UPDATE):
+            if live is not None:
+                out.append(
+                    (entity_id, start_block, block, _canon(live), block)
+                )
+                live = {**live, **ev_fields}  # UPDATE overlay
+            else:
+                live = ev_fields
+            start_block = block
+        elif op == OP_DELETE and live is not None:
+            out.append((entity_id, start_block, block, _canon(live), block))
+            live = None
+        elif op == OP_FINAL and live is not None:
+            # FINAL fields are ignored (processor.go:298-306)
+            out.append((entity_id, start_block, None, _canon(live), block))
+            live = None
+    return out, start_block, live
+
 
 def _fold_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -65,26 +109,8 @@ def _fold_group(
 
     out: list[tuple] = []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["block_num", "seq"])
-        for row in pdf.itertuples(index=False):
-            op, block = int(row.operation), int(row.block_num)
-            ev_fields = json.loads(row.fields_json) if row.fields_json else {}
-            if op in (OP_CREATE, OP_UPDATE):
-                if live is not None:
-                    out.append(
-                        (entity_id, start_block, block, _canon(live))
-                    )
-                    live = {**live, **ev_fields}  # UPDATE overlay
-                else:
-                    live = ev_fields
-                start_block = block
-            elif op == OP_DELETE and live is not None:
-                out.append((entity_id, start_block, block, _canon(live)))
-                live = None
-            elif op == OP_FINAL and live is not None:
-                # FINAL fields are ignored (processor.go:298-306)
-                out.append((entity_id, start_block, None, _canon(live)))
-                live = None
+        rows, start_block, live = _fold_events(entity_id, start_block, live, pdf)
+        out.extend(r[:4] for r in rows)
 
     if live is None:
         state.remove()
@@ -158,6 +184,9 @@ class Scd2Processor(StatefulProcessor):
     (``spark.sql.streaming.stateStore.providerClass`` =
     ``ROCKSDB_PROVIDER``) — transformWithState is RocksDB-only."""
 
+    # subclasses flip this to expose emit_block as a 5th output column
+    _with_emit_block = False
+
     def init(self, handle) -> None:
         self._state = handle.getValueState("open_version", STATE_SCHEMA)
 
@@ -171,44 +200,27 @@ class Scd2Processor(StatefulProcessor):
 
         out: list[tuple] = []
         for pdf in rows:
-            pdf = pdf.sort_values(["block_num", "seq"])
-            for row in pdf.itertuples(index=False):
-                op, block = int(row.operation), int(row.block_num)
-                ev_fields = (
-                    json.loads(row.fields_json) if row.fields_json else {}
-                )
-                if op in (OP_CREATE, OP_UPDATE):
-                    if live is not None:
-                        out.append(
-                            (entity_id, start_block, block, _canon(live))
-                        )
-                        live = {**live, **ev_fields}
-                    else:
-                        live = ev_fields
-                    start_block = block
-                elif op == OP_DELETE and live is not None:
-                    out.append((entity_id, start_block, block, _canon(live)))
-                    live = None
-                elif op == OP_FINAL and live is not None:
-                    # FINAL fields are ignored (processor.go:298-306);
-                    # the open row emits and the key's state evicts
-                    out.append((entity_id, start_block, None, _canon(live)))
-                    live = None
+            emitted, start_block, live = _fold_events(
+                entity_id, start_block, live, pdf
+            )
+            out.extend(
+                emitted if self._with_emit_block else (r[:4] for r in emitted)
+            )
 
         if live is None:
             self._state.clear()
         else:
             self._state.update((start_block, _canon(live)))
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "id",
-                    "block_range_start",
-                    "block_range_end",
-                    "fields_json",
-                ],
-            )
+            cols = [
+                "id",
+                "block_range_start",
+                "block_range_end",
+                "fields_json",
+            ]
+            if self._with_emit_block:
+                cols.append("emit_block")
+            yield pd.DataFrame(out, columns=cols)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         return iter(())
@@ -225,6 +237,28 @@ def stateful_versions_tws(changes: DataFrame) -> DataFrame:
     return changes.groupBy("id").transformWithStateInPandas(
         Scd2Processor(),
         outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+class Scd2EmitProcessor(Scd2Processor):
+    """:class:`Scd2Processor` with ``emit_block`` exposed (OUTPUT_SCHEMA_
+    EMIT) — the form the streaming PRODUCTION path (run.py) consumes:
+    bundle routing needs the block whose processing emitted each row,
+    exactly scd2_versions' emit_block."""
+
+    _with_emit_block = True
+
+
+def stateful_versions_tws_emit(changes: DataFrame) -> DataFrame:
+    """:func:`stateful_versions_tws` with the 5-column emit_block output
+    contract (see :class:`Scd2EmitProcessor`).  Accepts an optional
+    ``sub_seq`` tiebreaker column for chains that cannot window a line
+    number streaming-side (order: block_num, seq, sub_seq)."""
+    return changes.groupBy("id").transformWithStateInPandas(
+        Scd2EmitProcessor(),
+        outputStructType=OUTPUT_SCHEMA_EMIT,
         outputMode="append",
         timeMode="none",
     )

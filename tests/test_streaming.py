@@ -36,22 +36,33 @@ def fixture_dirs(tmp_path):
     return str(src), str(tmp_path)
 
 
-def _run_both(spark, src, base, entity, schema_file, stop_block):
+def _engines():
+    """Both state engines when TWS can run here, else replay only."""
+    from substreams_sink_graph_load_spark.streaming.stateful import (
+        tws_available,
+    )
+
+    return ["replay", "tws"] if tws_available() else ["replay"]
+
+
+def _run_both(spark, src, base, entity, schema_file, stop_block,
+              stateful="auto"):
     batch_dest = os.path.join(base, "batch_csv")
     stream_dest = os.path.join(base, "stream_csv")
     tocsv(spark, src, batch_dest, entity, schema_file, stop_block=stop_block, bundle_size=1000)
     files = run_stream(
         spark, src, stream_dest, entity, schema_file,
-        stop_block=stop_block, bundle_size=1000,
+        stop_block=stop_block, bundle_size=1000, stateful=stateful,
     )
     return batch_dest, stream_dest, files
 
 
-def test_stream_equals_batch_mutable(spark, fixture_dirs):
+@pytest.mark.parametrize("engine", _engines())
+def test_stream_equals_batch_mutable(spark, fixture_dirs, engine):
     src, base = fixture_dirs
     schema_file = os.path.join(base, "schema.graphql")
     batch_dest, stream_dest, files = _run_both(
-        spark, src, base, "account", schema_file, 3000
+        spark, src, base, "account", schema_file, 3000, stateful=engine
     )
     names = [os.path.basename(f) for f in files]
     assert names == [
@@ -78,20 +89,24 @@ def test_stream_equals_batch_immutable(spark, fixture_dirs):
         assert read_csv(stream_dest, "transfer", n) == read_csv(batch_dest, "transfer", n)
 
 
-def test_stream_stop_block(spark, fixture_dirs):
+@pytest.mark.parametrize("engine", _engines())
+def test_stream_stop_block(spark, fixture_dirs, engine):
     src, base = fixture_dirs
     schema_file = os.path.join(base, "schema.graphql")
     _, stream_dest, files = _run_both(
-        spark, src, base, "account", schema_file, 2500
+        spark, src, base, "account", schema_file, 2500, stateful=engine
     )
     assert os.path.basename(files[-1]) == "0000002000-0000002499.csv"
     assert 'a2,"[2200,)"' in read_csv(stream_dest, "account", "0000002000-0000002499.csv")
 
 
-def test_stream_resume_across_runs(spark, fixture_dirs):
+@pytest.mark.parametrize("engine", _engines())
+def test_stream_resume_across_runs(spark, fixture_dirs, engine):
     """T5 resume: stop after the first bundle, restart with the same
     workdir/checkpoint, deliver the rest — output must equal the batch
-    pipeline over the full log (state + file cursor both survive)."""
+    pipeline over the full log (state + file cursor both survive; on the
+    TWS engine the state lives in the RocksDB store under the checkpoint
+    and the open versions are read back through the statestore reader)."""
     import shutil
 
     src, base = fixture_dirs
@@ -105,14 +120,16 @@ def test_stream_resume_across_runs(spark, fixture_dirs):
     stream_dest = os.path.join(base, "resume_csv")
     workdir = os.path.join(base, "resume_work")
     run_stream(spark, partial_src, stream_dest, "account", schema_file,
-               stop_block=3000, bundle_size=1000, workdir=workdir)
+               stop_block=3000, bundle_size=1000, workdir=workdir,
+               stateful=engine)
     # phase 2: the remaining bundles arrive; same checkpoint + state
     for n in names[1:]:
         shutil.copy(os.path.join(src, "account", n), os.path.join(d, n))
         t = time.time() + 10
         os.utime(os.path.join(d, n), (t, t))
     run_stream(spark, partial_src, stream_dest, "account", schema_file,
-               stop_block=3000, bundle_size=1000, workdir=workdir)
+               stop_block=3000, bundle_size=1000, workdir=workdir,
+               stateful=engine)
     batch_dest = os.path.join(base, "resume_batch")
     tocsv(spark, src, batch_dest, "account", schema_file,
           stop_block=3000, bundle_size=1000)

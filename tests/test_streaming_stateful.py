@@ -247,7 +247,8 @@ def test_stateful_fuzz_matches_reference_fold(spark, tmp_path):
         for seq in range(n):
             block += rnd.randint(0, 3)
             id_ = rnd.choice("abc")
-            op = rnd.choice([2, 3, 4, 2]) if id_ in live else rnd.choice([1, 2])
+            # create-on-live (1) included: all tolerant folds must agree
+            op = rnd.choice([2, 3, 4, 2, 1]) if id_ in live else rnd.choice([1, 2])
             (live.discard if op in (3, 4) else live.add)(id_)
             fields = {f: rnd.randint(0, 9) for f in ("f1", "f2") if rnd.random() > 0.4}
             if op in (1, 2) and not fields:
