@@ -285,8 +285,13 @@ def main() -> None:
         },
     }
 
-    # sf1 scale-proof section: single pass over SF1_SUBSET when the
-    # generated tables exist (set SPARK_GRAFT_SF1=0 to skip).
+    # sf1 scale-proof section: single pass over the FULL light set (every
+    # registry query whose ORACLE isn't sf1-bound — the Spark side is
+    # always fine there) plus the legacy scale-sensitive subset, when the
+    # generated tables exist (set SPARK_GRAFT_SF1=0 to skip).  The r8
+    # subset caught the one superlinear query only because it happened to
+    # be in it; full coverage with a ratio column makes the sweep the
+    # detector, not luck (r8 verdict item 6).
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(
@@ -297,26 +302,63 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
         and os.path.isdir(sf1_dir)
     ):
+        from substreams_sink_graph_load_spark.plans.queries import (
+            ORACLE_HEAVY,
+        )
+
+        sf1_set = list(
+            dict.fromkeys(
+                SF1_SUBSET + [q for q in QUERIES if q not in ORACLE_HEAVY]
+            )
+        )
         sf1_timings: dict[str, float] = {}
-        for name in SF1_SUBSET:
+        for name in sf1_set:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # loud in the detail record
+                sf1_timings[name] = -1.0
+                print(f"# sf1 {name}: FAIL {exc}", file=sys.stderr)
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
             spark.catalog.clearCache()
-        # scale ratio vs the same queries' min at the headline sf: at a
-        # 10x data step, a scale-linear operator lands near 10 (modulo
-        # fixed overheads amortizing — most land well under)
-        common = [q for q in SF1_SUBSET if q in timings and timings[q] > 0]
+        # sf0.1 baseline for the ratio column: headline queries use their
+        # min-of-N; the rest get one single-pass measurement (marked, so
+        # a reader knows the denominator's confidence)
+        single_pass_base: dict[str, float] = {}
+        for name in sf1_set:
+            if name in timings or sf1_timings.get(name, -1) < 0:
+                continue
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                single_pass_base[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+        base = {**single_pass_base, **timings}
+        # scale ratio vs the same queries' sf0.1 time: at a 10x data
+        # step, a scale-linear operator lands near 10 (modulo fixed
+        # overheads amortizing — most land well under); anything past 12
+        # is flagged for the quiet-host re-time.
+        ratios = {
+            q: round(sf1_timings[q] / base[q], 1)
+            for q in sf1_set
+            if q in base and base[q] > 0 and sf1_timings.get(q, -1) >= 0
+        }
         out["sf1"] = {
             "dir": sf1_dir,
             "sf": 1.0,
             "queries": sf1_timings,
-            "total": round(sum(sf1_timings.values()), 3),
-            "scale_ratio": {
-                q: round(sf1_timings[q] / timings[q], 1) for q in common
+            "total": round(sum(t for t in sf1_timings.values() if t > 0), 3),
+            "scale_ratio": ratios,
+            "baseline_single_pass": sorted(single_pass_base),
+            "flagged_over_12x": {
+                q: r for q, r in ratios.items() if r > 12
             },
         }
 

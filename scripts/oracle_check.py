@@ -70,25 +70,11 @@ def main(names: list[str]) -> int:
     return 1 if failed else 0
 
 
-# DuckDB-bound text-LSH oracle replays, cheapest-first (sf10 notes above)
-HEAVY = [
-    "quality_lm_bigram",
-    "dedup_substring_remove",
-    "dedup_cross_source",
-    "dedup_paragraphs",
-    "contamination_probe",
-    "dedup_substring_stats",
-    "dedup_minhash",
-    "dedup_minhash_pairs",
-    "minhash_precision_eval",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # quadratic cross-algorithm oracle: fine through sf1, use
-    # scripts/simhash_pairs_replay.py at sf10
-    "simhash_hamming_pairs",
-    # embeds the same quadratic SimHash CTE as its truth side
-    "minhash_recall_eval",
-]
+# DuckDB-bound text-LSH oracle replays, cheapest-first (sf10 notes above);
+# the canonical list lives with the registry so bench.py shares it
+from substreams_sink_graph_load_spark.plans.queries import (  # noqa: E402
+    ORACLE_HEAVY as HEAVY,
+)
 
 
 def _select(argv: list[str]) -> list[str]:

@@ -7734,6 +7734,31 @@ def sequence_pack_chunks(spark, sf_dir):
 # and hid five broken queries from the driver — never again.
 
 
+# DuckDB-bound text-LSH ORACLE replays (the heavy set): their Spark side
+# is fine at every SF, but the quadratic/recursive oracle formulations
+# dominate sweep wall-clock at sf1 and need replay scripts at sf10
+# (scripts/oracle_check.py --heavy / --light split; bench.py's sf1
+# section covers everything NOT in this list plus the legacy subset).
+ORACLE_HEAVY = [
+    "quality_lm_bigram",
+    "dedup_substring_remove",
+    "dedup_cross_source",
+    "dedup_paragraphs",
+    "contamination_probe",
+    "dedup_substring_stats",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "minhash_precision_eval",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # quadratic cross-algorithm oracle: fine through sf1, use
+    # scripts/simhash_pairs_replay.py at sf10
+    "simhash_hamming_pairs",
+    # embeds the same quadratic SimHash CTE as its truth side
+    "minhash_recall_eval",
+]
+
+
 # Queries whose SEMANTICS changed in round N: driver rows from earlier
 # rounds witnessed the OLD definition, so they are non-evidence and the
 # query must sort into the never-verified front of the budget until a
