@@ -79,6 +79,12 @@ def main() -> None:
     print(f"# building bucketed layout for {sf_dir} ({buckets} buckets)")
     t0 = time.perf_counter()
     spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    # a crashed prior run can leave the managed-table location behind
+    # after the metastore entry is gone — saveAsTable then refuses with
+    # LOCATION_ALREADY_EXISTS
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
     registry_layout(spark, sf_dir, DB, loc, buckets=buckets)
     print(f"# layout built in {time.perf_counter() - t0:.1f}s")
 
