@@ -136,3 +136,61 @@ def test_stream_resume_across_runs(spark, fixture_dirs, engine):
     for n in ["0000000000-0000000999.csv", "0000001000-0000001999.csv",
               "0000002000-0000002999.csv"]:
         assert read_csv(stream_dest, "account", n) == read_csv(batch_dest, "account", n)
+
+
+def test_parse_change_lines_stream_order_key_recovers_line_order(spark, tmp_path):
+    """The window-free (block_num, seq, sub_seq) key of
+    parse_change_lines_stream must order same-block events exactly like
+    parse_change_lines' dense per-file line number — including when one
+    file is read as SEVERAL scan splits (seq = split byte offset,
+    sub_seq = in-partition row index), the case the TWS ordering
+    contract at 100 TB depends on."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_graph_load_spark.sources.jsonl import (
+        parse_change_lines,
+        parse_change_lines_stream,
+    )
+
+    p = tmp_path / "0000000000-0000000999.jsonl"
+    n = 400
+    with open(p, "w") as fh:
+        for i in range(n):
+            fh.write(_json.dumps({
+                "entity_change": {"entity": "acc", "id": f"e{i}",
+                                  "operation": 2, "fields": []},
+                # many events share a block: line order is the tiebreaker
+                "block_num": i // 25,
+            }) + "\n")
+
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force the single file into many splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        raw = (
+            spark.read.format("text").load(str(p))
+            .select(
+                "value",
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.file_block_start").alias("_bstart"),
+            )
+        )
+        want = [
+            r["id"]
+            for r in parse_change_lines(raw)
+            .orderBy("block_num", "_line_no")
+            .collect()
+        ]
+        got = [
+            r["id"]
+            for r in parse_change_lines_stream(raw)
+            .orderBy("block_num", "seq", "sub_seq")
+            .collect()
+        ]
+        n_splits = raw.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+    assert n_splits > 3  # the multi-split shape actually materialized
+    assert got == want == [f"e{i}" for i in range(n)]
