@@ -7852,9 +7852,9 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     0.311, "cluster_kmeans_fit": 2.065, "contamination_probe": 0.391,
     "curate_manifest": 1.216, "curriculum_order": 0.241,
     "dataset_card_stats": 0.227, "decimal_arithmetic": 0.279,
-    "dedup_clusters": 1.424, "dedup_cross_source": 0.29,
+    "dedup_clusters": 1.692, "dedup_cross_source": 0.29,
     "dedup_embedding": 0.8, "dedup_exact": 0.146, "dedup_minhash": 0.788,
-    "dedup_minhash_pairs": 0.845, "dedup_ngram_jaccard": 0.724,
+    "dedup_minhash_pairs": 1.442, "dedup_ngram_jaccard": 0.724,
     "dedup_paragraphs": 0.425, "dedup_semantic_clusters": 1.344,
     "dedup_simhash": 0.6, "dedup_substring_remove": 0.658,
     "dedup_substring_stats": 0.663, "doc_fingerprint": 0.16,
@@ -7891,7 +7891,7 @@ _COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
     "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
     "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
     "simhash_hamming_pairs": 0.678, "heavy_hitters_phrases": 1.245,
-    "join_salted_skew": 1.232, "minhash_recall_eval": 3.654,
+    "join_salted_skew": 1.232, "minhash_recall_eval": 2.603,
     "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
     "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
     "multimodal_avi_frame_sample": 0.99, "multimodal_wav_windows": 0.432,
