@@ -13,8 +13,10 @@ pinned by tests/test_streaming.py); the interesting number is events/s
 as the trigger count grows — the replay engine's per-trigger cost grows
 with history, the TWS engine's does not.
 
-Usage: python scripts/throughput_stream.py [sf_dir] [files_per_trigger]
-    defaults: /root/testdata/sf0.01, 5
+Usage: python scripts/throughput_stream.py [sf_dir] [files_per_trigger] [state_partitions]
+    defaults: /root/testdata/sf0.01, 5, engine default
+    state_partitions sizes the TWS state operator (RocksDB instances /
+    Python state workers maintained per trigger) — the local-mode lever.
 """
 
 import hashlib
@@ -47,6 +49,7 @@ def _dir_digest(dest: str, entity: str) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     per_trigger = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    state_parts = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="stream-throughput", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,6 +92,7 @@ def main() -> None:
                 bundle_size=1000,
                 max_files_per_trigger=per_trigger,
                 stateful=engine,
+                state_partitions=state_parts if engine == "tws" else None,
             )
             dt = time.monotonic() - t0
             results[engine] = {

@@ -178,6 +178,7 @@ def _tws_versions(
     workdir: str,
     checkpoint: str,
     stop_block: int,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The transformWithStateInPandas production path: the per-id SCD-2
     fold runs INCREMENTALLY in Spark's RocksDB state store — O(batch) per
@@ -218,9 +219,18 @@ def _tws_versions(
     )
 
     emitted_dir = os.path.join(workdir, "emitted_tws")
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
+    # the stateful operator's partition count is captured at the FIRST
+    # query start and frozen into the checkpoint — it is the number of
+    # RocksDB instances maintained (and Python state workers launched)
+    # EVERY trigger, so it is the TWS path's main local-overhead lever:
+    # ~cores for a single-node run, thousands for the 100 TB deployment
+    # (set it on the first run; later runs inherit the checkpoint's)
+    overrides = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    prior = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         query = (
             stateful_versions_tws_emit(changes)
@@ -233,10 +243,11 @@ def _tws_versions(
         )
         query.awaitTermination()
     finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     closed = spark.read.schema(OUTPUT_SCHEMA_EMIT).parquet(emitted_dir)
     try:
@@ -303,6 +314,7 @@ def run_stream(
     workdir: str | None = None,
     max_files_per_trigger: int = 1,
     stateful: str = "auto",
+    state_partitions: int | None = None,
 ) -> list[str]:
     """Streaming equivalent of :func:`..tocsv.tocsv`: consume the entity's
     JSONL directory as a file stream (availableNow), maintain incremental
@@ -322,7 +334,11 @@ def run_stream(
 
     Immutable entities carry no state and always use the direct path.
     Both engines produce byte-identical bundled CSV (pinned by
-    tests/test_streaming.py).
+    tests/test_streaming.py).  ``state_partitions`` sets the stateful
+    operator's partition count on the FIRST run against a checkpoint
+    (frozen thereafter): the per-trigger TWS overhead scales with it in
+    local mode, so size it near the core count locally and in the
+    thousands on a real cluster.
 
     On a live deployment the trigger would be ``processingTime`` and the
     source a custom DataSourceStreamReader over gRPC (SURVEY §2.1 S1); the
@@ -356,7 +372,8 @@ def run_stream(
 
     if use_tws:
         versions = _tws_versions(
-            spark, stream, desc, workdir, checkpoint, stop_block
+            spark, stream, desc, workdir, checkpoint, stop_block,
+            state_partitions=state_partitions,
         )
     else:
         sink = StreamingSink(spark, desc, workdir, stop_block)
