@@ -25,26 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entry_mod
-from substreams_sink_graph_load_spark.plans.queries import _SIG_CTE_SQL
+from substreams_sink_graph_load_spark.plans.queries import _minhash_pairs_sql
 from substreams_sink_graph_load_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-PAIRS_SQL = f"""
-WITH {_SIG_CTE_SQL},
-bands AS (
-  SELECT doc_id, b.band_idx,
-         md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_key
-  FROM sig, (SELECT unnest(range(4)) AS band_idx) b
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b FROM pairs
-"""
+
+def _pairs_sql(num_perm: int, bands: int) -> str:
+    """Candidate edges from the registry's parameterized band SQL.
+    dedup_clusters consumes the SHIPPED pairs tier (32/4 since r9);
+    split_leakage_safe deliberately stays on the looser 16/4 graph —
+    for leakage safety the HIGHER-recall banding is the conservative
+    choice (more near-dups grouped into one split)."""
+    return (
+        f"WITH cand AS ({_minhash_pairs_sql(num_perm, bands)}) "
+        "SELECT DISTINCT doc_a, doc_b FROM cand"
+    )
 
 
 def union_find_min_label(edges):
@@ -79,11 +75,16 @@ def main() -> int:
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
     t0 = time.time()
-    edges = con.execute(PAIRS_SQL).fetchall()
+    edges = con.execute(_pairs_sql(32, 4)).fetchall()
     t_pairs = time.time() - t0
     labels = union_find_min_label(edges)
-    print(f"duckdb pairs: {len(edges)} edges in {t_pairs:.1f}s; "
+    print(f"duckdb 32/4 pairs: {len(edges)} edges in {t_pairs:.1f}s; "
           f"{len(labels)} nodes, {len(set(labels.values()))} components")
+    t0 = time.time()
+    edges16 = con.execute(_pairs_sql(16, 4)).fetchall()
+    labels16 = union_find_min_label(edges16)
+    print(f"duckdb 16/4 pairs: {len(edges16)} edges in "
+          f"{time.time() - t0:.1f}s (split_leakage_safe graph)")
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     t0 = time.time()
@@ -115,7 +116,10 @@ def main() -> int:
         return "train" if b < 80 else ("valid" if b < 90 else "test")
 
     want = {
-        int(i): (int(labels.get(int(i), int(i))), split_of(labels.get(int(i), int(i))))
+        int(i): (
+            int(labels16.get(int(i), int(i))),
+            split_of(labels16.get(int(i), int(i))),
+        )
         for i in all_ids
     }
     t0 = time.time()

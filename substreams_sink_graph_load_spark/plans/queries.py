@@ -6123,6 +6123,12 @@ def split_leakage_safe(spark, sf_dir):
     boundary — the eval-contamination failure mode a doc-hash split
     (split_train_eval) cannot prevent.  Singletons key on their own id.
 
+    DELIBERATELY stays on the 16/4 candidate graph when the shipped
+    dedup pairs tier moved to 32/4 (r9): for leakage safety the
+    HIGHER-RECALL banding is the conservative choice — a looser graph
+    groups more borderline near-dups onto one side of the split, and
+    false-positive groupings only cost split balance, never leak.
+
     Scale: the cluster map is the adaptive connected-components operator
     over banded-LSH candidate pairs (the dedup_clusters machinery — the
     pair graph is orders of magnitude smaller than the corpus); the
