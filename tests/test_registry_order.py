@@ -63,3 +63,21 @@ def test_stale_before_fresh():
     head = {n for n in names if n not in newest} | set(Q._CORE)
     tail_rounds = [newest.get(n, 0) for n in names if n not in head]
     assert tail_rounds == sorted(tail_rounds)
+
+
+def test_rewitness_voids_pre_change_rows():
+    """A query listed in _REWITNESS with only rows OLDER than its change
+    round must sort into the never-verified front of the budget: those
+    rows witnessed a different query definition (r9: the MinHash pairs
+    tier's move to 32/4)."""
+    newest = Q._driver_rounds(oracled=set(Q.ORACLES))
+    names = list(Q.QUERIES)
+    for name, min_round in Q._REWITNESS.items():
+        assert name in Q.QUERIES
+        recorded = newest.get(name)
+        if recorded is None:
+            # voided: it must lead the export, inside the driver budget
+            assert names.index(name) < BUDGET, name
+        else:
+            # a fresh row exists — the void must NOT apply
+            assert recorded >= min_round, (name, recorded)
