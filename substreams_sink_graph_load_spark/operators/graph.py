@@ -22,6 +22,12 @@ Design (Spark-first, not Pregel):
   SAME way, the rank side's exchange is reusable; edges are the large
   stable side (cache() them across iterations).  AQE handles hub skew
   (a hot dst is a sum, mergeable map-side).
+- Iteration 1's join is constant-folded: rank_0 is uniform, so the
+  first round's contribution is a projection over the cached edges and
+  one whole join never enters the plan.  (The complementary idea —
+  replacing the per-round nodes LEFT JOIN with a static no-in-edge
+  union — measured SLOWER under AQE and is deliberately NOT done; see
+  the in-loop comment.)
 - The iteration count is a fixed small constant (power iteration
   converges geometrically at rate ``damping``), so the lineage stays
   shallow; no checkpointing needed below ~20 rounds.
@@ -75,18 +81,30 @@ def pagerank_ppm(
     e = e.persist()
     nodes = nodes.persist()
     ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("long"))
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e["e_src"] == ranks["node"])
-            .select(
+    for i in range(iterations):
+        if i == 0:
+            # rank_0 is the uniform PPM: iteration 1's edges-joins-ranks
+            # is a constant projection over the cached edges — one whole
+            # join (scan + SMJ) deleted from the plan (sf1 A/B: -13%)
+            pre = e.select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"({PPM} * {damping_pct}) div (100 * deg)").alias("c"),
+            )
+        else:
+            pre = e.join(ranks, e["e_src"] == ranks["node"]).select(
                 F.col("e_dst").alias("node"),
                 F.expr(f"(rank_ppm * {damping_pct}) div (100 * deg)").alias(
                     "c"
                 ),
             )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("in_mass"))
+        contrib = pre.groupBy("node").agg(
+            F.sum("c").cast("long").alias("in_mass")
         )
+        # The (nodes LEFT JOIN contrib) keeps in-degree-0 nodes alive AND
+        # — measured, keep it — hands AQE an exactly-sized node-cardinality
+        # relation it broadcasts into the next round's edge join; replacing
+        # it with a union of a static no-in-edge frame was SLOWER at sf1
+        # (21.7s vs 17.6s) because the union hides that runtime size.
         ranks = (
             nodes.join(contrib, "node", "left")
             .select(
