@@ -37,51 +37,111 @@ def minhash_sketch(
 
     Output: (id, sig array<long>, band_0..band_{bands-1} string md5 keys).
 
-    Physical shape: explode shingles -> ONE md5 per shingle -> hash-agg with
-    ``num_perm`` plain ``min`` aggregates -> scalar band keys.  The obvious
-    array-expression formulation (array_min over transform per permutation)
-    is 25x slower: higher-order-function lambdas run interpreted and the
-    md5 subtree is re-evaluated per permutation (no CSE across lambdas).
-    Here everything after the explode is whole-stage codegen, and the
-    group-by doubles as map-side partial aggregation.
+    Physical shape (r9 rewrite, the simhash_sketch pattern): ONE
+    Arrow-batched ``mapInArrow`` pass over (id, text) — per doc, shingle,
+    hash each DISTINCT gram once through a per-task memo (boilerplate-
+    heavy corpora repeat grams across docs, so ~N occurrence md5s
+    collapse toward ~V distinct-gram md5s), then all ``num_perm``
+    universal-hash minima fall out of one numpy (n_grams × num_perm)
+    modular matmul.  ZERO shuffle, zero explode.  Earlier formulations,
+    both measured: explode -> md5 per occurrence -> hash-agg with
+    ``num_perm`` min aggregates (the r8 shape this replaces) shipped
+    every gram occurrence through the lead-window exchange; the
+    array-expression variant (array_min over transform per permutation)
+    was 25x slower still (interpreted lambdas, no CSE across them); a
+    hash-distinct-vocab + broadcast-join variant lost to the explode
+    shape outright (4.8s vs 1.4s at sf0.1).
+
+    Oracle parity (bit-for-bit, driver hash-checked): tokenization is
+    Java ``split(text, " ")`` == Python ``str.split(" ")`` (empty tokens
+    kept); a doc with < k words contributes its whole text as its one
+    gram (word_shingles fallback); NULL text yields no row (the explode
+    dropped it — enforced by a JVM-side filter); ``h60`` is the same
+    md5-prefix bytes in hashlib; band keys are md5 over the identical
+    comma-joined decimal rendering both engines produce.
     """
+    import pyarrow as pa
+
     from ..functions.hashing import perm_params
-    from ..functions.text import exploded_shingles
 
     rows = num_perm // bands
-    # shingle via posexplode + window lead, not an array lambda: higher-order
-    # functions evaluate interpreted, this stays codegen.  Duplicates are fine
-    # (min over a multiset == min over its set); single-word docs fall back to
-    # the whole text as their one shingle, matching word_shingles().
-    grams = exploded_shingles(df, id_col, text_col, k)
-    # md5 inline per occurrence: a hash-distinct-vocab + broadcast-join
-    # variant (md5 once per distinct shingle) was measured SLOWER here —
-    # the extra materialization + broadcast barrier + lost codegen fusion
-    # outweigh the saved hashes (1.4s vs 4.8s at sf0.1).  Revisit only for
-    # corpora whose shingle strings are long (md5 cost ∝ bytes).
-    h = grams.select(F.col(id_col), (h60(F.col("gram")) % PRIME31).alias("h"))
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % PRIME31).alias(f"m{i}")
-        for i, (a, b) in enumerate(perm_params(num_perm))
-    ]
-    sig_cols = h.groupBy(id_col).agg(*mins)
-    band_exprs = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{i}").cast("string")
-                    for i in range(b * rows, (b + 1) * rows)
+    params = perm_params(num_perm)
+    id_type = dict(df.dtypes)[id_col]
+    band_names = [f"band_{b}" for b in range(bands)]
+
+    def sketch(batches):
+        import hashlib
+
+        import numpy as np
+
+        A = np.array([a for a, _ in params], dtype=np.int64)
+        B = np.array([b for _, b in params], dtype=np.int64)
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % PRIME31
+                )
+                # bound the per-task memo; past the cap keep computing
+                # (correctness never depends on a hit)
+                if len(cache) < 4_000_000:
+                    cache[g] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sigs = np.empty((len(texts), num_perm), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = t.split(" ")
+                if len(toks) < k:
+                    grams: "set[str] | list[str]" = [t]
+                else:
+                    grams = {
+                        " ".join(toks[j : j + k])
+                        for j in range(len(toks) - k + 1)
+                    }
+                hs = np.fromiter(
+                    (h(g) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                # a < 2^31, h < 2^31 => products < 2^62: no int64 wrap
+                sigs[i] = ((hs[:, None] * A + B) % PRIME31).min(axis=0)
+            sig_strs = sigs.astype("U10")
+            bands_out = [
+                pa.array(
+                    [
+                        hashlib.md5(
+                            ",".join(row).encode("ascii")
+                        ).hexdigest()
+                        for row in sig_strs[:, b * rows : (b + 1) * rows]
+                    ],
+                    type=pa.string(),
+                )
+                for b in range(bands)
+            ]
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(list(sigs), type=pa.list_(pa.int64())),
+                    *bands_out,
                 ],
+                names=[id_col, "sig", *band_names],
             )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    return sig_cols.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
-        *band_exprs,
+
+    src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    # inherit the scan's partitioning; fan out only when the small-SF
+    # scan is narrower than the cluster (see simhash_sketch)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    schema = ", ".join(
+        [f"{id_col} {id_type}", "sig array<long>"]
+        + [f"{b} string" for b in band_names]
     )
+    return src.mapInArrow(sketch, schema)
 
 
 def minhash_candidate_pairs(
