@@ -307,6 +307,94 @@ def simhash_sketch(
     return src.mapInArrow(fold, f"{id_col} {id_type}, simhash long")
 
 
+def gram_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    carry_cols: tuple[str, ...] = (),
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-doc DISTINCT word k-gram sets, zero-shuffle:
+    ``(id, *carry_cols, grams array<string|long>, n_grams)``.
+
+    One Arrow-batched ``mapInArrow`` pass (the minhash_sketch r9 shape):
+    shingling happens doc-locally in Python, so no gram OCCURRENCE ever
+    crosses an exchange — the explode -> lead-window -> collect_set
+    formulation this replaces shuffled every word of the corpus to
+    group a doc's grams back together.  Semantics match
+    ``word_shingles``: tokens are ``split(text, " ")`` with empty tokens
+    kept, a doc with < k words contributes its whole text as its one
+    gram, NULL text yields no row.  Array order is partition-local (use
+    as a SET — array_intersect/size — never positionally).
+
+    ``hashed=True`` emits each gram as its 60-bit md5-prefix int64
+    (``h60``, memoized per task) instead of the string: a downstream
+    pairwise intersection compares 8-byte longs instead of hashing and
+    comparing variable-length strings, and the pair relation stops
+    carrying the text entirely.  A 60-bit collision would merge two
+    grams — at ~2^30 distinct grams the expected collision count is
+    ~2^-1 per corpus — and because the DuckDB oracle applies the SAME
+    md5-prefix transform, both engines merge identically: cross-engine
+    hashes stay bit-equal unconditionally.
+    """
+    import pyarrow as pa
+
+    dtypes = dict(df.dtypes)
+    cols = [id_col, *carry_cols]
+
+    def build(batches):
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                if len(cache) < 4_000_000:
+                    cache[g] = v
+            return v
+
+        for batch in batches:
+            texts = batch.column(len(cols)).to_pylist()
+            grams_out, sizes = [], []
+            for t in texts:
+                toks = t.split(" ")
+                if len(toks) < k:
+                    g: "set[str]" = {t}
+                else:
+                    g = {
+                        " ".join(toks[j : j + k])
+                        for j in range(len(toks) - k + 1)
+                    }
+                out = list({h(x) for x in g}) if hashed else list(g)
+                grams_out.append(out)
+                sizes.append(len(out))
+            yield pa.record_batch(
+                [
+                    *[batch.column(i) for i in range(len(cols))],
+                    pa.array(
+                        grams_out,
+                        type=pa.list_(pa.int64() if hashed else pa.string()),
+                    ),
+                    pa.array(sizes, type=pa.int32()),
+                ],
+                names=[*cols, "grams", "n_grams"],
+            )
+
+    src = df.select(*cols, text_col).where(F.col(text_col).isNotNull())
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    elem = "long" if hashed else "string"
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in cols]
+        + [f"grams array<{elem}>", "n_grams int"]
+    )
+    return src.mapInArrow(build, schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -349,18 +437,16 @@ def ngram_jaccard_pairs(
             "length_band requires min_jaccard_ppm >= 100000: digit-band "
             "adjacency only covers gram-count ratios <= 10"
         )
-    from ..functions.text import exploded_shingles
-
-    # gram sets built via posexplode + lead + collect_set (codegen +
-    # hash-agg) rather than the word_shingles array lambda: higher-order
-    # functions are CodegenFallback and this column is evaluated on both
-    # join sides — measured 19.9s vs 4.0s for one build at sf1 (50k
-    # docs).  The groupBy reuses the lead window's (id, buckets)
-    # exchange, so it costs one shuffle total.
-    ex = exploded_shingles(df, id_col, text_col, k, carry_cols=bucket_cols)
-    g = ex.groupBy(id_col, *bucket_cols).agg(
-        F.collect_set("gram").alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
+    # gram sets via the zero-shuffle mapInArrow builder (r9; see
+    # gram_sets), HASHED: the pairwise intersection below is the
+    # dominant stage (622k in-bucket pairs at sf0.1), and intersecting
+    # int64s beats hashing/comparing variable-length strings per pair —
+    # the oracle applies the identical md5-prefix transform, so results
+    # stay bit-equal.  History of this stage, all measured: the
+    # word_shingles array lambda evaluated on both join sides was 19.9s
+    # vs 4.0s for the explode + lead + collect_set shape at sf1;
+    # gram_sets removes that shape's full gram-occurrence exchange too.
+    g = gram_sets(df, id_col, text_col, k, carry_cols=bucket_cols, hashed=True)
     if length_band:
         g = g.withColumn(
             "_band", F.length(F.size("grams").cast("string")).cast("long")

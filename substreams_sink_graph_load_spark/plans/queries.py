@@ -1610,7 +1610,11 @@ def dedup_simhash(spark, sf_dir):
 @_q(
     "dedup_ngram_jaccard",
     f"""
-    WITH g0 AS {_GRAMS2_SQL},
+    WITH gs AS {_GRAMS2_SQL},
+    g0 AS (SELECT doc_id, source,
+                  list_distinct(list_transform(grams,
+                      g -> cast(('0x' || substr(md5(g), 1, 15)) AS bigint))) AS grams
+           FROM gs),
     gb AS (SELECT *, length(cast(len(grams) AS varchar)) AS band FROM g0),
     g AS (SELECT * FROM (
             SELECT *, count(*) OVER (PARTITION BY source, band) AS _n
