@@ -3398,7 +3398,7 @@ def contamination_probe(spark, sf_dir):
 @_q(
     "dedup_substring_stats",
     """
-    WITH s AS (
+    WITH s0 AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(ws) < 8 THEN [text]
                   ELSE list_transform(range(1, len(ws) - 6),
@@ -3407,6 +3407,14 @@ def contamination_probe(spark, sf_dir):
                          || ' ' || ws[i+6] || ' ' || ws[i+7]) END) AS sh
       FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
             FROM documents)),
+    -- the engine intersects 60-bit md5-prefix gram hashes (gram_sets
+    -- hashed mode); the identical transform here keeps both engines
+    -- bit-equal even under a (vanishingly rare) collision
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(sh,
+                     g -> cast(('0x' || substr(md5(g), 1, 15)) AS bigint)))
+                   AS sh
+          FROM s0),
     ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
     dup AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1)
     SELECT s.doc_id,
@@ -3438,13 +3446,18 @@ def dedup_substring_stats(spark, sf_dir):
     are its point).  The doc-level rollup shuffles only (doc_id, count)
     pairs.
     """
-    from ..functions.text import exploded_shingles
+    from ..operators.dedup import gram_sets
 
     d = _t(spark, sf_dir, "documents")
-    # grams build via posexplode + lead (codegen) — the array-lambda
-    # word_shingles formulation measured 38s vs ~2s at sf0.1 here
-    # (interpreted lambdas, no CSE, and the gram set built twice)
-    ex = exploded_shingles(d, "doc_id", "text", 8).distinct()
+    # per-doc distinct gram HASHES built doc-locally (gram_sets r9): the
+    # posexplode+lead shape this replaces shuffled every word occurrence
+    # through the lead window and every 8-word gram STRING through the
+    # .distinct() — now only 16-byte (doc_id, hash) rows ever shuffle.
+    # (History: the array-lambda word_shingles formulation measured 38s
+    # vs ~2s at sf0.1 before that — interpreted lambdas, no CSE.)
+    ex = gram_sets(d, "doc_id", "text", 8, hashed=True).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
     # doc-frequency: partial agg collapses hot grams map-side; only
     # grams seen in >1 doc survive to the join build side (most grams
     # are unique, so the build input shrinks by ~the dup rate)
@@ -3495,20 +3508,54 @@ def quality_repetition(spark, sf_dir):
     dedup_substring_stats.
 
     Integer counts only — consumers divide, so no float ever crosses the
-    hash.  Scale shape: two partial-before-shuffle aggregations keyed
-    (doc, gram) then (doc) — per-doc keys can't be hotter than the
-    longest single document, no windows, no joins.
+    hash.  Scale shape (r9): the statistic is a pure function of ONE
+    document, so the whole query is a single zero-shuffle ``mapInArrow``
+    pass — per doc, one Counter over its bigrams, three ints out.  The
+    previous two-aggregation shape ((doc, gram) then (doc)) shuffled
+    every bigram occurrence of the corpus to compute a doc-local fact.
+    Exact integer counts, no hashing — the oracle is unchanged.
     """
-    from ..functions.text import exploded_shingles
+    import pyarrow as pa
 
-    ex = exploded_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 2)
-    c = ex.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    return c.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.max("c").cast("long").alias("top_bigram_n"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("dup_bigram_n"),
+    def fold(batches):
+        from collections import Counter
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            tot, top, dup = [], [], []
+            for t in texts:
+                ws = t.split(" ")
+                grams = (
+                    [t]
+                    if len(ws) < 2
+                    else [
+                        f"{ws[j]} {ws[j + 1]}" for j in range(len(ws) - 1)
+                    ]
+                )
+                c = Counter(grams)
+                tot.append(len(grams))
+                top.append(max(c.values()))
+                dup.append(sum(v for v in c.values() if v > 1))
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(tot, type=pa.int64()),
+                    pa.array(top, type=pa.int64()),
+                    pa.array(dup, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bigrams", "top_bigram_n", "dup_bigram_n"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
+    return d.mapInArrow(
+        fold,
+        "doc_id long, n_bigrams long, top_bigram_n long, dup_bigram_n long",
     )
 
 
@@ -5021,12 +5068,16 @@ def curate_manifest(spark, sf_dir):
     w AS (SELECT doc_id, unnest(ws) AS w,
                  unnest(range(1, len(ws) + 1)) AS pos
           FROM t),
+    -- 60-bit md5-prefix gram hashes, matching the engine's positional
+    -- builder bit-for-bit (a collision merges the same grams in both)
     g AS (SELECT doc_id,
                  unnest(range(1, len(ws) - 6)) AS pos,
                  unnest(list_transform(range(1, len(ws) - 6),
-                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        i -> cast(('0x' || substr(md5(
+                             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
                           || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
-                          || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gram
+                          || ' ' || ws[i+6] || ' ' || ws[i+7]), 1, 15))
+                          AS bigint))) AS gram
           FROM t WHERE len(ws) >= 8),
     dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
     st AS (SELECT doc_id, pos, 1 AS isd FROM g JOIN dup USING (gram)),
@@ -5057,28 +5108,69 @@ def dedup_substring_remove(spark, sf_dir):
     n_removed, md5-of-cleaned-text) per doc so the driver hash pins the
     exact reconstruction byte-for-byte.
 
-    Scale shape: grams build via posexplode + lead in a doc-keyed window
-    (bounded by doc length); the duplicated-gram set is a
-    partial-before-shuffle ``groupBy(gram)`` — a boilerplate gram in
-    half the corpus collapses to one row per map task (the hot-gram
-    lesson) — filtered to count>1 so the join build side carries ONLY
-    duplicated grams (~the dup rate, not the corpus); the join back on
-    ``gram`` is AQE-skew-splittable; coverage is a per-doc 8-row sliding
-    ``max`` window (never wider than the doc); reassembly is one
-    doc-keyed sort_array aggregation, the dedup_paragraphs shape.  No
-    Python anywhere.
+    Scale shape (r9): the positional word/gram table builds doc-locally
+    in ONE ``mapInArrow`` pass — (doc_id, pos, word, 60-bit gram hash) —
+    so the posexplode + lead-window exchange it replaces never happens,
+    and every downstream shuffle moves an 8-byte hash instead of an
+    8-word string (the oracle applies the identical md5-prefix
+    transform, so a collision merges the same grams in both engines).
+    The duplicated-gram set is a partial-before-shuffle
+    ``groupBy(gram)`` — a boilerplate gram in half the corpus collapses
+    to one row per map task (the hot-gram lesson) — filtered to count>1
+    so the join build side carries ONLY duplicated grams (~the dup
+    rate, not the corpus); the join back on ``gram`` is
+    AQE-skew-splittable; coverage is a per-doc 8-row sliding ``max``
+    window (never wider than the doc); reassembly is one doc-keyed
+    sort_array aggregation, the dedup_paragraphs shape.
     """
+    import pyarrow as pa
+
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    words = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+
+    def build(batches):
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def h(g_: str) -> int:
+            v = cache.get(g_)
+            if v is None:
+                v = int(hashlib.md5(g_.encode("utf-8")).hexdigest()[:15], 16)
+                if len(cache) < 4_000_000:
+                    cache[g_] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_pos, o_w, o_g = [], [], [], []
+            for i, t in enumerate(texts):
+                ws = t.split(" ")
+                n = len(ws)
+                for p in range(n):
+                    o_id.append(ids[i])
+                    o_pos.append(p)
+                    o_w.append(ws[p])
+                    o_g.append(
+                        h(" ".join(ws[p : p + 8])) if p + 8 <= n else None
+                    )
+            yield pa.record_batch(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_pos, type=pa.int32()),
+                    pa.array(o_w, type=pa.string()),
+                    pa.array(o_g, type=pa.int64()),
+                ],
+                names=["doc_id", "pos", "w", "gram"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
     )
-    parts = [F.col("w")] + [F.lead("w", j).over(wdoc) for j in range(1, 8)]
-    g = words.withColumn(
-        "gram",
-        F.when(
-            F.lead("w", 7).over(wdoc).isNotNull(), F.concat_ws(" ", *parts)
-        ),
-    )
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
+    g = d.mapInArrow(build, "doc_id long, pos int, w string, gram long")
     dup = (
         g.where(F.col("gram").isNotNull())
         .groupBy("gram")
