@@ -95,6 +95,116 @@ def misra_gries_candidates(
     )
 
 
+def heavy_hitters_text_grams(
+    df: DataFrame,
+    text_col: str,
+    k_gram: int,
+    k: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact heavy-hitter word ``k_gram``-grams over a text column:
+    ``{gram : freq * k > n}`` with n = total gram occurrences.
+
+    The text specialization of :func:`heavy_hitters_exact` (r9): gram
+    generation folds INTO the two passes, so the exploded occurrence
+    stream never exists as a relation — no lead-window exchange over
+    every word of the corpus, no persisted occurrence materialization
+    traversed three times.  Pass 1 streams each doc's grams (built
+    doc-locally) straight into the per-partition Misra-Gries summary;
+    the candidate union (<= capacity x partitions rows — independent of
+    vocabulary AND corpus size, the same bound the broadcast join in
+    heavy_hitters_exact relies on) is collected and closed over; pass 2
+    recounts ONLY candidate grams per partition, shuffling one
+    (gram, count) partial per candidate per partition.  The exact total
+    n is a plain codegen aggregate over word counts — no explode.
+    Docs with < k_gram words contribute nothing (short_doc_fallback
+    semantics of the registry query); NULL text contributes nothing.
+    """
+    if capacity is None:
+        capacity = k
+    if capacity < k:
+        raise ValueError(
+            f"capacity {capacity} < k {k}: the Misra-Gries superset "
+            "guarantee only covers terms with freq > n/(capacity+1)"
+        )
+    import pyarrow as pa
+
+    src = df.select(F.col(text_col).alias("t")).where(
+        F.col(text_col).isNotNull()
+    )
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+
+    # exact total occurrences: one whole-stage-codegen aggregate
+    n_total = src.agg(
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.col("t"), " ")) - (k_gram - 1), F.lit(0)
+            )
+        ).alias("n")
+    ).collect()[0]["n"] or 0
+
+    def doc_grams(t: str):
+        ws = t.split(" ")
+        return (
+            " ".join(ws[j : j + k_gram]) for j in range(len(ws) - k_gram + 1)
+        )
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        for batch in batches:
+            for t in batch.column(0).to_pylist():
+                for g in doc_grams(t):
+                    counts[g] = counts.get(g, 0) + 1
+                if len(counts) > 4 * capacity:
+                    cut = sorted(counts.values(), reverse=True)[capacity]
+                    counts = {
+                        x: c - cut for x, c in counts.items() if c > cut
+                    }
+        if len(counts) > capacity:
+            cut = sorted(counts.values(), reverse=True)[capacity]
+            counts = {x: c - cut for x, c in counts.items() if c > cut}
+        yield pa.record_batch(
+            [pa.array(list(counts), type=pa.string())], names=["gram"]
+        )
+
+    # bounded driver read: <= capacity x partitions candidate grams;
+    # shipped once per executor as a real broadcast (a closure capture
+    # would re-serialize the set with every task at cluster scale)
+    cand = df.sparkSession.sparkContext.broadcast(
+        frozenset(
+            r["gram"]
+            for r in src.mapInArrow(summarize, "gram string").collect()
+        )
+    )
+
+    def recount(batches):
+        counts = {g: 0 for g in cand.value}
+        for batch in batches:
+            for t in batch.column(0).to_pylist():
+                for g in doc_grams(t):
+                    if g in counts:
+                        counts[g] += 1
+            # candidate partials only — nothing grows with the corpus
+        hits = {g: c for g, c in counts.items() if c}
+        yield pa.record_batch(
+            [
+                pa.array(list(hits), type=pa.string()),
+                pa.array(list(hits.values()), type=pa.int64()),
+            ],
+            names=["gram", "freq"],
+        )
+
+    return (
+        src.mapInArrow(recount, "gram string, freq long")
+        .groupBy("gram")
+        .agg(F.sum("freq").alias("freq"))
+        .where(F.col("freq") * F.lit(k) > F.lit(int(n_total)))
+        .select("gram", "freq")
+    )
+
+
 def heavy_hitters_exact(
     occurrences: DataFrame, col: str, k: int, capacity: int | None = None
 ) -> DataFrame:

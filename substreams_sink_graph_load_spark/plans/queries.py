@@ -7426,13 +7426,15 @@ def heavy_hitters_phrases(spark, sf_dir):
     map task (billions of n-grams, dominated by the unqualifiable
     tail), while the MG pass bounds the shuffle to candidates (already
     at this fixture: 16k-27k gram vocabulary vs 2000-counter
-    summaries).  The exploded occurrence stream is persisted and
-    traversed three times (candidates / total / recount); the recount
-    shuffle carries candidate partials only.  The result is
-    partitioning-invariant (mergeable-summaries superset guarantee —
-    property-tested in test_sketch.py)."""
-    from ..functions.text import exploded_shingles
-    from ..operators.sketch import heavy_hitters_exact
+    summaries).  Since r9 the gram generation folds INTO the two passes
+    (operators/sketch.py heavy_hitters_text_grams): the exploded
+    occurrence stream never exists as a relation — no lead-window
+    exchange over every word, no persisted occurrence table traversed
+    three times; the only data-scaled work is two streaming reads of
+    the text column, and the only shuffle is candidate partials.  The
+    result is partitioning-invariant (mergeable-summaries superset
+    guarantee — property-tested in test_sketch.py)."""
+    from ..operators.sketch import heavy_hitters_text_grams
 
     d = _t(spark, sf_dir, "documents").select(
         F.when(
@@ -7443,10 +7445,7 @@ def heavy_hitters_phrases(spark, sf_dir):
         .alias("text"),
         "doc_id",
     )
-    grams = exploded_shingles(
-        d, "doc_id", "text", k=3, short_doc_fallback=False
-    ).select("gram").persist(StorageLevel.MEMORY_AND_DISK)
-    return heavy_hitters_exact(grams, "gram", k=2000).select(
+    return heavy_hitters_text_grams(d, "text", k_gram=3, k=2000).select(
         "gram", F.col("freq").cast("long").alias("freq")
     )
 
