@@ -933,19 +933,17 @@ def winnow_fingerprints(
     Output: ``(id_col, fp_pos, fp_hash)`` — the DISTINCT selected
     (position, hash) set per document, deterministic.
 
-    Physical shape: one posexplode + lead-window gram build (the
-    exploded_shingles idiom, all codegen), ONE window-min pass over the
-    per-doc pos order (reusing the same id-partition exchange), then
-    pure arithmetic and a distinct.  The rightmost-min tie-break rides
-    INSIDE the single window min via an integer encoding: per row
-    ``key = h*4 - pos`` (h < 2^60 so key < 2^62; within any 4-row window
-    keys are distinct and ordering by key == ordering by (h, -pos)), so
-    the window start p recovers its selection exactly:
-    ``fp_pos = p + ((((-mk) mod 4) - (p mod 4)) mod 4)`` and
-    ``fp_hash = (mk + fp_pos) div 4`` — every step integer-exact, so a
-    SQL oracle replays it bit-for-bit.  Requires ``w <= 4`` (the mod-4
-    encoding); the density/guarantee trade at other w is the same
-    construction with a different base.
+    Physical shape (r9): winnowing is a pure per-document function, so
+    the whole selection runs in ONE zero-shuffle ``mapInArrow`` pass —
+    per doc, hash each word k-gram (h60, memoized per task), slide the
+    w-window with the rightmost-min rule, emit the distinct (pos, hash)
+    set.  The relational formulation this replaces (posexplode +
+    lead-window gram build + a window-min pass with the rightmost-min
+    tie-break encoded as ``key = h*4 - pos``) shuffled every word of
+    the corpus through the id-partition exchange to compute a doc-local
+    fact; the mod-4 integer encoding lives on as the ORACLE's SQL
+    spelling, which this pass reproduces bit-for-bit (``w <= 4`` keeps
+    that oracle encoding valid).
 
     Docs with fewer than ``k + w - 1`` words still emit: window starts
     are clamped to ``max(m - w, 0)`` so a short gram sequence yields its
@@ -954,50 +952,60 @@ def winnow_fingerprints(
     """
     if w > 4 or w < 2:
         raise ValueError("winnow_fingerprints: 2 <= w <= 4 (mod-4 keys)")
-    from pyspark.sql import Window
+    import pyarrow as pa
 
-    from ..functions.hashing import h60
+    id_type = dict(df.dtypes)[id_col]
 
-    wnd = Window.partitionBy(id_col).orderBy("pos")
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "wd"),
-    )
-    parts = [F.col("wd")] + [F.lead("wd", j).over(wnd) for j in range(1, k)]
-    g = (
-        ex.withColumn("gram", F.concat_ws(" ", *parts))
-        .withColumn("_tail", F.lead("wd", k - 1).over(wnd))
-        .where(F.col("_tail").isNotNull())
-        .select(F.col(id_col), "pos", h60(F.col("gram")).alias("h"))
-    )
-    # same id-partition, pos order: the gram count and the window min
-    # reuse the lead window's exchange
-    key = (F.col("h") * 4 - F.col("pos")).alias("key")
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    whole = Window.partitionBy(id_col)
-    kd = g.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.min(key).over(frame).alias("mk"),
-        F.count("*").over(whole).alias("m"),
-        F.min("pos").over(whole).alias("p0"),
-    )
-    # valid window starts: pos - p0 <= max(m - w, 0)
-    valid = kd.where(
-        F.col("pos") - F.col("p0")
-        <= F.greatest(F.col("m") - w, F.lit(0))
-    )
-    r = F.pmod(-F.col("mk"), F.lit(4))
-    fp_pos = F.col("pos") + F.pmod(r - F.pmod(F.col("pos"), F.lit(4)), F.lit(4))
-    return (
-        valid.select(
-            F.col(id_col),
-            fp_pos.alias("fp_pos"),
-            F.expr("(mk + (pos + pmod(pmod(-mk, 4) - pmod(pos, 4), 4))) div 4").alias(
-                "fp_hash"
-            ),
-        )
-        .distinct()
+    def winnow(batches):
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                if len(cache) < 4_000_000:
+                    cache[g] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_pos, o_h = [], [], []
+            for i, t in enumerate(texts):
+                ws = t.split(" ")
+                m = len(ws) - k + 1
+                if m < 1:
+                    continue
+                hs = [h(" ".join(ws[p : p + k])) for p in range(m)]
+                sel: "set[tuple[int, int]]" = set()
+                for s in range(max(m - w, 0) + 1):
+                    best = s
+                    for p in range(s + 1, min(s + w, m)):
+                        # min hash; rightmost wins ties
+                        if hs[p] <= hs[best]:
+                            best = p
+                    sel.add((best, hs[best]))
+                for p, v in sel:
+                    o_id.append(ids[i])
+                    o_pos.append(p)
+                    o_h.append(v)
+            yield pa.record_batch(
+                [
+                    pa.array(o_id, type=batch.schema.field(0).type),
+                    pa.array(o_pos, type=pa.int32()),
+                    pa.array(o_h, type=pa.int64()),
+                ],
+                names=[id_col, "fp_pos", "fp_hash"],
+            )
+
+    src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    return src.mapInArrow(
+        winnow, f"{id_col} {id_type}, fp_pos int, fp_hash long"
     )
 
 
