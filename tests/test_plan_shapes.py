@@ -305,25 +305,30 @@ def plan_of_df(df) -> str:
     return buf.getvalue()
 
 
-def test_heavy_hitters_recount_filtered_by_broadcast(spark, sf_dir):
-    """The scale claim: the recount's count aggregation consumes a
-    broadcast-semi-filtered stream (candidates bound the shuffle), and
-    the exploded gram subtree is persisted (one build, three readers)."""
+def test_heavy_hitters_no_occurrence_relation(spark, sf_dir):
+    """The scale claim (r9 shape): gram generation folds INTO the MG and
+    recount passes (MapInArrow), so the exploded occurrence stream never
+    exists as a relation — no window, no persisted occurrence table, no
+    join; the ONLY keyed exchange carries candidate partials (plus the
+    small-SF round-robin fan-out, absent at production partition
+    counts)."""
     plan = plan_of(spark, sf_dir, "heavy_hitters_phrases")
-    assert "BroadcastHashJoin" in plan
-    assert "InMemoryTableScan" in plan
-    # MG runs in Python over Arrow batches
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "InMemoryTableScan" not in plan
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) <= 2  # fan-out repartition + candidate groupBy
 
 
-def test_winnow_single_exchange(spark, sf_dir):
-    """Gram build (lead window) and the window-min pass share ONE doc_id
-    exchange — winnowing costs one shuffle before the distinct."""
+def test_winnow_zero_keyed_exchange(spark, sf_dir):
+    """Winnowing is per-doc (r9 shape): one MapInArrow pass, no window,
+    no keyed exchange — the only Exchange ever present is the small-SF
+    round-robin fan-out, which is not a data-dependent shuffle."""
     plan = plan_of(spark, sf_dir, "winnow_fingerprints")
-    # formatted mode: one "(n) Exchange" detail entry per physical node;
-    # the distinct's hash-agg also reuses the doc_id partitioning, so the
-    # WHOLE query is one exchange
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "MapInArrow" in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan.lower()
 
 
 def test_simhash_pairs_signature_persisted(spark, sf_dir):
