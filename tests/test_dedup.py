@@ -350,3 +350,46 @@ def test_connected_components_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="integral node ids"):
         connected_components(pairs)
+
+
+def test_gram_sets_matches_word_shingles_expression(spark, docs):
+    """Cross-implementation differential for the r9 doc-local builder:
+    gram_sets' Python shingling must equal the word_shingles Column
+    expression as a SET per doc, and hashed=True must equal h60 applied
+    to those same grams."""
+    from substreams_sink_graph_load_spark.functions.hashing import h60
+    from substreams_sink_graph_load_spark.functions.text import word_shingles
+    from substreams_sink_graph_load_spark.operators.dedup import gram_sets
+
+    edge = spark.createDataFrame(
+        DOCS
+        + [
+            (6, "single", "a"),            # < k words: whole-text fallback
+            (7, "", "a"),                  # empty string
+            (8, " leading  double", "a"),  # empty tokens kept
+        ],
+        "doc_id long, text string, source string",
+    )
+    exp = {
+        r["doc_id"]: set(r["g"])
+        for r in edge.select(
+            "doc_id", word_shingles(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: set(r["grams"])
+        for r in gram_sets(edge, "doc_id", "text", 2).collect()
+    }
+    assert got == exp
+    exp_h = {
+        r["doc_id"]: set(r["g"])
+        for r in edge.select(
+            "doc_id",
+            F.transform(word_shingles(F.col("text"), 2), h60).alias("g"),
+        ).collect()
+    }
+    got_h = {
+        r["doc_id"]: set(r["grams"])
+        for r in gram_sets(edge, "doc_id", "text", 2, hashed=True).collect()
+    }
+    assert got_h == exp_h

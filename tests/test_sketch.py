@@ -295,3 +295,51 @@ def test_simhash_hamming_pairs_vs_bruteforce(spark):
     }
     assert got == truth
     assert len(got) > 0  # fixture has exact dups -> Hamming-0 pairs exist
+
+
+def test_text_grams_matches_generic_composition(spark):
+    """heavy_hitters_text_grams (gram generation folded into the passes)
+    must equal heavy_hitters_exact over the explicitly exploded
+    occurrence stream — the r9 fold is a physical change only."""
+    import pyspark.sql.functions as F
+
+    from substreams_sink_graph_load_spark.operators.sketch import (
+        heavy_hitters_exact,
+        heavy_hitters_text_grams,
+    )
+
+    rows = [("a b c a b c a b c",)] * 30 + [("x y z w v u",)] * 5 + [
+        ("q",),          # < k_gram words: contributes nothing
+        (" a b",),       # empty leading token
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    occurrences = (
+        df.where(F.size(F.split("text", " ")) >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(F.split("text", " ")) - 3
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.get(F.split("text", " "), i),
+                        F.get(F.split("text", " "), i + 1),
+                        F.get(F.split("text", " "), i + 2),
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    for k in (3, 10):
+        exp = {
+            (r["gram"], r["freq"])
+            for r in heavy_hitters_exact(occurrences, "gram", k=k).collect()
+        }
+        got = {
+            (r["gram"], r["freq"])
+            for r in heavy_hitters_text_grams(
+                df, "text", k_gram=3, k=k
+            ).collect()
+        }
+        assert got == exp
