@@ -10,10 +10,13 @@ hand-offs (dedup runs on the scrubbed text; mixture thresholds are
 computed on the post-gate, post-dedup language counts, so upstream
 filtering can never skew the target mixture).
 
-Everything is built-ins — the whole pipeline is one Catalyst plan with
-no Python in any row path, so a 100 TB run is: one scan (scrub + gate +
-hash in the codegen stage), one 16-byte-key dedup shuffle, a 5-row
-broadcast for the mixture thresholds, and one partitioned write.
+Everything is built-ins — no Python in any row path — so a 100 TB run
+is: one scan (scrub + gate + hash in the codegen stage, cached for the
+dedup join's two consumers), one 16-byte-key dedup shuffle, one
+materialization of the surviving docs (an eager localCheckpoint — the
+mixture thresholds and every later consumer re-read survivors instead
+of re-running the scrub pipeline), a 5-row broadcast for the
+thresholds, and one partitioned write.
 
 Determinism: every decision keys on content hashes (md5) — reruns,
 repartitionings, and input reordering produce byte-identical shards and
@@ -92,12 +95,26 @@ def curate(
         .withColumn("h", F.md5("text"))
     )
 
+    # The scrub+gate subtree has FOUR downstream consumers (both dedup
+    # join sides, the mixture counts, the final select) and Catalyst does
+    # not share non-exchange subtrees across joins — unpersisted, the
+    # regex scrub + split + array_distinct pipeline ran 4-5x per action
+    # (measured 25s -> 9s at sf1 for the manifest).  Persist it for the
+    # join's two consumers, then eagerly localCheckpoint the (much
+    # smaller) survivor set so the mixture aggregates and every later
+    # consumer read materialized rows; the checkpoint also truncates the
+    # lineage, so the persist can be released HERE instead of leaking
+    # for the caller's lifetime (the pagerank lesson — checkpoint blocks
+    # are ContextCleaner-managed, an exposed persist is not).
+    gated = gated.persist()
     winners = gated.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     deduped = (
         gated.join(winners, "h")
         .where(F.col("doc_id") == F.col("keep_id"))
         .drop("h", "keep_id")
+        .localCheckpoint(eager=True)
     )
+    gated.unpersist()
 
     counts = deduped.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
     n_min = counts.agg(F.min("n_l").alias("n_min"))
