@@ -1092,7 +1092,14 @@ def winnow_remove(
     """
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    from pyspark import StorageLevel
+
+    # two consumers (dupv aggregate + the marks join) and the winnower's
+    # mapInArrow relation has no exchange for Catalyst to reuse —
+    # persist or the Python selection runs twice per action
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dupv = (
         fps.select(id_col, "fp_hash")
         .distinct()

@@ -3455,9 +3455,12 @@ def dedup_substring_stats(spark, sf_dir):
     # .distinct() — now only 16-byte (doc_id, hash) rows ever shuffle.
     # (History: the array-lambda word_shingles formulation measured 38s
     # vs ~2s at sf0.1 before that — interpreted lambdas, no CSE.)
+    # two consumers (the dup aggregate + the join back) and a mapInArrow
+    # relation has no exchange for Catalyst to reuse — persist or the
+    # Python pass runs twice per action (measured 2x at sf1)
     ex = gram_sets(d, "doc_id", "text", 8, hashed=True).select(
         "doc_id", F.explode("grams").alias("gram")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # doc-frequency: partial agg collapses hot grams map-side; only
     # grams seen in >1 doc survive to the join build side (most grams
     # are unique, so the build input shrinks by ~the dup rate)
@@ -5170,7 +5173,11 @@ def dedup_substring_remove(spark, sf_dir):
     cores = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < cores:
         d = d.repartition(cores)
-    g = d.mapInArrow(build, "doc_id long, pos int, w string, gram long")
+    # two consumers (dup aggregate + the positional join) — persist, a
+    # mapInArrow relation has no exchange for Catalyst to reuse
+    g = d.mapInArrow(
+        build, "doc_id long, pos int, w string, gram long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         g.where(F.col("gram").isNotNull())
         .groupBy("gram")
