@@ -393,3 +393,60 @@ def test_gram_sets_matches_word_shingles_expression(spark, docs):
         for r in gram_sets(edge, "doc_id", "text", 2, hashed=True).collect()
     }
     assert got_h == exp_h
+
+
+def test_text_folds_on_randomized_corpus(spark):
+    """Seeded randomized corpus with adversarial token shapes (empty
+    strings, leading/trailing/consecutive spaces, unicode, single
+    words): the doc-local Python folds must agree with the JVM column
+    expressions — gram_sets vs word_shingles, minhash_sketch vs
+    minhash_signature — over ALL of it in one job."""
+    import random
+
+    from substreams_sink_graph_load_spark.functions.hashing import h60
+    from substreams_sink_graph_load_spark.functions.text import word_shingles
+    from substreams_sink_graph_load_spark.operators.dedup import (
+        gram_sets,
+        minhash_sketch,
+    )
+    from substreams_sink_graph_load_spark.functions.hashing import (
+        minhash_signature,
+    )
+
+    rng = random.Random(20260816)
+    words = ["a", "bb", "ccc", "", "δοκ", "日本", "x" * 50, "0"]
+    texts = []
+    for _ in range(200):
+        n = rng.randrange(0, 12)
+        texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    texts += ["", " ", "  ", "one", "δοκ 日本 δοκ"]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    exp = {
+        r["doc_id"]: set(r["g"])
+        for r in corpus.select(
+            "doc_id", word_shingles(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: set(r["grams"])
+        for r in gram_sets(corpus, "doc_id", "text", 2).collect()
+    }
+    assert got == exp
+
+    exp_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in corpus.select(
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"), 2), 16).alias(
+                "sig"
+            ),
+        ).collect()
+    }
+    got_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_sketch(corpus, "doc_id", "text").collect()
+    }
+    assert got_sig == exp_sig
