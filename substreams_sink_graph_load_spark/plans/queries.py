@@ -6837,11 +6837,16 @@ def _minhash_eval_frame(spark, sf_dir, num_perm: int, bands: int):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # NOT persisted (r9, measured ~3.4 -> ~3.0s at sf0.1 with the
+    # jaccard projection forced — a count()-probe exaggerates this to
+    # 4.7 -> 1.9s because column pruning deletes the array_intersect):
+    # g is candidate-bounded cheap, and a persist here is a synchronous
+    # materialization barrier that stops the ids-join pipelining into
+    # each shuffle_hash side — recomputing it once per side costs less.
     g = (
         d.select("doc_id", word_shingles(F.col("text"), 2).alias("grams"))
         .join(ids, "doc_id")
         .withColumn("n_grams", F.size("grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # SHUFFLE_HASH pinned (the r8 simhash_hamming_pairs finding, same
     # cause): g is candidate-bounded but carries the gram ARRAYS, and the
