@@ -189,6 +189,26 @@ SF1_SUBSET = [
 ]
 
 
+# Declared bounded-contract plans (r10 verdict item 4): their cost is, BY
+# CONTRACT, dominated by a term that is not linear in the corpus (a fixed
+# exact brute-force baseline, an exact truth side inside an eval), so
+# their sf1/sf0.1 ratio legitimately exceeds the linear-scaling tripwire.
+# The ratio is still recorded; it lands under ``bounded_contract`` in the
+# sf1 section instead of ``flagged_over_12x`` so the flag list stays a
+# real anomaly detector (PLANS.md documents each contract in prose).
+BOUNDED_CONTRACT = {
+    "similarity_topk": "exact brute-force cosine baseline: O(64 queries x "
+    "corpus) interpreted-JVM fold, the declared accuracy yardstick the ANN "
+    "tiers are measured against",
+    "ann_topk_matmul": "exact BLAS top-k baseline: O(queries x corpus) "
+    "matmul by declaration (the scale path is the IVF/PQ tiers)",
+    "ann_ivf_recall_eval": "embeds the exact O(queries x corpus) truth "
+    "side to score the IVF shortlist",
+    "minhash_recall_eval": "embeds the quadratic SimHash truth CTE to "
+    "score MinHash recall",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -357,8 +377,30 @@ def main() -> None:
             "total": round(sum(t for t in sf1_timings.values() if t > 0), 3),
             "scale_ratio": ratios,
             "baseline_single_pass": sorted(single_pass_base),
+            # The tripwire needs BOTH a >12x ratio AND a >=2s absolute
+            # sf1 wall: two rounds of quiet-host adjudications proved
+            # that a >12x single-pass ratio on a sub-second query is a
+            # page-cache/GC artifact, not scaling (r9: pg_csv_format
+            # "40x" re-timed isolated at 2.1x) — and a genuinely
+            # superlinear query cannot stay sub-2s at sf1.
             "flagged_over_12x": {
-                q: r for q, r in ratios.items() if r > 12
+                q: r
+                for q, r in ratios.items()
+                if r > 12
+                and q not in BOUNDED_CONTRACT
+                and sf1_timings.get(q, 0) >= 2.0
+            },
+            "ratio_noise_subsecond": {
+                q: {"ratio": r, "sf1_wall": sf1_timings[q]}
+                for q, r in ratios.items()
+                if r > 12
+                and q not in BOUNDED_CONTRACT
+                and sf1_timings.get(q, 0) < 2.0
+            },
+            "bounded_contract": {
+                q: {"ratio": r, "contract": BOUNDED_CONTRACT[q]}
+                for q, r in ratios.items()
+                if r > 12 and q in BOUNDED_CONTRACT
             },
         }
 

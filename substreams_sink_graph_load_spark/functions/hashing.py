@@ -59,3 +59,44 @@ def minhash_signature(
         for a, b in perm_params(num_perm, seed)
     ]
     return F.array(*mins)
+
+
+# Per-task memo sizing for the Python-side h60 (the mapInArrow fold tier).
+# A cached entry costs ~250 bytes for a typical 8-word ASCII gram (str
+# object ~90-140 B + dict slot ~100 B + small-int/boxed int64); a 64 MiB
+# budget therefore caps at ~256k entries PER TASK.  With 32 concurrent task
+# slots that bounds worst-case executor memo memory at ~2 GiB instead of
+# the ~32 GiB a 4M-entry cap could reach on a high-vocabulary corpus.
+# Correctness never depends on a hit — past the cap every call recomputes —
+# and Zipfian gram/word frequency means the hot head fills first, so the
+# hit rate stays high at a fraction of the old cap.
+H60_MEMO_BYTES = 64 << 20
+_H60_ENTRY_BYTES = 256
+H60_MEMO_ENTRIES = H60_MEMO_BYTES // _H60_ENTRY_BYTES
+
+
+def memoized_h60(mod: int | None = None):
+    """A fresh per-task memoized Python ``h60``: str -> 60-bit int64.
+
+    Identical bytes to the SQL spelling in :func:`h60` (first 15 hex
+    digits of md5 as int), optionally reduced ``% mod`` (the MinHash
+    base hash uses ``mod=PRIME31``).  Call INSIDE the mapInArrow
+    generator so the cache is task-local; the cache is bounded by
+    :data:`H60_MEMO_ENTRIES` (an approximate byte budget, not an
+    entry-count guess — see the sizing note above).
+    """
+    import hashlib
+
+    cache: dict[str, int] = {}
+
+    def h(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            if mod is not None:
+                v %= mod
+            if len(cache) < H60_MEMO_ENTRIES:
+                cache[g] = v
+        return v
+
+    return h

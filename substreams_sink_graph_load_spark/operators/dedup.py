@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import PRIME31, h60
+from ..functions.hashing import PRIME31, h60, memoized_h60
 from ..functions.text import word_shingles
 
 
@@ -76,20 +76,7 @@ def minhash_sketch(
 
         A = np.array([a for a, _ in params], dtype=np.int64)
         B = np.array([b for _, b in params], dtype=np.int64)
-        cache: dict[str, int] = {}
-
-        def h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = (
-                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                    % PRIME31
-                )
-                # bound the per-task memo; past the cap keep computing
-                # (correctness never depends on a hit)
-                if len(cache) < 4_000_000:
-                    cache[g] = v
-            return v
+        h = memoized_h60(mod=PRIME31)
 
         for batch in batches:
             ids = batch.column(0)
@@ -251,23 +238,12 @@ def simhash_sketch(
     id_type = dict(df.dtypes)[id_col]
 
     def fold(batches):
-        import hashlib
         from collections import Counter
 
         import numpy as np
 
         shifts = np.arange(60, dtype=np.uint64)
-        cache: dict[str, int] = {}
-
-        def h(w: str) -> int:
-            v = cache.get(w)
-            if v is None:
-                v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-                # bound the per-task cache; past the cap keep computing
-                # (correctness never depends on a hit)
-                if len(cache) < 4_000_000:
-                    cache[w] = v
-            return v
+        h = memoized_h60()
 
         for batch in batches:
             ids = batch.column(0)
@@ -344,17 +320,7 @@ def gram_sets(
     cols = [id_col, *carry_cols]
 
     def build(batches):
-        import hashlib
-
-        cache: dict[str, int] = {}
-
-        def h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                if len(cache) < 4_000_000:
-                    cache[g] = v
-            return v
+        h = memoized_h60()
 
         for batch in batches:
             texts = batch.column(len(cols)).to_pylist()
@@ -467,6 +433,9 @@ def ngram_jaccard_pairs(
     # it so the shingle build + collect_set runs once, not once per
     # consumer (the same pattern as the LSH sketch persist in
     # minhash_candidate_pairs — measured 19s -> ~7s at sf0.1 documents).
+    # The cache is reclaimed by ContextCleaner once the returned plan is
+    # unreachable — callers that keep many pair-plans alive should
+    # collect and drop references rather than holding them.
     g = g.persist()
     if length_band:
         left = g.withColumn("_k", F.col("_band"))
@@ -957,17 +926,7 @@ def winnow_fingerprints(
     id_type = dict(df.dtypes)[id_col]
 
     def winnow(batches):
-        import hashlib
-
-        cache: dict[str, int] = {}
-
-        def h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                if len(cache) < 4_000_000:
-                    cache[g] = v
-            return v
+        h = memoized_h60()
 
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -1096,7 +1055,8 @@ def winnow_remove(
 
     # two consumers (dupv aggregate + the marks join) and the winnower's
     # mapInArrow relation has no exchange for Catalyst to reuse —
-    # persist or the Python selection runs twice per action
+    # persist or the Python selection runs twice per action; cache
+    # reclaimed by ContextCleaner when the returned plan is unreachable
     fps = winnow_fingerprints(df, id_col, text_col, k, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -119,6 +119,19 @@ def heavy_hitters_text_grams(
     n is a plain codegen aggregate over word counts — no explode.
     Docs with < k_gram words contribute nothing (short_doc_fallback
     semantics of the registry query); NULL text contributes nothing.
+
+    EAGER-EVALUATION CONTRACT (unlike the lazy
+    :func:`heavy_hitters_exact` this specializes): the total-count
+    aggregate and the candidate pass run as two Spark jobs AT
+    CONSTRUCTION TIME — calling this function executes both passes even
+    if the returned DataFrame is never acted on (plan_of/explain tooling
+    included), and freezes ``n`` and the candidate set against any later
+    change to ``df``'s input files.  The candidate broadcast stays alive
+    as long as the returned plan is reachable (the recount closure holds
+    it); Spark's ContextCleaner reclaims it once the DataFrame is
+    garbage-collected — if you construct many of these in one session,
+    drop the references (or collect and move on) rather than holding
+    them.
     """
     if capacity is None:
         capacity = k
@@ -180,14 +193,18 @@ def heavy_hitters_text_grams(
     )
 
     def recount(batches):
-        counts = {g: 0 for g in cand.value}
+        # count only candidates actually SEEN in this partition (frozenset
+        # membership + plain dict): per-task memory is bounded by the
+        # candidates present locally, not pre-zeroed capacity x
+        # total-partition-count entries in every task
+        cset = cand.value
+        hits: dict[str, int] = {}
         for batch in batches:
             for t in batch.column(0).to_pylist():
                 for g in doc_grams(t):
-                    if g in counts:
-                        counts[g] += 1
+                    if g in cset:
+                        hits[g] = hits.get(g, 0) + 1
             # candidate partials only — nothing grows with the corpus
-        hits = {g: c for g, c in counts.items() if c}
         yield pa.record_batch(
             [
                 pa.array(list(hits), type=pa.string()),

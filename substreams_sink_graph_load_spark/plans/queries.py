@@ -1437,7 +1437,11 @@ def poi_chain_q(spark, sf_dir):
 # bit-for-bit (functions/hashing.py); the permutation constants are embedded
 # from the SAME perm_params() call the Spark operators use.
 
-from ..functions.hashing import PRIME31 as _P, perm_params as _perm_params
+from ..functions.hashing import (
+    PRIME31 as _P,
+    memoized_h60,
+    perm_params as _perm_params,
+)
 
 _PERMS16 = _perm_params(16)
 
@@ -3457,7 +3461,10 @@ def dedup_substring_stats(spark, sf_dir):
     # vs ~2s at sf0.1 before that — interpreted lambdas, no CSE.)
     # two consumers (the dup aggregate + the join back) and a mapInArrow
     # relation has no exchange for Catalyst to reuse — persist or the
-    # Python pass runs twice per action (measured 2x at sf1)
+    # Python pass runs twice per action (measured 2x at sf1).  No
+    # unpersist hook exists inside a lazy registry query: the cache is
+    # reclaimed by Spark's ContextCleaner once the returned plan is
+    # unreachable (the driver/bench sweep holds one query at a time)
     ex = gram_sets(d, "doc_id", "text", 8, hashed=True).select(
         "doc_id", F.explode("grams").alias("gram")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -5131,17 +5138,7 @@ def dedup_substring_remove(spark, sf_dir):
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
 
     def build(batches):
-        import hashlib
-
-        cache: dict[str, int] = {}
-
-        def h(g_: str) -> int:
-            v = cache.get(g_)
-            if v is None:
-                v = int(hashlib.md5(g_.encode("utf-8")).hexdigest()[:15], 16)
-                if len(cache) < 4_000_000:
-                    cache[g_] = v
-            return v
+        h = memoized_h60()
 
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -5174,7 +5171,8 @@ def dedup_substring_remove(spark, sf_dir):
     if d.rdd.getNumPartitions() < cores:
         d = d.repartition(cores)
     # two consumers (dup aggregate + the positional join) — persist, a
-    # mapInArrow relation has no exchange for Catalyst to reuse
+    # mapInArrow relation has no exchange for Catalyst to reuse; cache
+    # reclaimed by ContextCleaner when the returned plan is unreachable
     g = d.mapInArrow(
         build, "doc_id long, pos int, w string, gram long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
