@@ -209,6 +209,46 @@ BOUNDED_CONTRACT = {
 }
 
 
+def classify_sf1_ratios(
+    ratios: dict[str, float], sf1_timings: dict[str, float]
+) -> dict[str, dict]:
+    """Partition the >12x sf1/sf0.1 ratios into the three reporting
+    buckets (pure function so tests can pin the tripwire semantics):
+
+    - ``flagged_over_12x`` — the real anomaly list: ratio > 12 AND an
+      absolute sf1 wall >= 2s.  Two rounds of quiet-host adjudications
+      proved a >12x single-pass ratio on a sub-second query is a
+      page-cache/GC artifact (r9: pg_csv_format "40x" re-timed isolated
+      at 2.1x) — and a genuinely superlinear query cannot stay sub-2s
+      at sf1.
+    - ``ratio_noise_subsecond`` — >12x but under the wall floor,
+      recorded with both numbers.
+    - ``bounded_contract`` — the declared non-linear baselines,
+      annotated with their contract.
+    """
+    return {
+        "flagged_over_12x": {
+            q: r
+            for q, r in ratios.items()
+            if r > 12
+            and q not in BOUNDED_CONTRACT
+            and sf1_timings.get(q, 0) >= 2.0
+        },
+        "ratio_noise_subsecond": {
+            q: {"ratio": r, "sf1_wall": sf1_timings[q]}
+            for q, r in ratios.items()
+            if r > 12
+            and q not in BOUNDED_CONTRACT
+            and sf1_timings.get(q, 0) < 2.0
+        },
+        "bounded_contract": {
+            q: {"ratio": r, "contract": BOUNDED_CONTRACT[q]}
+            for q, r in ratios.items()
+            if r > 12 and q in BOUNDED_CONTRACT
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -377,31 +417,7 @@ def main() -> None:
             "total": round(sum(t for t in sf1_timings.values() if t > 0), 3),
             "scale_ratio": ratios,
             "baseline_single_pass": sorted(single_pass_base),
-            # The tripwire needs BOTH a >12x ratio AND a >=2s absolute
-            # sf1 wall: two rounds of quiet-host adjudications proved
-            # that a >12x single-pass ratio on a sub-second query is a
-            # page-cache/GC artifact, not scaling (r9: pg_csv_format
-            # "40x" re-timed isolated at 2.1x) — and a genuinely
-            # superlinear query cannot stay sub-2s at sf1.
-            "flagged_over_12x": {
-                q: r
-                for q, r in ratios.items()
-                if r > 12
-                and q not in BOUNDED_CONTRACT
-                and sf1_timings.get(q, 0) >= 2.0
-            },
-            "ratio_noise_subsecond": {
-                q: {"ratio": r, "sf1_wall": sf1_timings[q]}
-                for q, r in ratios.items()
-                if r > 12
-                and q not in BOUNDED_CONTRACT
-                and sf1_timings.get(q, 0) < 2.0
-            },
-            "bounded_contract": {
-                q: {"ratio": r, "contract": BOUNDED_CONTRACT[q]}
-                for q, r in ratios.items()
-                if r > 12 and q in BOUNDED_CONTRACT
-            },
+            **classify_sf1_ratios(ratios, sf1_timings),
         }
 
     # the committed BENCH_DETAIL.json is the sf0.1 headline record ONLY —

@@ -1,0 +1,57 @@
+"""sf1 ratio-tripwire semantics (bench.classify_sf1_ratios): the flag
+list must stay a real anomaly detector — bounded-contract baselines are
+annotated, sub-second ratios are recorded as noise, and only a >12x
+ratio WITH a >=2s absolute sf1 wall flags."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BOUNDED_CONTRACT, classify_sf1_ratios
+
+
+def test_genuine_anomaly_flags():
+    out = classify_sf1_ratios({"q_bad": 15.0}, {"q_bad": 30.0})
+    assert out["flagged_over_12x"] == {"q_bad": 15.0}
+    assert not out["ratio_noise_subsecond"]
+    assert not out["bounded_contract"]
+
+
+def test_subsecond_ratio_is_noise_not_flag():
+    # the r9 pg_csv_format shape: huge in-sweep ratio, sub-second wall
+    out = classify_sf1_ratios({"pg_csv_format": 40.1}, {"pg_csv_format": 0.9})
+    assert not out["flagged_over_12x"]
+    assert out["ratio_noise_subsecond"]["pg_csv_format"] == {
+        "ratio": 40.1,
+        "sf1_wall": 0.9,
+    }
+
+
+def test_bounded_contract_is_annotated_not_flagged():
+    out = classify_sf1_ratios({"similarity_topk": 17.0}, {"similarity_topk": 8.6})
+    assert not out["flagged_over_12x"]
+    entry = out["bounded_contract"]["similarity_topk"]
+    assert entry["ratio"] == 17.0
+    assert entry["contract"] == BOUNDED_CONTRACT["similarity_topk"]
+
+
+def test_under_threshold_ratios_report_nothing():
+    out = classify_sf1_ratios(
+        {"a": 11.9, "similarity_topk": 12.0}, {"a": 50.0, "similarity_topk": 50.0}
+    )
+    assert not any(out.values())
+
+
+def test_wall_floor_boundary_inclusive():
+    out = classify_sf1_ratios({"q": 12.1}, {"q": 2.0})
+    assert out["flagged_over_12x"] == {"q": 12.1}
+
+
+def test_bounded_contract_names_exist_in_registry():
+    from substreams_sink_graph_load_spark.plans import QUERIES
+
+    for name in BOUNDED_CONTRACT:
+        assert name in QUERIES, name
