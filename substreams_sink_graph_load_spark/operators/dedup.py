@@ -1040,20 +1040,29 @@ def winnow_remove(
     cut: winnowing samples the passage; the exact tier is the total
     rewrite.)
 
-    Scale: no self-join anywhere — unlike the pairs query this needs no
-    ``max_value_docs`` cap, because mass-boilerplate values cost one
-    group row, not bucket² pairs.  The duplicated-value set is a
-    partial-agg ``groupBy(fp_hash)`` with count>=2; marks join back on
-    the value key, then on (id, pos) against the word explode; coverage
-    is a ``k``-row sliding max in the doc window; reassembly is the
-    substring_remove aggregation shape.  Every stage linear, every
-    shuffle on a bounded key.
+    Scale (r10 rewrite): no self-join anywhere — unlike the pairs query
+    this needs no ``max_value_docs`` cap, because mass-boilerplate
+    values cost one group row, not bucket² pairs.  The duplicated-value
+    set is a partial-agg ``groupBy(fp_hash)`` with count>=2; the marks
+    fold to ONE doc-keyed row per marked document
+    (``collect_set(fp_pos)``), and the removal itself is a doc-local
+    diff-array sweep in a single ``mapInArrow`` pass over
+    (text, marked positions) — O(words + marks) per doc.  The
+    word-level relation never exists: the posexplode + (id, pos) join +
+    sliding-max window + collect_list reassembly this replaces shuffled
+    every word of the corpus TWICE to compute a per-doc rewrite
+    (count-probe walls hid it; the r10 forced-projection probe read
+    30.1s at sf10 for the old shape).  The one remaining corpus-sized
+    motion is the docs⋈marks doc-keyed join, SHUFFLE_HASH-pinned
+    because the marks side derives from a Python relation whose planner
+    stats are unreliable (the r9 broadcast-OOM lesson); a bucketed
+    doc_id layout elides it entirely.
     """
-    from pyspark.sql import Window
-
     from pyspark import StorageLevel
 
-    # two consumers (dupv aggregate + the marks join) and the winnower's
+    import pyarrow as pa
+
+    # two consumers (dupv aggregate + the marks fold) and the winnower's
     # mapInArrow relation has no exchange for Catalyst to reuse —
     # persist or the Python selection runs twice per action; cache
     # reclaimed by ContextCleaner when the returned plan is unreachable
@@ -1068,32 +1077,63 @@ def winnow_remove(
         .where(F.col("_nd") >= 2)
         .select("fp_hash")
     )
-    marked = fps.join(dupv, "fp_hash").select(
-        F.col(id_col), F.col("fp_pos").alias("pos"), F.lit(1).alias("isd")
+    mdoc = (
+        fps.join(dupv, "fp_hash")
+        .groupBy(id_col)
+        .agg(F.collect_set("fp_pos").alias("_mpos"))
     )
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "wd"),
+    src = (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .join(mdoc.hint("SHUFFLE_HASH"), id_col, "left")
     )
-    m = words.join(marked, [id_col, "pos"], "left").withColumn(
-        "isd", F.coalesce(F.col("isd"), F.lit(0))
-    )
-    wdoc = Window.partitionBy(id_col).orderBy("pos")
-    c = m.withColumn("cov", F.max("isd").over(wdoc.rowsBetween(-(k - 1), 0)))
-    return c.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum("cov").cast("long").alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("cov") == 0, F.struct("pos", "wd"))
-                        )
-                    ),
-                    lambda x: x["wd"],
-                ),
-                " ",
+    id_type = dict(df.dtypes)[id_col]
+
+    def sweep(batches):
+        import hashlib
+
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            mposs = batch.column(2).to_pylist()
+            o_n, o_r, o_md5 = [], [], []
+            for t, mp in zip(texts, mposs):
+                ws = t.split(" ")
+                n = len(ws)
+                if not mp:
+                    o_n.append(n)
+                    o_r.append(0)
+                    # split(" ") / " ".join round-trip exactly, so the
+                    # unmarked doc's kept text IS the input text
+                    o_md5.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                    continue
+                # fingerprint at gram position p covers words p..p+k-1
+                # (p + k <= n by construction): classic diff-array, one
+                # cumsum gives the coverage mask
+                diff = np.zeros(n + 1, dtype=np.int64)
+                for p in mp:
+                    diff[p] += 1
+                    diff[p + k] -= 1
+                cov = np.cumsum(diff[:n]) > 0
+                kept = [w_ for w_, c in zip(ws, cov) if not c]
+                o_n.append(n)
+                o_r.append(int(cov.sum()))
+                o_md5.append(
+                    hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
+                )
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(o_n, type=pa.int64()),
+                    pa.array(o_r, type=pa.int64()),
+                    pa.array(o_md5, type=pa.string()),
+                ],
+                names=[id_col, "n_words", "n_removed", "kept_md5"],
             )
-        ).alias("kept_md5"),
+
+    return src.mapInArrow(
+        sweep,
+        f"{id_col} {id_type}, n_words long, n_removed long, kept_md5 string",
     )
