@@ -5118,24 +5118,24 @@ def dedup_substring_remove(spark, sf_dir):
     n_removed, md5-of-cleaned-text) per doc so the driver hash pins the
     exact reconstruction byte-for-byte.
 
-    Scale shape (r9): the positional word/gram table builds doc-locally
-    in ONE ``mapInArrow`` pass — (doc_id, pos, word, 60-bit gram hash) —
-    so the posexplode + lead-window exchange it replaces never happens,
-    and every downstream shuffle moves an 8-byte hash instead of an
-    8-word string (the oracle applies the identical md5-prefix
-    transform, so a collision merges the same grams in both engines).
-    The duplicated-gram set is a partial-before-shuffle
-    ``groupBy(gram)`` — a boilerplate gram in half the corpus collapses
-    to one row per map task (the hot-gram lesson) — filtered to count>1
-    so the join build side carries ONLY duplicated grams (~the dup
-    rate, not the corpus); the join back on ``gram`` is
-    AQE-skew-splittable; coverage is a per-doc 8-row sliding ``max``
-    window (never wider than the doc); reassembly is one doc-keyed
-    sort_array aggregation, the dedup_paragraphs shape.
+    Scale shape (r9 gram fold, r10 doc-local rewrite): the positional
+    gram table builds doc-locally in ONE ``mapInArrow`` pass —
+    (doc_id, pos, 60-bit gram hash), 12 bytes/row, no word strings (the
+    oracle applies the identical md5-prefix transform, so a collision
+    merges the same grams in both engines).  The duplicated-gram set is
+    a partial-before-shuffle ``groupBy(gram)`` — a boilerplate gram in
+    half the corpus collapses to one row per map task (the hot-gram
+    lesson) — filtered to count>1; the join back on ``gram`` is
+    AQE-skew-splittable and folds straight to ONE doc-keyed marks row
+    (``collect_set(pos)``).  The removal itself runs doc-locally in a
+    second ``mapInArrow`` pass (diff-array coverage sweep + kept-text
+    md5 in hashlib), so the sliding-max window + collect_list
+    reassembly over every word row never happens — the forced-
+    projection sf10 probe read 16.5s for that shape (see PLANS.md r10);
+    the only corpus-sized motion left is the SHUFFLE_HASH-pinned
+    docs⋈marks doc-keyed join, elidable by the bucketed layout.
     """
     import pyarrow as pa
-
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
 
     def build(batches):
         h = memoized_h60()
@@ -5143,25 +5143,25 @@ def dedup_substring_remove(spark, sf_dir):
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
-            o_id, o_pos, o_w, o_g = [], [], [], []
+            o_id, o_pos, o_g = [], [], []
             for i, t in enumerate(texts):
                 ws = t.split(" ")
                 n = len(ws)
-                for p in range(n):
+                # only GRAM positions (p + 8 <= n): the tail words carry
+                # no gram and the doc-local sweep recovers n_words from
+                # the text itself, so the positional relation is 12
+                # bytes/row with no word strings at all (r10)
+                for p in range(n - 7):
                     o_id.append(ids[i])
                     o_pos.append(p)
-                    o_w.append(ws[p])
-                    o_g.append(
-                        h(" ".join(ws[p : p + 8])) if p + 8 <= n else None
-                    )
+                    o_g.append(h(" ".join(ws[p : p + 8])))
             yield pa.record_batch(
                 [
                     pa.array(o_id, type=pa.int64()),
                     pa.array(o_pos, type=pa.int32()),
-                    pa.array(o_w, type=pa.string()),
                     pa.array(o_g, type=pa.int64()),
                 ],
-                names=["doc_id", "pos", "w", "gram"],
+                names=["doc_id", "pos", "gram"],
             )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
@@ -5174,36 +5174,72 @@ def dedup_substring_remove(spark, sf_dir):
     # mapInArrow relation has no exchange for Catalyst to reuse; cache
     # reclaimed by ContextCleaner when the returned plan is unreachable
     g = d.mapInArrow(
-        build, "doc_id long, pos int, w string, gram long"
+        build, "doc_id long, pos int, gram long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
-        g.where(F.col("gram").isNotNull())
-        .groupBy("gram")
+        g.groupBy("gram")
         .agg(F.count("*").alias("nocc"))
         .where(F.col("nocc") > 1)
-        .select("gram", F.lit(1).alias("isd"))
+        .select("gram")
     )
-    m = g.join(dup, "gram", "left").withColumn(
-        "isd", F.coalesce(F.col("isd"), F.lit(0))
+    # r10: the rewrite itself is doc-local (the winnow_remove lesson,
+    # same round) — fold the duplicated-gram positions to ONE doc-keyed
+    # row and sweep coverage per doc in a second mapInArrow pass,
+    # instead of dragging every word row through a sliding-max window +
+    # collect_list reassembly (forced-projection sf10 probe: 16.5s for
+    # the window shape).  The gram join stays AQE-skew-splittable; the
+    # docs⋈marks join is SHUFFLE_HASH-pinned (marks derive from a
+    # Python relation with unreliable planner stats).
+    marks = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_mpos"))
     )
-    cov = F.max("isd").over(wdoc.rowsBetween(-7, 0))
-    c = m.withColumn("cov", cov)
-    return c.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum("cov").cast("long").alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("cov") == 0, F.struct("pos", "w"))
-                        )
-                    ),
-                    lambda x: x["w"],
-                ),
-                " ",
+    src = d.join(marks.hint("SHUFFLE_HASH"), "doc_id", "left")
+
+    def sweep(batches):
+        import hashlib
+
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            mposs = batch.column(2).to_pylist()
+            o_n, o_r, o_md5 = [], [], []
+            for t, mp in zip(texts, mposs):
+                ws = t.split(" ")
+                n = len(ws)
+                if not mp:
+                    o_n.append(n)
+                    o_r.append(0)
+                    o_md5.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                    continue
+                # duplicated 8-gram at position p covers words p..p+7
+                # (p + 8 <= n by construction): diff-array + cumsum
+                diff = np.zeros(n + 1, dtype=np.int64)
+                for p in mp:
+                    diff[p] += 1
+                    diff[p + 8] -= 1
+                cov = np.cumsum(diff[:n]) > 0
+                kept = [w_ for w_, c_ in zip(ws, cov) if not c_]
+                o_n.append(n)
+                o_r.append(int(cov.sum()))
+                o_md5.append(
+                    hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
+                )
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(o_n, type=pa.int64()),
+                    pa.array(o_r, type=pa.int64()),
+                    pa.array(o_md5, type=pa.string()),
+                ],
+                names=["doc_id", "n_words", "n_removed", "kept_md5"],
             )
-        ).alias("kept_md5"),
+
+    return src.mapInArrow(
+        sweep, "doc_id long, n_words long, n_removed long, kept_md5 string"
     )
 
 
