@@ -7751,11 +7751,15 @@ def winnow_remove_q(spark, sf_dir):
     Winnowing's local guarantee makes the pass principled: any shared
     run >= 6 words loses at least one gram from EVERY copy.
 
-    Scale: no self-join and therefore no value cap — a mass-boilerplate
-    fingerprint costs one group row here, not bucket² pairs; the
-    duplicated-value set is a partial-agg groupBy(fp_hash), marks flow
-    back on bounded keys, coverage is a 3-row doc window, reassembly
-    the substring_remove aggregation shape.  Every stage linear."""
+    Scale (r10): no self-join and therefore no value cap — a
+    mass-boilerplate fingerprint costs one group row here, not bucket²
+    pairs; the duplicated-value set is a partial-agg groupBy(fp_hash),
+    the marks fold to ONE doc-keyed row, and the removal itself is a
+    doc-local diff-array sweep in a single mapInArrow pass (the
+    word-level relation never exists — see operators/dedup.winnow_remove
+    and PLANS.md r10: sf10 30.1 -> 9.7s, identical output hash).  The
+    oracle keeps the word-window SQL spelling, which the sweep
+    reproduces bit-for-bit."""
     from ..operators.dedup import winnow_remove
 
     d = _t(spark, sf_dir, "documents")
