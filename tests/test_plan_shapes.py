@@ -341,3 +341,29 @@ def test_simhash_pairs_signature_persisted(spark, sf_dir):
     # itself, printed above it, must read only the cache
     join_section = plan.split("InMemoryRelation")[0]
     assert "documents.parquet" not in join_section
+
+
+def test_winnow_remove_no_word_relation(spark, sf_dir):
+    """r10 shape: the removal is a doc-local mapInArrow sweep over
+    (text, marked positions) — no posexplode of the corpus words, no
+    per-word window, no collect_list reassembly; the docs⋈marks join is
+    SHUFFLE_HASH (Python-relation planner stats must not pick a
+    broadcast build)."""
+    plan = plan_of(spark, sf_dir, "winnow_remove")
+    assert plan.count("MapInArrow") >= 2  # fingerprint pass + sweep pass
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "collect_list" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_substring_remove_no_word_relation(spark, sf_dir):
+    """r10 shape: positional gram relation only (12-byte rows, no word
+    strings), removal doc-local — no window, no explode, no
+    collect_list; docs⋈marks is SHUFFLE_HASH-pinned."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_remove")
+    assert plan.count("MapInArrow") >= 2  # gram build + sweep
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "collect_list" not in plan
+    assert "ShuffledHashJoin" in plan
