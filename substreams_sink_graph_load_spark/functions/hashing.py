@@ -75,18 +75,26 @@ _H60_ENTRY_BYTES = 256
 H60_MEMO_ENTRIES = H60_MEMO_BYTES // _H60_ENTRY_BYTES
 
 
-def memoized_h60(mod: int | None = None):
+def memoized_h60(mod: int | None = None, max_entries: int | None = None):
     """A fresh per-task memoized Python ``h60``: str -> 60-bit int64.
 
     Identical bytes to the SQL spelling in :func:`h60` (first 15 hex
     digits of md5 as int), optionally reduced ``% mod`` (the MinHash
     base hash uses ``mod=PRIME31``).  Call INSIDE the mapInArrow
     generator so the cache is task-local; the cache is bounded by
-    :data:`H60_MEMO_ENTRIES` (an approximate byte budget, not an
-    entry-count guess — see the sizing note above).
+    ``max_entries`` (default :data:`H60_MEMO_ENTRIES` — an approximate
+    byte budget, not an entry-count guess; see the sizing note above).
+    A hot call site that profiles a hit-rate loss under the shared
+    budget can pass a larger ``max_entries`` explicitly instead of
+    re-raising the global cap for every fold tier (r10 advice item 3).
+    Measured hit rate under the 256k default (sf1 documents, the MinHash
+    5-gram fold's task-worst distribution): see the sizing table in
+    PLANS.md r11 — the Zipf head fills first, so no site currently
+    overrides.
     """
     import hashlib
 
+    cap = H60_MEMO_ENTRIES if max_entries is None else max_entries
     cache: dict[str, int] = {}
 
     def h(g: str) -> int:
@@ -95,7 +103,7 @@ def memoized_h60(mod: int | None = None):
             v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
             if mod is not None:
                 v %= mod
-            if len(cache) < H60_MEMO_ENTRIES:
+            if len(cache) < cap:
                 cache[g] = v
         return v
 

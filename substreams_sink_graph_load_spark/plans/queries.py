@@ -7910,15 +7910,22 @@ ORACLE_HEAVY = [
 ]
 
 
-# Queries whose SEMANTICS changed in round N: driver rows from earlier
-# rounds witnessed the OLD definition, so they are non-evidence and the
-# query must sort into the never-verified front of the budget until a
-# row >= N exists.  r9: the MinHash pairs tier and its two downstream
-# compositions moved from (16, 4) to the scale-safe (32, 4) parameters.
+# Queries whose SEMANTICS or PLAN SHAPE changed in round N: driver rows
+# from earlier rounds witnessed the OLD definition/implementation, so
+# they are non-evidence and the query must sort into the never-verified
+# front of the budget until a row >= N exists.  r9: the MinHash pairs
+# tier and its two downstream compositions moved from (16, 4) to the
+# scale-safe (32, 4) parameters (semantic change).  r10: winnow_remove
+# and dedup_substring_remove were rewritten doc-local (identical output —
+# builder-asserted probe-hash parity + sf0.01/sf1 oracle MATCH — but the
+# executed plan is new, so the driver should witness the new shape; r10
+# verdict item 3).
 _REWITNESS: dict[str, int] = {
     "dedup_minhash_pairs": 9,
     "dedup_clusters": 9,
     "minhash_recall_eval": 9,
+    "winnow_remove": 10,
+    "dedup_substring_remove": 10,
 }
 
 

@@ -225,6 +225,15 @@ def _tws_versions(
     # EVERY trigger, so it is the TWS path's main local-overhead lever:
     # ~cores for a single-node run, thousands for the 100 TB deployment
     # (set it on the first run; later runs inherit the checkpoint's)
+    # the changelog-checkpointing default below needs Spark >= 3.4
+    # (SPARK-42792); TWS itself needs 4.0 — assert the stronger bound so
+    # a downlevel runtime fails loudly here, not with a silent conf no-op
+    major = int(spark.version.split(".", 1)[0])
+    if major < 4:
+        raise RuntimeError(
+            f"transformWithStateInPandas path requires Spark >= 4.0 "
+            f"(running {spark.version}); use the foreachBatch path"
+        )
     overrides = {
         "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
         # Changelog checkpointing: commit appends a changelog instead of
@@ -233,7 +242,14 @@ def _tws_versions(
         # (scripts/profile_tws.py, sf0.1 x 21 triggers): wall 168.5 ->
         # 139.4s (0.83x), saveZipFiles 30.0 -> 1.8s summed per trigger,
         # byte-identical CSV output.  Respect an explicit session setting
-        # if the caller already chose.
+        # if the caller already chose.  The conf exists on Spark >= 3.4
+        # only (SPARK-42792) — this package requires Spark 4 (TWS itself
+        # is 4.0+), enforced below rather than assumed (r10 advice item
+        # 4).  Spark >= 3.4 reads BOTH formats and transparently upgrades
+        # a pre-existing snapshot-mode checkpoint on the next commit
+        # (format compatibility is per-version-file, not per-checkpoint),
+        # so resuming an older checkpoint under this default is safe —
+        # soak-tested with a mid-stream kill + resume (PLANS.md r11).
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": spark.conf.get(
             "spark.sql.streaming.stateStore.rocksdb."

@@ -10,7 +10,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BOUNDED_CONTRACT, classify_sf1_ratios
+from bench import (
+    BOUNDED_CONTRACT,
+    classify_sf1_ratios,
+    compare_sf1_cross_round,
+)
 
 
 def test_genuine_anomaly_flags():
@@ -35,7 +39,53 @@ def test_bounded_contract_is_annotated_not_flagged():
     assert not out["flagged_over_12x"]
     entry = out["bounded_contract"]["similarity_topk"]
     assert entry["ratio"] == 17.0
-    assert entry["contract"] == BOUNDED_CONTRACT["similarity_topk"]
+    assert entry["contract"] == BOUNDED_CONTRACT["similarity_topk"]["contract"]
+    assert not out["bounded_contract_exceeded"]
+
+
+def test_bounded_contract_ceiling_catches_regression():
+    # r10 advice item 1: the contract exemption must not mask a genuine
+    # regression — a wall past the recorded ceiling routes to the
+    # anomaly bucket, not the annotated one
+    out = classify_sf1_ratios(
+        {"similarity_topk": 100.0}, {"similarity_topk": 80.0}
+    )
+    assert not out["bounded_contract"]
+    entry = out["bounded_contract_exceeded"]["similarity_topk"]
+    assert entry["sf1_wall"] == 80.0
+    assert entry["ceiling"] == BOUNDED_CONTRACT["similarity_topk"][
+        "sf1_wall_ceiling"
+    ]
+
+
+def test_classify_total_over_missing_sf1_key():
+    # r10 advice item 2: the pure function must not KeyError when a
+    # ratios key is absent from sf1_timings
+    out = classify_sf1_ratios({"q": 20.0}, {})
+    assert out["ratio_noise_subsecond"]["q"] == {"ratio": 20.0, "sf1_wall": 0.0}
+
+
+def test_cross_round_drift_flags_growth():
+    # the r10 shape: pagerank 17.4 -> 48.0s across committed records
+    out = compare_sf1_cross_round(
+        {"graph_pagerank": 48.0, "flat": 10.0, "small": 1.9},
+        {"graph_pagerank": 17.4, "flat": 9.5, "small": 0.5},
+    )
+    assert out == {
+        "graph_pagerank": {
+            "sf1_wall": 48.0,
+            "prior_wall": 17.4,
+            "ratio": 2.76,
+        }
+    }
+
+
+def test_cross_round_drift_skips_failures_and_new_queries():
+    out = compare_sf1_cross_round(
+        {"failed": -1.0, "brand_new": 30.0, "prior_failed": 30.0},
+        {"failed": 5.0, "prior_failed": -1.0},
+    )
+    assert not out
 
 
 def test_under_threshold_ratios_report_nothing():
