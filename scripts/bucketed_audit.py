@@ -35,6 +35,10 @@ AUDIT = [
     "sessions_attribution",
     "events_sessionize",
     "split_leakage_safe",
+    # served from the DERIVED bucketed edge relation (pagerank_edges by
+    # src); its final plan is a checkpoint scan, so its Exchange count is
+    # taken from the iteration probe instead (see below)
+    "graph_pagerank",
 ]
 
 DB = "graft_bucketed_audit"
@@ -96,12 +100,32 @@ def main() -> None:
     ):
         spark.conf.set(k, "-1")
 
+    def _probe_exchanges(name: str) -> int:
+        """graph_pagerank's final plan is an eager-checkpoint scan, so
+        count the ITERATED shape's Exchanges via the shared probe over
+        the edges the current layout serves."""
+        if name != "graph_pagerank":
+            return -1
+        from substreams_sink_graph_load_spark.operators.graph import (
+            pagerank_iteration_probe,
+        )
+        from substreams_sink_graph_load_spark.plans import queries as Q
+
+        Q._BUCKETED_SF.clear()
+        return _exchanges(
+            _explain(pagerank_iteration_probe(Q.pagerank_edges(spark, sf_dir)))
+        )
+
     ok = True
     for name in AUDIT:
         fn = QUERIES[name]
         os.environ.pop("SPARK_GRAFT_BUCKETED_DB", None)
         plain_df = fn(spark, sf_dir)
-        plain_ex = _exchanges(_explain(plain_df))
+        plain_ex = (
+            _probe_exchanges(name)
+            if name == "graph_pagerank"
+            else _exchanges(_explain(plain_df))
+        )
         t0 = time.perf_counter()
         plain_n, plain_h = _result_md5(plain_df)
         plain_t = time.perf_counter() - t0
@@ -109,7 +133,11 @@ def main() -> None:
 
         os.environ["SPARK_GRAFT_BUCKETED_DB"] = DB
         buck_df = fn(spark, sf_dir)
-        buck_ex = _exchanges(_explain(buck_df))
+        buck_ex = (
+            _probe_exchanges(name)
+            if name == "graph_pagerank"
+            else _exchanges(_explain(buck_df))
+        )
         t0 = time.perf_counter()
         buck_n, buck_h = _result_md5(buck_df)
         buck_t = time.perf_counter() - t0

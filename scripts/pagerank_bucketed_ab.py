@@ -51,34 +51,11 @@ def _explain(df) -> str:
 
 
 def _iteration_probe(src):
-    """One full (non-constant-folded) pagerank iteration, mirroring
-    operators/graph.pagerank_ppm expression-for-expression, WITHOUT the
-    terminal localCheckpoint — so the Exchange count of the iterated
-    shape is visible in explain() (the real operator eagerly checkpoints,
-    leaving only a scan in its final plan)."""
-    deg = src.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("deg")
+    from substreams_sink_graph_load_spark.operators.graph import (
+        pagerank_iteration_probe,
     )
-    e = src.join(deg, src["src"] == deg["node"]).select(
-        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "deg"
-    )
-    nodes = (
-        src.select(F.col("src").alias("node"))
-        .unionByName(src.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    ranks = nodes.withColumn("rank_ppm", F.lit(1_000_000).cast("long"))
-    pre = e.join(ranks, e["e_src"] == ranks["node"]).select(
-        F.col("e_dst").alias("node"),
-        F.expr("(rank_ppm * 85) div (100 * deg)").alias("c"),
-    )
-    contrib = pre.groupBy("node").agg(F.sum("c").cast("long").alias("in_mass"))
-    return nodes.join(contrib, "node", "left").select(
-        "node",
-        (F.lit(150_000) + F.coalesce(F.col("in_mass"), F.lit(0)))
-        .cast("long")
-        .alias("rank_ppm"),
-    )
+
+    return pagerank_iteration_probe(src)
 
 
 def _result_md5(df) -> tuple[int, str]:
@@ -105,25 +82,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from substreams_sink_graph_load_spark.operators.graph import pagerank_ppm
 
-    # Derive the edge relation exactly as plans.queries.graph_pagerank does
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
-    enc = (
-        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-    )
-    edges = enc.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(enc.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    # The edge relation exactly as plans.queries.graph_pagerank consumes
+    # it (single source of truth; parquet derivation forced)
+    from substreams_sink_graph_load_spark.plans.queries import pagerank_edges
+
+    edges = pagerank_edges(spark, sf_dir, allow_bucketed=False)
 
     loc = os.path.abspath(os.path.join(".tmp", "prab_wh"))
     shutil.rmtree(loc, ignore_errors=True)

@@ -129,3 +129,44 @@ def pagerank_ppm(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def pagerank_iteration_probe(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One full (non-constant-folded) pagerank iteration, mirroring
+    :func:`pagerank_ppm` expression-for-expression WITHOUT the persist
+    and terminal eager localCheckpoint — so plan auditors can count the
+    Exchanges of the ITERATED shape (the real operator checkpoints
+    eagerly, leaving only a scan in its final explain()).  Used by
+    scripts/pagerank_bucketed_ab.py, scripts/bucketed_audit.py and
+    tests/test_plan_shapes.py; never by the query path."""
+    base = (100 - damping_pct) * (PPM // 100)
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    e = edges.join(deg, edges[src] == deg["node"]).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "deg"
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("long"))
+    pre = e.join(ranks, e["e_src"] == ranks["node"]).select(
+        F.col("e_dst").alias("node"),
+        F.expr(f"(rank_ppm * {damping_pct}) div (100 * deg)").alias("c"),
+    )
+    contrib = pre.groupBy("node").agg(
+        F.sum("c").cast("long").alias("in_mass")
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+        .cast("long")
+        .alias("rank_ppm"),
+    )

@@ -88,6 +88,13 @@ REGISTRY_BUCKET_KEYS: dict[str, tuple[str, ...]] = {
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "events": ("user_id",),
+    # DERIVED relation (distinct orders x lineitem purchase pairs, long-
+    # encoded, both directions): graph_pagerank joins/aggregates it on
+    # the node key five times per run — bucketing+sorting by src removes
+    # the data-scaled edge exchange from every iteration (5 -> 3
+    # exchanges, 0.82x sf1 -> 0.77x sf10, hash parity:
+    # scripts/pagerank_bucketed_ab.py, r10).
+    "pagerank_edges": ("src",),
 }
 
 
@@ -114,8 +121,12 @@ def registry_layout(
     ``events`` is written through the same vintage normalization the
     parquet path applies (plans.queries._events), so the bucketed table
     stores the already-normalized microsecond timestamps.
+    ``pagerank_edges`` is the one DERIVED member: the long-encoded
+    purchase-graph edge relation (plans.queries.pagerank_edges), paid for
+    once at layout time so graph_pagerank's five per-iteration edge
+    exchanges collapse to bucket-file reads.
     """
-    from .queries import _events
+    from .queries import _events, pagerank_edges
 
     frames = {
         "documents": (
@@ -132,6 +143,11 @@ def registry_layout(
             _events(spark, sf_dir),
             buckets,
             REGISTRY_BUCKET_KEYS["events"],
+        ),
+        "pagerank_edges": (
+            pagerank_edges(spark, sf_dir, allow_bucketed=False),
+            buckets,
+            REGISTRY_BUCKET_KEYS["pagerank_edges"],
         ),
     }
     bucketed_tables(spark, database, location, frames)

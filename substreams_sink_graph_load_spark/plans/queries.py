@@ -5807,6 +5807,47 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     """
 
 
+def pagerank_edges(spark, sf_dir, allow_bucketed: bool = True):
+    """The long-encoded bidirectional customer-supplier edge relation
+    graph_pagerank iterates over (distinct orders x lineitem pairs;
+    customers even ``ck*2``, suppliers odd ``sk*2+1`` so the whole
+    iterative phase shuffles 8-byte keys).
+
+    Served from the bucketed layout when the session opted in
+    (``SPARK_GRAFT_BUCKETED_DB`` + ``registry_layout`` built it): the
+    table is bucketed AND in-bucket-sorted by ``src``, so the degree
+    aggregation and every iteration's edges-side join ride the
+    write-time partitioning — 5 -> 3 exchanges per iteration, measured
+    0.82x sf1 -> 0.77x sf10 with hash parity
+    (scripts/pagerank_bucketed_ab.py, r10).  Default: derived from the
+    sf_dir parquet — same rows, the layout changes partitioning only.
+    ``allow_bucketed=False`` forces the parquet derivation — the layout
+    WRITER uses it so building a fresh layout never reads the table it
+    is about to overwrite."""
+    if allow_bucketed:
+        b = _bucketed(spark, sf_dir, "pagerank_edges")
+        if b is not None:
+            return b
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # dedup on the INTEGER pair, label afterwards: the distinct's hash
+    # table compares 16-byte fixed rows instead of variable strings
+    enc = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+    )
+    return enc.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        enc.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
 @_q("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """PageRank authority prior over the customer-supplier purchase
@@ -5822,33 +5863,15 @@ def graph_pagerank(spark, sf_dir):
     iterations, every stage keys on the node column so the partitioning
     is reusable, and a hub's in-mass is a mergeable sum (AQE-splittable),
     never a buffered window.  Iteration count is a fixed constant —
-    lineage depth 5, no checkpoint needed."""
+    lineage depth 5, no checkpoint needed.  The edge relation comes from
+    :func:`pagerank_edges` (long-encoded node keys; the oracle's string
+    labels are reconstructed in one projection at the very end —
+    measured: the string-keyed variant spent the bench's single largest
+    line here), which serves the bucketed-by-src layout when the session
+    opted in (5 -> 3 exchanges/iteration, 0.77x at sf10)."""
     from ..operators.graph import pagerank_ppm
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # dedup on the INTEGER pair, label afterwards: the distinct's hash
-    # table compares 16-byte fixed rows instead of variable strings, and
-    # the label projection is free after the shrink
-    # dedup on the integer pair, then encode nodes as LONGS for the whole
-    # iterative phase — customers even (ck*2), suppliers odd (sk*2+1) —
-    # so all five join+agg rounds shuffle and hash 8-byte fixed keys, not
-    # strings; the oracle's labels are reconstructed in one projection at
-    # the very end (measured: the string-keyed variant spent the bench's
-    # single largest line here)
-    enc = (
-        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-    )
-    edges = enc.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        enc.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    pr = pagerank_ppm(edges, iterations=5, damping_pct=85)
+    pr = pagerank_ppm(pagerank_edges(spark, sf_dir), iterations=5, damping_pct=85)
     return pr.select(
         F.when(
             F.col("node") % 2 == 0,
