@@ -44,13 +44,19 @@ def main(names: list[str]) -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     names = names or [n for n in qs if n in oracles]
     failed = []
+    import time
+
     for name in names:
         try:
+            t0 = time.perf_counter()
             sdf = qs[name](spark, SF_DIR).toPandas()
+            t_spark = time.perf_counter() - t0
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(sdf)} rows) OK")
                 continue
+            t0 = time.perf_counter()
             odf = con.execute(oracles[name]).df()
+            t_oracle = time.perf_counter() - t0
             s, o = canon(sdf), canon(odf)
             if list(s.columns) != list(o.columns):
                 raise AssertionError(f"columns {list(s.columns)} vs {list(o.columns)}")
@@ -59,7 +65,11 @@ def main(names: list[str]) -> int:
             pd.testing.assert_frame_equal(
                 s, o, check_dtype=False, check_exact=False, rtol=1e-6
             )
-            print(f"  {name}: MATCH ({len(s)} rows)")
+            print(
+                f"  {name}: MATCH ({len(s)} rows) "
+                f"[spark {t_spark:.1f}s, oracle {t_oracle:.1f}s]",
+                flush=True,
+            )
         except Exception as ex:
             failed.append(name)
             msg = str(ex).split("\n")
