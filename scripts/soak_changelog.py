@@ -164,14 +164,19 @@ def _run(
     wall = time.monotonic() - t0
 
     # parse the progress log: trigger walls via addBatch, split around
-    # the resume boundary (the second started_at marker)
+    # the resume boundary (the second started_at marker).  ALL progress
+    # events count as triggers — `numInputRows` is unreliable here (the
+    # metrics layer attributes every file-source row to batch 0 under
+    # this TWS plan even though the checkpoint's source log proves
+    # maxFilesPerTrigger admission split the files 1-per-batch), so
+    # rows-based filtering would collapse the run to "one trigger".
     starts, rows = [], []
     with open(os.path.join(tmp, f"progress_{tag}.jsonl")) as fh:
         for line in fh:
             d = json.loads(line)
             if "started_at" in d:
                 starts.append(d["started_at"])
-            elif d.get("rows", 0) > 0:
+            elif d.get("durationMs"):
                 rows.append(d)
     add = sorted(r["durationMs"].get("addBatch", 0) / 1e3 for r in rows)
     n = len(add)
