@@ -18,8 +18,10 @@ Three runs over one synthesized fixture:
   A. clean, changelog OFF (snapshot mode)      -> digest + wall dist
   B. SIGKILL mid-run + resume, changelog ON, maintenanceInterval=60s
   C. SIGKILL mid-run + resume, changelog ON, maintenanceInterval=5s
+  D. cross-format upgrade: checkpoint CREATED snapshot-mode, SIGKILLed,
+     resumed under the changelog default (`--only=cross_format`)
 
-Assert digest(A) == digest(B) == digest(C).  Per run, a
+Assert all digests equal.  Per run, a
 StreamingQueryListener appends every progress event to
 ``<workdir>/progress.jsonl`` so the parent can report trigger-wall
 distribution and the resume's first-trigger (state reload + replay)
@@ -143,8 +145,14 @@ def _run(
     changelog: str,
     maintenance: str,
     kill_after: float | None,
+    resume_changelog: str | None = None,
 ) -> dict:
-    """Run to completion, optionally SIGKILLing the first attempt."""
+    """Run to completion, optionally SIGKILLing the first attempt.
+
+    ``resume_changelog`` lets the resume attempt flip the changelog conf
+    — the cross-FORMAT resume case (a snapshot-mode checkpoint resumed
+    under the changelog default, i.e. what any pre-r10 deployment hits
+    on upgrade)."""
     t0 = time.monotonic()
     killed = False
     if kill_after is not None:
@@ -158,7 +166,7 @@ def _run(
             print(f"# {tag}: finished before the kill window", flush=True)
         p.wait()
     resume_t0 = time.monotonic()
-    p = _spawn(tag, tmp, changelog, maintenance)
+    p = _spawn(tag, tmp, resume_changelog or changelog, maintenance)
     rc = p.wait()
     assert rc == 0, f"{tag}: resume run failed rc={rc}"
     wall = time.monotonic() - t0
@@ -190,6 +198,7 @@ def _run(
     out = {
         "tag": tag,
         "changelog": changelog,
+        "resume_changelog": resume_changelog or changelog,
         "maintenance": maintenance,
         "killed_mid_run": killed,
         "triggers": n,
@@ -214,6 +223,8 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "testdata_local/sf1"
     bundle, per_trigger, kill_after = 1000, 1, 240.0
+    only = None
+    keep_fixture = False
     for a in sys.argv[1:]:
         if a.startswith("--bundle="):
             bundle = int(a.split("=", 1)[1])
@@ -221,45 +232,68 @@ def main() -> None:
             per_trigger = int(a.split("=", 1)[1])
         if a.startswith("--kill-after="):
             kill_after = float(a.split("=", 1)[1])
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+        if a == "--keep-fixture":
+            keep_fixture = True
     os.environ["SOAK_PER_TRIGGER"] = str(per_trigger)
 
-    from throughput_tocsv import SDL, synthesize
-
-    from substreams_sink_graph_load_spark.session import get_spark
-
     tmp = os.path.abspath(os.path.join(".tmp", "soak_changelog"))
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    spark = get_spark(app_name="soak_synth")
-    spark.sparkContext.setLogLevel("ERROR")
-    jsonl_dir = os.path.join(tmp, "jsonl")
-    n_events, stop_block = synthesize(spark, sf_dir, jsonl_dir, bundle)
-    d = os.path.join(jsonl_dir, "position")
-    base_t = time.time()
-    for i, fn in enumerate(sorted(os.listdir(d))):
-        os.utime(os.path.join(d, fn), (base_t + i, base_t + i))
-    schema_file = os.path.join(tmp, "schema.graphql")
-    with open(schema_file, "w") as fh:
-        fh.write(SDL)
-    with open(os.path.join(tmp, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "jsonl_dir": jsonl_dir,
-                "schema_file": schema_file,
-                "stop_block": stop_block,
-                "bundle": bundle,
-            },
-            fh,
-        )
-    n_files = len(os.listdir(d))
-    print(f"# fixture: {n_events:,} events, {n_files} files", flush=True)
-    spark.stop()
+    if not (keep_fixture and os.path.exists(os.path.join(tmp, "meta.json"))):
+        from throughput_tocsv import SDL, synthesize
 
-    runs = [
-        _run("snapshot_clean", tmp, "false", "60s", kill_after=None),
-        _run("changelog_m60", tmp, "true", "60s", kill_after=kill_after),
-        _run("changelog_m5", tmp, "true", "5s", kill_after=kill_after),
-    ]
+        from substreams_sink_graph_load_spark.session import get_spark
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        spark = get_spark(app_name="soak_synth")
+        spark.sparkContext.setLogLevel("ERROR")
+        jsonl_dir = os.path.join(tmp, "jsonl")
+        n_events, stop_block = synthesize(spark, sf_dir, jsonl_dir, bundle)
+        d = os.path.join(jsonl_dir, "position")
+        base_t = time.time()
+        for i, fn in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, fn), (base_t + i, base_t + i))
+        schema_file = os.path.join(tmp, "schema.graphql")
+        with open(schema_file, "w") as fh:
+            fh.write(SDL)
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "jsonl_dir": jsonl_dir,
+                    "schema_file": schema_file,
+                    "stop_block": stop_block,
+                    "bundle": bundle,
+                },
+                fh,
+            )
+        n_files = len(os.listdir(d))
+        print(f"# fixture: {n_events:,} events, {n_files} files", flush=True)
+        spark.stop()
+
+    plan = {
+        "snapshot_clean": lambda: _run(
+            "snapshot_clean", tmp, "false", "60s", kill_after=None
+        ),
+        "changelog_m60": lambda: _run(
+            "changelog_m60", tmp, "true", "60s", kill_after=kill_after
+        ),
+        "changelog_m5": lambda: _run(
+            "changelog_m5", tmp, "true", "5s", kill_after=kill_after
+        ),
+        # upgrade path: checkpoint CREATED in snapshot mode, SIGKILLed,
+        # resumed under the changelog default (the conf every pre-r10
+        # checkpoint meets on upgrade — r10 advice item 4)
+        "cross_format": lambda: _run(
+            "cross_format",
+            tmp,
+            "false",
+            "60s",
+            kill_after=kill_after,
+            resume_changelog="true",
+        ),
+    }
+    runs = [fn() for tag, fn in plan.items() if only is None or tag in only]
     digests = {r["tag"]: r["csv_digest"] for r in runs}
     ok = len(set(digests.values())) == 1
     print(f"# digest parity: {'OK' if ok else 'FAILURE'} {digests}")

@@ -379,6 +379,11 @@ def test_pagerank_bucketed_edges_elide_iteration_exchanges(
     edge-side join ride the write-time partitioning.  Broadcast is
     disabled (at 100 TB the rank side does not fit an executor) so the
     probe shows the co-located plan, not a small-SF broadcast artifact.
+    ``spark.sql.shuffle.partitions`` is pinned to the bucket count for
+    the probe — the deployment recipe pairs them (OPERATIONS.md); with a
+    mismatched session value the rank side's shuffle produces a
+    different partitioning and Spark re-shuffles one join side (+1
+    Exchange), which is a sizing artifact, not the layout's shape.
     Results are asserted bit-identical across layouts."""
     from substreams_sink_graph_load_spark.operators.graph import (
         pagerank_iteration_probe,
@@ -405,6 +410,7 @@ def test_pagerank_bucketed_edges_elide_iteration_exchanges(
     conf = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "4",
     }
     saved = {k: spark.conf.get(k, None) for k in conf}
     try:
