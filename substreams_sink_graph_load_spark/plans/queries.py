@@ -8020,78 +8020,81 @@ _CORE = [
     "q5_region_revenue",
 ]
 
-_COST = {  # seconds at sf0.01, local[32] — full warm min-of-3 refresh,
-    # quiet host, r7 (was a mix of r5 measurements + estimates)
-    "agg_approx_distinct": 1.744, "agg_approx_percentile": 0.214,
-    "agg_count_distinct": 0.203, "agg_cube_part": 0.212,
-    "agg_grouping_sets": 0.149, "agg_percentiles": 0.214, "agg_pivot":
-    0.162, "agg_rollup_orders": 0.178, "agg_salted": 0.27,
-    "ann_ivf_nprobe4_topk": 0.845, "ann_ivf_pq_topk": 2.405,
-    "ann_ivf_recall_eval": 1.351, "ann_ivf_topk": 0.664, "ann_pq_topk":
-    1.331, "ann_topk_matmul": 0.781, "bigdecimal_normalize": 0.32,
-    "bm25_search": 0.524, "bundle_assign": 0.157, "cluster_kmeans_assign":
-    0.311, "cluster_kmeans_fit": 2.065, "contamination_probe": 0.391,
-    "curate_manifest": 1.216, "curriculum_order": 0.241,
-    "dataset_card_stats": 0.227, "decimal_arithmetic": 0.279,
-    "dedup_clusters": 1.692, "dedup_cross_source": 0.29,
-    "dedup_embedding": 0.8, "dedup_exact": 0.146, "dedup_minhash": 0.788,
-    "dedup_minhash_pairs": 1.442, "dedup_ngram_jaccard": 0.724,
-    "dedup_paragraphs": 0.425, "dedup_semantic_clusters": 1.344,
-    "dedup_simhash": 0.6, "dedup_substring_remove": 0.658,
-    "dedup_substring_stats": 0.663, "doc_fingerprint": 0.16,
-    "docs_chunk_overlap": 0.164, "dsir_importance": 0.83,
-    "embedding_quantize_int8": 0.204, "events_anomaly_mad": 0.314,
-    "events_funnel": 0.539, "events_gapfill": 0.353, "events_retention":
-    0.305, "events_sessionize": 0.267, "events_sliding_window": 0.208,
-    "events_tumbling_hour": 0.214, "filter_range": 0.175, "fuzzy_pairs":
-    0.417, "graph_pagerank": 3.299, "join_anti_customers": 0.238,
-    "join_asof": 0.242, "join_broadcast_segments": 0.277,
-    "join_correlated_min": 0.227, "join_interval_bins": 0.404,
-    "join_left_outer": 0.305, "join_range": 0.303, "join_runtime_minmax":
-    0.362, "join_semi_nations": 0.351, "lang_id_heuristic": 0.128,
-    "mix_epochs": 0.181, "mix_temperature": 0.406, "multimodal_features":
-    0.341, "ngram_counts": 0.31, "normalize_names": 0.327,
-    "pack_sequences": 0.233, "pg_csv_format": 0.165, "pii_scrub": 0.208,
-    "poi_chain": 0.893, "proto_roundtrip": 0.543, "q10_returned_items":
-    0.484, "q11_important_value": 0.641, "q12_priority_shipmode": 0.377,
-    "q13_customer_distribution": 0.333, "q14_promo_revenue": 0.344,
-    "q15_top_supplier": 0.435, "q16_supplier_relation": 0.549,
-    "q17_small_quantity": 0.46, "q18_large_orders": 0.412,
-    "q19_discounted_revenue": 0.377, "q1_pricing_summary": 0.255,
-    "q20_part_promotion": 0.511, "q21_waiting_supplier": 0.651,
-    "q22_inactive_balance": 0.364, "q2_min_cost_supplier": 0.798,
-    "q3_shipping_priority": 0.476, "q4_order_priority": 0.305,
-    "q5_region_revenue": 0.711, "q6_forecast_revenue": 0.168,
-    "q7_nation_volume": 0.538, "q8_market_share": 0.848,
-    "q9_product_profit": 0.663, "quality_gopher_rules": 0.153,
-    "quality_lm_bigram": 0.447, "quality_repetition": 0.442,
-    "quality_score": 0.233, "sample_domain_cap": 0.297,
-    "sample_lang_rebalance": 0.216, "sample_stratified": 0.233,
-    "layout_zorder_stats": 0.530, "embedding_covariance": 0.956,
-    "minhash_precision_eval": 1.531, "bpe_pair_counts": 0.342,
-    "embedding_pca_power": 0.956, "minhash_precision_tuned": 3.905,
-    "embedding_drift_by_source": 0.618, "embedding_pc1_outliers": 1.16,
-    "simhash_hamming_pairs": 0.678, "heavy_hitters_phrases": 1.245,
-    "join_salted_skew": 1.232, "minhash_recall_eval": 2.603,
-    "winnow_fingerprints": 0.945, "winnow_plagiarism_pairs": 0.87,
-    "winnow_remove": 1.289, "multimodal_png_roundtrip": 0.467,
-    "multimodal_avi_frame_sample": 0.99, "multimodal_wav_windows": 0.432,
-    "multimodal_mp4_probe": 0.446, "multimodal_mp3_probe": 0.5,
-    "sequence_pack_chunks": 0.86,
-    "scalar_array_funcs": 0.183,
-    "scalar_date_funcs": 0.163, "scalar_json_extract": 0.166,
-    "scalar_math_funcs": 0.137, "scalar_string_funcs": 0.174,
-    "scd2_immutable_rows": 0.253, "scd2_state_at_block": 0.519,
-    "scd2_validate_ops": 0.381, "scd2_versions": 0.487,
-    "sessions_attribution": 0.315, "set_except": 0.199, "set_intersect":
-    0.197, "set_union": 0.188, "shard_manifest": 0.183, "similarity_topk":
-    0.3, "sort_limit_top10": 0.174, "split_leakage_safe": 1.387,
-    "split_train_eval": 0.184, "text_stats": 0.18, "tfidf_top_terms":
-    0.458, "token_count": 0.196, "typed_extract": 0.349,
-    "unpivot_metrics": 0.126, "validate_notnull": 0.164,
-    "window_lag_delta": 0.192, "window_ntile": 0.151,
-    "window_range_frame": 0.197, "window_running_total": 0.192,
-    "window_topk_per_segment": 0.277
+_COST = {  # seconds at sf0.01, local[32] - full min-of-3 refresh,
+    # quiet host, r11 (scripts/time_queries.py x3, element-wise min)
+    "agg_approx_distinct": 1.91, "agg_approx_percentile": 0.321,
+    "agg_count_distinct": 0.305, "agg_cube_part": 0.311,
+    "agg_grouping_sets": 0.338, "agg_percentiles": 0.296,
+    "agg_pivot": 0.274, "agg_rollup_orders": 0.282, "agg_salted": 0.469,
+    "ann_ivf_nprobe4_topk": 1.13, "ann_ivf_pq_topk": 2.673,
+    "ann_ivf_recall_eval": 1.769, "ann_ivf_topk": 0.961,
+    "ann_pq_topk": 1.912, "ann_topk_matmul": 2.321,
+    "bigdecimal_normalize": 0.469, "bm25_search": 0.903,
+    "bpe_pair_counts": 0.503, "bundle_assign": 0.493,
+    "cluster_kmeans_assign": 0.48, "cluster_kmeans_fit": 2.845,
+    "contamination_probe": 0.543, "curate_manifest": 1.298,
+    "curriculum_order": 0.376, "dataset_card_stats": 0.397,
+    "decimal_arithmetic": 0.492, "dedup_clusters": 1.37,
+    "dedup_cross_source": 0.529, "dedup_embedding": 1.032,
+    "dedup_exact": 0.234, "dedup_minhash": 0.5,
+    "dedup_minhash_pairs": 0.939, "dedup_ngram_jaccard": 1.335,
+    "dedup_paragraphs": 0.807, "dedup_semantic_clusters": 1.355,
+    "dedup_simhash": 0.742, "dedup_substring_remove": 11.051,
+    "dedup_substring_stats": 1.36, "doc_fingerprint": 0.346,
+    "docs_chunk_overlap": 0.228, "dsir_importance": 1.425,
+    "embedding_covariance": 1.487, "embedding_drift_by_source": 0.966,
+    "embedding_pc1_outliers": 1.663, "embedding_pca_power": 1.489,
+    "embedding_quantize_int8": 0.313, "events_anomaly_mad": 0.504,
+    "events_funnel": 0.719, "events_gapfill": 0.676,
+    "events_retention": 0.567, "events_sessionize": 0.562,
+    "events_sliding_window": 0.354, "events_tumbling_hour": 0.346,
+    "filter_range": 0.246, "fuzzy_pairs": 0.65, "graph_pagerank": 5.396,
+    "heavy_hitters_phrases": 1.488, "join_anti_customers": 0.301,
+    "join_asof": 0.417, "join_broadcast_segments": 0.428,
+    "join_correlated_min": 0.326, "join_interval_bins": 0.669,
+    "join_left_outer": 0.444, "join_range": 0.434,
+    "join_runtime_minmax": 0.564, "join_salted_skew": 0.669,
+    "join_semi_nations": 0.479, "lang_id_heuristic": 0.22,
+    "layout_zorder_stats": 0.5, "minhash_precision_eval": 1.772,
+    "minhash_precision_tuned": 1.835, "minhash_recall_eval": 2.804,
+    "mix_epochs": 0.259, "mix_temperature": 0.758,
+    "multimodal_avi_frame_sample": 0.669, "multimodal_features": 0.36,
+    "multimodal_mp3_probe": 0.459, "multimodal_mp4_probe": 0.426,
+    "multimodal_png_roundtrip": 0.449, "multimodal_wav_windows": 0.474,
+    "ngram_counts": 0.551, "normalize_names": 0.502,
+    "pack_sequences": 0.476, "pg_csv_format": 1.709, "pii_scrub": 0.397,
+    "poi_chain": 1.061, "proto_roundtrip": 0.92,
+    "q10_returned_items": 0.755, "q11_important_value": 0.891,
+    "q12_priority_shipmode": 0.445, "q13_customer_distribution": 0.533,
+    "q14_promo_revenue": 0.461, "q15_top_supplier": 0.674,
+    "q16_supplier_relation": 0.8, "q17_small_quantity": 0.59,
+    "q18_large_orders": 0.475, "q19_discounted_revenue": 0.62,
+    "q1_pricing_summary": 0.622, "q20_part_promotion": 0.753,
+    "q21_waiting_supplier": 0.848, "q22_inactive_balance": 0.623,
+    "q2_min_cost_supplier": 0.999, "q3_shipping_priority": 1.074,
+    "q4_order_priority": 0.424, "q5_region_revenue": 1.301,
+    "q6_forecast_revenue": 0.276, "q7_nation_volume": 0.807,
+    "q8_market_share": 1.068, "q9_product_profit": 0.882,
+    "quality_gopher_rules": 0.19, "quality_lm_bigram": 0.682,
+    "quality_repetition": 0.432, "quality_score": 0.294,
+    "sample_domain_cap": 0.415, "sample_lang_rebalance": 0.167,
+    "sample_stratified": 0.275, "scalar_array_funcs": 0.227,
+    "scalar_date_funcs": 0.223, "scalar_json_extract": 0.237,
+    "scalar_math_funcs": 0.238, "scalar_string_funcs": 0.195,
+    "scd2_immutable_rows": 0.479, "scd2_state_at_block": 1.301,
+    "scd2_validate_ops": 1.44, "scd2_versions": 1.072,
+    "sequence_pack_chunks": 0.917, "sessions_attribution": 0.605,
+    "set_except": 0.376, "set_intersect": 0.319, "set_union": 0.337,
+    "shard_manifest": 0.318, "simhash_hamming_pairs": 1.491,
+    "similarity_topk": 0.568, "sort_limit_top10": 0.27,
+    "split_leakage_safe": 1.781, "split_train_eval": 0.285,
+    "text_stats": 0.195, "tfidf_top_terms": 0.834, "token_count": 0.32,
+    "typed_extract": 0.544, "unpivot_metrics": 0.258,
+    "validate_notnull": 0.169, "window_lag_delta": 0.348,
+    "window_ntile": 0.329, "window_range_frame": 0.316,
+    "window_running_total": 0.394, "window_topk_per_segment": 0.48,
+    "winnow_fingerprints": 0.612, "winnow_plagiarism_pairs": 1.306,
+    "winnow_remove": 2.213
 }
 
 
