@@ -287,11 +287,58 @@ def classify_sf1_ratios(
     }
 
 
+def loadavg_sample() -> dict:
+    """One ``/proc/loadavg`` sample with a wall-clock stamp.
+
+    Host-load evidence belongs IN the bench artifact (r11 verdict
+    item 3): two rounds of drift adjudications turned on "what was the
+    host doing", and the answer lived in PLANS.md narrative instead of
+    the record.  A sample per pass (and per sf1 query) makes the
+    artifact-vs-regression call data-in-record."""
+    try:
+        with open("/proc/loadavg") as fh:
+            load = [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        load = []
+    return {"t": round(time.time(), 1), "loadavg": load}
+
+
+def _prior_record() -> dict:
+    """The last committed sf0.1 detail record (empty dict if absent or
+    unparseable) — the cross-round comparator's baseline and the
+    carry-forward source when a run skips the sf1 sweep."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def carry_forward_sf1(prior_record: dict) -> dict | None:
+    """When a run skips the sf1 sweep, the rewritten sf0.1 record must
+    carry the last committed record's sf1 section forward (marked) —
+    the cross-round drift comparator baselines against "the last
+    committed BENCH_DETAIL.json", and a no-sf1 run silently erasing the
+    section would make the next sweep's tripwire compare against
+    nothing (r11 advice item 2).  Returns None when there is nothing to
+    carry."""
+    prior = prior_record.get("sf1")
+    if not prior:
+        return None
+    out = dict(prior)
+    out["carried_forward"] = True
+    return out
+
+
 def compare_sf1_cross_round(
     new_walls: dict[str, float],
     prior_walls: dict[str, float],
     ratio_floor: float = 1.5,
     wall_floor: float = 2.0,
+    new_loads: dict[str, float] | None = None,
 ) -> dict[str, dict]:
     """Flag per-query sf1 drift ACROSS rounds (r10 verdict item 1).
 
@@ -305,6 +352,10 @@ def compare_sf1_cross_round(
     >=2s floor the within-run tripwire earned: sub-2s walls are
     page-cache/GC noise territory).  Failed runs (negative walls) on
     either side are skipped — a FAIL is its own loud signal.
+
+    Each flag entry carries the 1-minute host load sampled right after
+    the flagged measurement when ``new_loads`` provides one — the first
+    number an adjudicator checks.
     """
     out = {}
     for q, w in new_walls.items():
@@ -317,6 +368,8 @@ def compare_sf1_cross_round(
                 "prior_wall": p,
                 "ratio": round(w / p, 2),
             }
+            if new_loads is not None and q in new_loads:
+                out[q]["load_1m"] = new_loads[q]
     return out
 
 
@@ -347,7 +400,10 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     pass_totals: list[float] = []
+    launch_load = loadavg_sample()
+    pass_loads: list[dict] = []
     for r in range(runs):
+        pass_loads.append(loadavg_sample())
         pass_total = 0.0
         for name in HEADLINE:
             fn = QUERIES[name]
@@ -414,6 +470,10 @@ def main() -> None:
             "query": worst,
             "spread_sec": round(spreads[worst], 3),
         },
+        # host-load evidence IN the record (r11 verdict item 3): one
+        # /proc/loadavg sample at launch and at the start of each pass
+        "launch_load": launch_load,
+        "pass_loads": pass_loads,
     }
 
     # sf1 scale-proof section: single pass over the FULL light set (every
@@ -443,6 +503,7 @@ def main() -> None:
             )
         )
         sf1_timings: dict[str, float] = {}
+        sf1_loads: dict[str, float] = {}
         for name in sf1_set:
             t0 = time.perf_counter()
             try:
@@ -453,6 +514,9 @@ def main() -> None:
             except Exception as exc:  # loud in the detail record
                 sf1_timings[name] = -1.0
                 print(f"# sf1 {name}: FAIL {exc}", file=sys.stderr)
+            sample = loadavg_sample()
+            if sample["loadavg"]:
+                sf1_loads[name] = sample["loadavg"][0]
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
             spark.catalog.clearCache()
         # sf0.1 baseline for the ratio column: headline queries use their
@@ -485,17 +549,7 @@ def main() -> None:
         # last committed record's BEFORE overwriting it (r10 verdict
         # item 1 — three records of monotone pagerank/ivf_pq drift went
         # unflagged because no tripwire looked across rounds)
-        prior_sf1: dict[str, float] = {}
-        prior_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        try:
-            with open(prior_path) as fh:
-                prior_sf1 = (
-                    json.load(fh).get("sf1", {}).get("queries", {}) or {}
-                )
-        except (OSError, ValueError):
-            pass
+        prior_sf1 = _prior_record().get("sf1", {}).get("queries", {}) or {}
         out["sf1"] = {
             "dir": sf1_dir,
             "sf": 1.0,
@@ -503,11 +557,18 @@ def main() -> None:
             "total": round(sum(t for t in sf1_timings.values() if t > 0), 3),
             "scale_ratio": ratios,
             "baseline_single_pass": sorted(single_pass_base),
+            # 1-minute host load sampled right after each query — the
+            # adjudication evidence lives in the record (r11 item 3)
+            "load_1m": sf1_loads,
             **classify_sf1_ratios(ratios, sf1_timings),
             "cross_round_drift": compare_sf1_cross_round(
-                sf1_timings, prior_sf1
+                sf1_timings, prior_sf1, new_loads=sf1_loads
             ),
         }
+    elif sf == 0.1:
+        carried = carry_forward_sf1(_prior_record())
+        if carried is not None:
+            out["sf1"] = carried
 
     # the committed BENCH_DETAIL.json is the sf0.1 headline record ONLY —
     # a quick smoke at another SF must not overwrite it

@@ -39,6 +39,11 @@ AUDIT = [
     # src); its final plan is a checkpoint scan, so its Exchange count is
     # taken from the iteration probe instead (see below)
     "graph_pagerank",
+    # served from the DERIVED fitted IVF-PQ index members (annivfpq_*):
+    # the bucketed run skips the inline seed-collect + Lloyd fit + encode
+    # (~60% of the cold sf1 wall, r11 phase breakdown) and its probe
+    # filter lands as PartitionFilters on the cell-partitioned codes scan
+    "ann_ivf_pq_topk",
 ]
 
 DB = "graft_bucketed_audit"
@@ -103,7 +108,13 @@ def main() -> None:
     def _probe_exchanges(name: str) -> int:
         """graph_pagerank's final plan is an eager-checkpoint scan, so
         count the ITERATED shape's Exchanges via the shared probe over
-        the edges the current layout serves."""
+        the edges the current layout serves.  ``spark.sql.shuffle.
+        partitions`` is pinned to the bucket count for the probe (and
+        restored) — the deployment recipe pairs them; with a mismatched
+        session value the rank side's shuffle produces a different
+        partitioning and Spark re-shuffles one join side (+1 Exchange),
+        a sizing artifact tests/test_plan_shapes.py documents, not the
+        layout's shape."""
         if name != "graph_pagerank":
             return -1
         from substreams_sink_graph_load_spark.operators.graph import (
@@ -112,9 +123,19 @@ def main() -> None:
         from substreams_sink_graph_load_spark.plans import queries as Q
 
         Q._BUCKETED_SF.clear()
-        return _exchanges(
-            _explain(pagerank_iteration_probe(Q.pagerank_edges(spark, sf_dir)))
-        )
+        saved = spark.conf.get("spark.sql.shuffle.partitions", None)
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
+            return _exchanges(
+                _explain(
+                    pagerank_iteration_probe(Q.pagerank_edges(spark, sf_dir))
+                )
+            )
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     ok = True
     for name in AUDIT:

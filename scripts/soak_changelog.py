@@ -28,7 +28,7 @@ distribution and the resume's first-trigger (state reload + replay)
 time.
 
 Usage: python scripts/soak_changelog.py [sf_dir] [--bundle=1000]
-           [--per-trigger=1] [--kill-after=FRACTION_OR_SECONDS]
+           [--per-trigger=1] [--kill-after=SECONDS]
        python scripts/soak_changelog.py --child <tag> <tmp> <changelog>
            <maintenance>          (internal: one run_stream execution)
 """
@@ -189,11 +189,18 @@ def _run(
     add = sorted(r["durationMs"].get("addBatch", 0) / 1e3 for r in rows)
     n = len(add)
     resume_first = None
+    # split the progress rows around the resume boundary so the row
+    # counts report the killed attempt and the resume SEPARATELY — the
+    # resume replays input the killed attempt already consumed, so a
+    # single summed "rows" double-counts the replayed span
+    resume_rows = rows
+    killed_rows: list[dict] = []
     if killed and len(starts) >= 2:
-        after = [r for r in rows if r["at"] > starts[-1]]
-        if after:
+        resume_rows = [r for r in rows if r["at"] > starts[-1]]
+        killed_rows = [r for r in rows if r["at"] <= starts[-1]]
+        if resume_rows:
             resume_first = round(
-                after[0]["durationMs"].get("addBatch", 0) / 1e3, 1
+                resume_rows[0]["durationMs"].get("addBatch", 0) / 1e3, 1
             )
     out = {
         "tag": tag,
@@ -202,7 +209,8 @@ def _run(
         "maintenance": maintenance,
         "killed_mid_run": killed,
         "triggers": n,
-        "rows": sum(r["rows"] for r in rows),
+        "rows_resume": sum(r["rows"] for r in resume_rows),
+        "rows_killed_attempt": sum(r["rows"] for r in killed_rows),
         "addBatch_p50": round(add[n // 2], 1) if n else None,
         "addBatch_p90": round(add[int(n * 0.9)], 1) if n else None,
         "addBatch_max": round(add[-1], 1) if n else None,

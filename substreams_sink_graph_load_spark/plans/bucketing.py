@@ -21,6 +21,7 @@ Catalyst, not custom code.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +83,55 @@ def bucketed_tables(
 # Table property recording the source sf_dir of a bucketed layout.
 SF_DIR_PROP = "spark_graft.sf_dir"
 
+# Table property recording a content fingerprint of the layout member's
+# SOURCE files (r11 advice item 5): the sf_dir path stamp catches a
+# layout pointed at the wrong scale, but not source parquet REGENERATED
+# in place — same path, different rows — which would leave a derived
+# member (pagerank_edges, the IVF-PQ index) silently serving a stale
+# snapshot.  The value is self-describing ("file:size:mtime_ns;…") so
+# the consumer can re-stat the same files without a mapping table.
+# Layouts written before r12 lack the property; consumers skip the check
+# for them (the sf_dir stamp still guards scale).
+SRC_FP_PROP = "spark_graft.src_fingerprint"
+
+# Source parquet files (relative to sf_dir) each layout member is built
+# from — the fingerprint's stat list.
+_MEMBER_SOURCES: dict[str, tuple[str, ...]] = {
+    "documents": ("documents.parquet",),
+    "embeddings": ("embeddings.parquet",),
+    "events": ("events.parquet",),
+    "pagerank_edges": ("orders.parquet", "lineitem.parquet"),
+    "annivfpq_centroids": ("embeddings.parquet",),
+    "annivfpq_codebooks": ("embeddings.parquet",),
+    "annivfpq_codes": ("embeddings.parquet",),
+}
+
+
+def src_fingerprint(sf_dir: str, names: tuple[str, ...]) -> str:
+    """``file:size:mtime_ns;…`` over the named files under ``sf_dir``
+    (os.stat — a regenerated parquet file or directory moves its mtime).
+    Missing files stat as ``file:absent`` so a comparison still fails
+    loudly rather than raising here."""
+    parts = []
+    for n in names:
+        p = os.path.join(sf_dir, n)
+        try:
+            st = os.stat(p)
+            parts.append(f"{n}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{n}:absent")
+    return ";".join(parts)
+
+
+def check_src_fingerprint(stamp: str, sf_dir: str) -> str | None:
+    """Re-stat the files a ``SRC_FP_PROP`` stamp names and return a
+    mismatch description, or None when the sources are unchanged."""
+    names = tuple(p.split(":", 1)[0] for p in stamp.split(";") if p)
+    current = src_fingerprint(sf_dir, names)
+    if current != stamp:
+        return f"stamped {stamp!r} but sources now {current!r}"
+    return None
+
 # The id-join family's hot keys: the keys these tables are joined /
 # windowed / per-id-aggregated on by the registry queries every round.
 REGISTRY_BUCKET_KEYS: dict[str, tuple[str, ...]] = {
@@ -121,12 +171,29 @@ def registry_layout(
     ``events`` is written through the same vintage normalization the
     parquet path applies (plans.queries._events), so the bucketed table
     stores the already-normalized microsecond timestamps.
-    ``pagerank_edges`` is the one DERIVED member: the long-encoded
-    purchase-graph edge relation (plans.queries.pagerank_edges), paid for
-    once at layout time so graph_pagerank's five per-iteration edge
-    exchanges collapse to bucket-file reads.
+
+    DERIVED members — relations PAID FOR at layout time so their
+    data-scaled derivation cost disappears from every serving run:
+
+    - ``pagerank_edges``: the long-encoded purchase-graph edge relation
+      (plans.queries.pagerank_edges), bucketed by src so graph_pagerank's
+      five per-iteration edge exchanges collapse to bucket-file reads.
+    - ``annivfpq_centroids`` / ``annivfpq_codebooks`` /
+      ``annivfpq_codes``: the fitted registry IVF-PQ index
+      (plans.queries._ivfpq_fit_registry — the exact fit the inline
+      query performs, so served results are hash-identical).  The codes
+      table is PARTITIONED BY cell, so a search's probe filter becomes
+      PartitionFilters and unprobed cells' files are never read; the
+      centroid/codebook tables are kilobytes.  The fit (~60% of the
+      query's cold wall at sf1) is the build-once cost.
+
+    Derived members go stale if their SOURCE parquet is regenerated in
+    place (same path, new rows) — every member therefore also carries a
+    ``SRC_FP_PROP`` content fingerprint (size+mtime of its source files)
+    that ``plans.queries._bucketed`` re-checks at serve time and refuses
+    to serve on mismatch: rebuild the layout after regenerating testdata.
     """
-    from .queries import _events, pagerank_edges
+    from .queries import _events, _ivfpq_fit_registry, pagerank_edges
 
     frames = {
         "documents": (
@@ -151,12 +218,49 @@ def registry_layout(
         ),
     }
     bucketed_tables(spark, database, location, frames)
-    # Provenance stamp: record WHICH sf_dir each table was built from, so
-    # the query harness can refuse to serve wrong-scale data when the env
-    # var points a different sf_dir's run at this layout (r8 advice item).
+
+    # The fitted IVF-PQ index members (derived; see docstring).  The fit
+    # reads the PLAIN sf_dir parquet — building a layout must never read
+    # a (possibly stale) prior layout through the env-var dispatch.
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents, books, codes = _ivfpq_fit_registry(e)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.format("parquet").mode("overwrite").saveAsTable(
+        f"{database}.annivfpq_centroids"
+    )
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.format("parquet").mode("overwrite").saveAsTable(
+        f"{database}.annivfpq_codebooks"
+    )
+    codes.write.format("parquet").mode("overwrite").partitionBy(
+        "cell"
+    ).saveAsTable(f"{database}.annivfpq_codes")
+
+    # Provenance stamps: WHICH sf_dir each table was built from (so the
+    # query harness refuses wrong-scale serves, r8 advice item) plus the
+    # source-content fingerprint (so in-place regenerated sources refuse
+    # stale serves, r11 advice item 5).
     src = sf_dir.replace("'", "''")
-    for name in frames:
+    members = list(frames) + [
+        "annivfpq_centroids",
+        "annivfpq_codebooks",
+        "annivfpq_codes",
+    ]
+    for name in members:
+        fp = src_fingerprint(sf_dir, _MEMBER_SOURCES[name]).replace("'", "''")
         spark.sql(
             f"ALTER TABLE {database}.{name} SET TBLPROPERTIES "
-            f"('{SF_DIR_PROP}' = '{src}')"
+            f"('{SF_DIR_PROP}' = '{src}', '{SRC_FP_PROP}' = '{fp}')"
         )

@@ -49,8 +49,8 @@ def _q(name: str, oracle: str | None = None):
 
 
 # SHOW TBLPROPERTIES results per (db, table) — one catalog roundtrip per
-# session, not one per query
-_BUCKETED_SF: dict[tuple[str, str], str] = {}
+# session, not one per query.  Value: (sf_dir stamp, src fingerprint).
+_BUCKETED_SF: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def _bucketed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
@@ -66,14 +66,17 @@ def _bucketed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
         return None
     key = (db, name)
     if key not in _BUCKETED_SF:
-        from .bucketing import SF_DIR_PROP
+        from .bucketing import SF_DIR_PROP, SRC_FP_PROP
 
         props = {
             r["key"]: r["value"]
             for r in spark.sql(f"SHOW TBLPROPERTIES {db}.{name}").collect()
         }
-        _BUCKETED_SF[key] = props.get(SF_DIR_PROP, "")
-    src = _BUCKETED_SF[key]
+        _BUCKETED_SF[key] = (
+            props.get(SF_DIR_PROP, ""),
+            props.get(SRC_FP_PROP, ""),
+        )
+    src, fp = _BUCKETED_SF[key]
     if not src:
         raise ValueError(
             f"bucketed table {db}.{name} carries no source-sf_dir stamp "
@@ -86,6 +89,22 @@ def _bucketed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
             f"run requests {sf_dir!r} — unset SPARK_GRAFT_BUCKETED_DB or "
             "rebuild the layout at the requested scale"
         )
+    # content fingerprint (r11 advice item 5): the path stamp cannot see
+    # source parquet REGENERATED in place — same sf_dir, new rows — which
+    # would leave a derived member (pagerank_edges, the IVF-PQ index)
+    # silently serving stale snapshot data.  Layouts stamped before r12
+    # carry no fingerprint; the path check above still guards scale.
+    if fp:
+        from .bucketing import check_src_fingerprint
+
+        mismatch = check_src_fingerprint(fp, sf_dir)
+        if mismatch is not None:
+            raise ValueError(
+                f"bucketed table {db}.{name} is STALE — its source parquet "
+                f"changed since the layout was built ({mismatch}); rebuild "
+                "with plans.bucketing.registry_layout or unset "
+                "SPARK_GRAFT_BUCKETED_DB"
+            )
     return spark.table(f"{db}.{name}")
 
 
@@ -5323,27 +5342,68 @@ def ann_ivf_pq_topk(spark, sf_dir):
     import numpy as np
 
     from ..operators.ann import exact_rerank, sample_queries
-    from ..operators.pq import (
-        ivfpq_encode,
-        ivfpq_residuals,
-        ivfpq_search,
-        pq_fit,
-    )
+    from ..operators.pq import ivfpq_search
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    seeds = e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(256).collect()
-    cents = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
-    resid = ivfpq_residuals(e, cents)
-    books = pq_fit(resid, m=16, ks=64, iters=2, emb_col="residual")
-    codes = ivfpq_encode(resid, books)
+    # served-index dispatch (r11 verdict item 2): the fit is ~60% of the
+    # cold sweep wall (18.2s of 30.9s at sf1, phase-measured) and a
+    # deployment pays it ONCE at layout build — when the bucketed layout
+    # carries the fitted index (plans/bucketing.registry_layout), load
+    # centroids+codebooks (kilobytes, exact float64 parquet round-trips)
+    # and serve the cell-PARTITIONED codes table, whose probe filter
+    # lands as PartitionFilters so unprobed cells' files are never read.
+    # Provenance/scale checks ride _bucketed; the self-contained inline
+    # fit stays the default so the oracle contract holds anywhere.
+    codes = _bucketed(spark, sf_dir, "annivfpq_codes")
+    if codes is not None:
+        crows = (
+            _bucketed(spark, sf_dir, "annivfpq_centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        cents = np.array([list(r["centroid"]) for r in crows], dtype=np.float64)
+        brows = (
+            _bucketed(spark, sf_dir, "annivfpq_codebooks")
+            .orderBy("sub", "code")
+            .collect()
+        )
+        m = 1 + max(r["sub"] for r in brows)
+        ks = 1 + max(r["code"] for r in brows)
+        books = np.zeros((m, ks, len(brows[0]["centroid"])), dtype=np.float64)
+        for r in brows:
+            books[r["sub"], r["code"]] = r["centroid"]
+    else:
+        cents, books, codes = _ivfpq_fit_registry(e)
     queries = sample_queries(e, 100, limit=64)
     n = e.count()
     shortlist = ivfpq_search(
         codes, cents, books, queries, k=max(48, n // 24), nprobe=2
     )
     return exact_rerank(e, shortlist, queries, k=5)
+
+
+def _ivfpq_fit_registry(e: DataFrame):
+    """The registry ``ann_ivf_pq_topk`` index fit — seeds, residual-PQ
+    codebooks, codes — shared VERBATIM by the inline query path and the
+    served-layout builder (plans/bucketing.registry_layout), so hash
+    parity between the two paths holds by construction: same
+    deterministic seed rule (vec_id%50, capped 256), same Lloyd
+    parameters (m=16, ks=64, iters=2), no RNG anywhere.  Returns
+    ``(cents ndarray, books ndarray, codes DataFrame)``."""
+    import numpy as np
+
+    from ..operators.pq import ivfpq_encode, ivfpq_residuals, pq_fit
+
+    seeds = (
+        e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(256).collect()
+    )
+    cents = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
+    resid = ivfpq_residuals(e, cents)
+    books = pq_fit(resid, m=16, ks=64, iters=2, emb_col="residual")
+    codes = ivfpq_encode(resid, books)
+    return cents, books, codes
 
 
 @_q(

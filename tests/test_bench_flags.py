@@ -12,8 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (
     BOUNDED_CONTRACT,
+    carry_forward_sf1,
     classify_sf1_ratios,
     compare_sf1_cross_round,
+    loadavg_sample,
 )
 
 
@@ -105,3 +107,39 @@ def test_bounded_contract_names_exist_in_registry():
 
     for name in BOUNDED_CONTRACT:
         assert name in QUERIES, name
+
+
+def test_loadavg_sample_shape():
+    # r11 verdict item 3: host-load evidence lives IN the bench record —
+    # a sample is a timestamp plus the three /proc/loadavg floats
+    s = loadavg_sample()
+    assert isinstance(s["t"], float)
+    assert len(s["loadavg"]) == 3
+    assert all(isinstance(x, float) and x >= 0.0 for x in s["loadavg"])
+
+
+def test_cross_round_drift_carries_load_evidence():
+    out = compare_sf1_cross_round(
+        {"graph_pagerank": 48.0},
+        {"graph_pagerank": 17.4},
+        new_loads={"graph_pagerank": 7.25},
+    )
+    assert out["graph_pagerank"]["load_1m"] == 7.25
+    # no loads supplied -> flag entries simply omit the field
+    out = compare_sf1_cross_round(
+        {"graph_pagerank": 48.0}, {"graph_pagerank": 17.4}
+    )
+    assert "load_1m" not in out["graph_pagerank"]
+
+
+def test_carry_forward_sf1_marks_and_preserves():
+    # r11 advice item 2: a run without the sf1 sweep must not erase the
+    # committed drift baseline
+    prior = {"sf1": {"queries": {"q": 10.0}, "total": 10.0}}
+    carried = carry_forward_sf1(prior)
+    assert carried["carried_forward"] is True
+    assert carried["queries"] == {"q": 10.0}
+    # the prior record's own section is not mutated
+    assert "carried_forward" not in prior["sf1"]
+    assert carry_forward_sf1({}) is None
+    assert carry_forward_sf1({"sf1": {}}) is None

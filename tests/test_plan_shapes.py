@@ -439,6 +439,12 @@ def test_pagerank_bucketed_edges_elide_iteration_exchanges(
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP DATABASE IF EXISTS prshape CASCADE")
+        # drop the cached provenance for the now-dropped database too —
+        # a later test recreating a 'prshape' DB from a different sf_dir
+        # must re-read TBLPROPERTIES, not trust this test's entry
+        from substreams_sink_graph_load_spark.plans import queries as Q
+
+        Q._BUCKETED_SF.clear()
     assert buck_rows == plain_rows
     assert plain_ex == 5, plain_ex
     assert buck_ex == 3, buck_ex
