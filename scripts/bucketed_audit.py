@@ -78,6 +78,12 @@ def main() -> None:
             buckets = int(a.split("=", 1)[1])
 
     os.environ.pop("SPARK_GRAFT_BUCKETED_DB", None)
+    # the audit session carries the layout BUILD (now including the sf10
+    # IVF-PQ fit/encode) plus every query twice; under the 8g default the
+    # r12 sf10 run exhausted execution memory caching pagerank's edges
+    # (36 SparkOutOfMemoryErrors).  Same lever as bench.py: a 32-thread
+    # local JVM doing sf10 work needs the bigger heap.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark()
     from substreams_sink_graph_load_spark.plans import QUERIES
     from substreams_sink_graph_load_spark.plans.bucketing import (
