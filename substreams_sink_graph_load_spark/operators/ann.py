@@ -39,6 +39,24 @@ _PARTIAL_SCHEMA = StructType(
 )
 
 
+def fan_out_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the plan's current partitioning is narrower — otherwise pass through
+    untouched (zero shuffle where it matters).
+
+    The simhash_sketch/gram_sets fan-out rule shared by the numeric
+    mapInPandas operators (r12): a small-SF embeddings.parquet is ONE
+    row group, so every Lloyd round, encode and ADC search inherited a
+    1-task scan and ran single-core (profiled: the PQ fit collects were
+    3 of the 4 largest stages of ann_pq_topk/ann_ivf_pq_topk).  At
+    production scale the scan already yields far more splits than cores
+    and this branch never fires."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _topk_tiesafe(cand: np.ndarray, cand_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (value desc, id asc).
 
@@ -96,7 +114,9 @@ def topk_matmul(
                     }
                 )
 
-    partials = corpus.select(id_col, emb_col).mapInPandas(partial, _PARTIAL_SCHEMA)
+    partials = fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
+        partial, _PARTIAL_SCHEMA
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -147,7 +167,7 @@ def ivf_assign_dot(
         [f for f in df.select(id_col, vec_col).schema.fields]
         + [StructField("cid", LongType())]
     )
-    return df.mapInPandas(assign, schema)
+    return fan_out_narrow(df).mapInPandas(assign, schema)
 
 
 def sample_queries(

@@ -88,8 +88,12 @@ def kmeans_fit(
     cents = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
 
     # every Lloyd round re-reads this frame; persist once so iterations
-    # hit cached partitions instead of re-scanning parquet each time
-    data = df.select(id_col, vec_col).persist()
+    # hit cached partitions instead of re-scanning parquet each time.
+    # Fan out a narrower-than-cluster scan first (r12): a one-row-group
+    # parquet otherwise runs every round's partials on a single task.
+    from .ann import fan_out_narrow
+
+    data = fan_out_narrow(df.select(id_col, vec_col)).persist()
     try:
         cents = _lloyd_rounds(data, cents, iters, vec_col)
     finally:
@@ -164,6 +168,8 @@ def kmeans_sse(
         if seen:
             yield pd.DataFrame({"sse": [s]})
 
-    part = df.select(vec_col).mapInPandas(partials, "sse double")
+    from .ann import fan_out_narrow
+
+    part = fan_out_narrow(df.select(vec_col)).mapInPandas(partials, "sse double")
     row = part.agg(F.sum("sse").alias("sse")).collect()[0]
     return float(row["sse"] or 0.0)

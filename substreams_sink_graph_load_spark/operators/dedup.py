@@ -175,7 +175,24 @@ def minhash_candidate_pairs(
     sk2 = sk2.persist(StorageLevel.MEMORY_AND_DISK)
     a = sk2.alias("a")
     b = sk2.alias("b")
-    pairs = (
+    # The signature-agreement count evaluates IN the join's output
+    # projection, before the per-pair aggregation (r12, measured): the
+    # old shape carried both sig ARRAYS through the groupBy via
+    # first(sig_a)/first(sig_b), and array-typed agg buffers force
+    # SortAggregate — two full sorts of the collision stream plus both
+    # arrays crossing the pair exchange.  A pair's sigs are identical in
+    # every band it collides in, so agree is constant per (doc_a, doc_b)
+    # and max(agree) == agree; counting it per collision row costs at
+    # most bands-many extra zip_withs but turns the agg into a codegen
+    # HashAggregate whose exchange carries one long per pair (guide
+    # §2.3: shuffle fewer bytes).
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda e: e,
+        )
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -185,24 +202,13 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            agree.alias("_agree"),
         )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").cast("long").alias("n_shared_bands"),
-            F.first("sig_a").alias("sig_a"),
-            F.first("sig_b").alias("sig_b"),
+            F.max("_agree").alias("n_sig_agree"),
         )
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda e: e,
-        )
-    ).cast("long")
-    return pairs.select(
-        "doc_a", "doc_b", "n_shared_bands", agree.alias("n_sig_agree")
     )
 
 
@@ -515,6 +521,20 @@ def fuzzy_candidate_pairs(
         *[F.col(c) for c in bucket_cols],
         F.col(text_col),
         band.alias("_band"),
+    )
+    # Pin the (bucket, band) partitioning EXPLICITLY at the session's
+    # shuffle-partition width (r12, measured): the cap window's implicit
+    # exchange is AQE-coalesced by BYTES, which cannot see that the
+    # probe side downstream explodes to O(bucket^2) Levenshtein pairs —
+    # at sf0.1 the whole 620k-pair join ran as ONE task on a 113 KB
+    # coalesced partition (6.6s of a 6.7s wall).  An explicit
+    # numPartitions repartition is exempt from AQE coalescing, the cap
+    # window reuses it (same keys: no second exchange), and at scale it
+    # IS the exchange the plan paid anyway.
+    t = t.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        *[F.col(c) for c in bucket_cols],
+        F.col("_band"),
     )
     if max_bucket is not None:
         from pyspark.sql import Window

@@ -99,7 +99,14 @@ def pq_fit(
         [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
     )  # (m, ks, dsub)
 
-    data = corpus.select(F.col(emb_col).cast("array<double>").alias("_v")).persist()
+    # fan out a narrower-than-cluster scan before the Lloyd rounds (r12):
+    # every round streams this frame through mapInPandas, and a one-row-
+    # group parquet otherwise serializes all of them on a single task
+    from .ann import fan_out_narrow
+
+    data = fan_out_narrow(
+        corpus.select(F.col(emb_col).cast("array<double>").alias("_v"))
+    ).persist()
     try:
         for _ in range(iters):
             cur = books
@@ -186,7 +193,11 @@ def pq_encode(
                 }
             )
 
-    return corpus.select(id_col, emb_col).mapInPandas(encode, _CODES_SCHEMA)
+    from .ann import fan_out_narrow
+
+    return fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
+        encode, _CODES_SCHEMA
+    )
 
 
 def pq_search(
@@ -351,7 +362,13 @@ def ivfpq_residuals(
             StructField("residual", ArrayType(DoubleType())),
         ]
     )
-    return corpus.select(id_col, emb_col).mapInPandas(rez, schema)
+    from .ann import fan_out_narrow
+
+    # residuals feed the PQ fit AND the encode pass — fanning out here
+    # parallelizes both (and pq_fit's own fan-out becomes a no-op)
+    return fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
+        rez, schema
+    )
 
 
 def ivfpq_fit(

@@ -5931,7 +5931,23 @@ def graph_pagerank(spark, sf_dir):
     opted in (5 -> 3 exchanges/iteration, 0.77x at sf10)."""
     from ..operators.graph import pagerank_ppm
 
-    pr = pagerank_ppm(pagerank_edges(spark, sf_dir), iterations=5, damping_pct=85)
+    # symmetric=True: pagerank_edges emits both directions, so every node
+    # is a src AND a dst — the operator drops the nodes relation and the
+    # per-iteration left join (bit-identical integer ranks, see
+    # operators/graph.py; r12 profile: 39 jobs/84 stages -> ~half).
+    # copartition pins the edge partitioning at the session's shuffle
+    # width on the inline path only — the bucketed layout already
+    # delivers src-clustered buckets and must not pay a new exchange.
+    served = _bucketed(spark, sf_dir, "pagerank_edges") is not None
+    pr = pagerank_ppm(
+        pagerank_edges(spark, sf_dir),
+        iterations=5,
+        damping_pct=85,
+        symmetric=True,
+        copartition=None
+        if served
+        else int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     return pr.select(
         F.when(
             F.col("node") % 2 == 0,
@@ -6942,8 +6958,7 @@ def _minhash_eval_frame(spark, sf_dir, num_perm: int, bands: int):
     given parameters, annotated with exact word-2-gram Jaccard.  The
     gram table is cut to candidate docs BEFORE any join, so the exact
     verify costs O(candidates x doc length), never corpus^2."""
-    from ..functions.text import word_shingles
-    from ..operators.dedup import minhash_candidate_pairs
+    from ..operators.dedup import gram_sets, minhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(
@@ -6960,11 +6975,15 @@ def _minhash_eval_frame(spark, sf_dir, num_perm: int, bands: int):
     # g is candidate-bounded cheap, and a persist here is a synchronous
     # materialization barrier that stops the ids-join pipelining into
     # each shuffle_hash side — recomputing it once per side costs less.
-    g = (
-        d.select("doc_id", word_shingles(F.col("text"), 2).alias("grams"))
-        .join(ids, "doc_id")
-        .withColumn("n_grams", F.size("grams"))
-    )
+    # Gram build (r12, measured): candidate cut FIRST (broadcast join on
+    # doc_id), then the Arrow-batched ``gram_sets`` pass over the
+    # survivors — the old ``word_shingles`` JVM expression is an
+    # interpreted (CodegenFallback) higher-order chain that evaluated on
+    # a 1-task scan for ~13s of CPU at sf0.1; gram_sets shingles the
+    # same sets in Python at scan-or-cores parallelism (identical gram
+    # semantics, see its docstring) and keeps the candidate-bounded
+    # cost contract.
+    g = gram_sets(d.join(ids, "doc_id"), "doc_id", "text", 2)
     # SHUFFLE_HASH pinned (the r8 simhash_hamming_pairs finding, same
     # cause): g is candidate-bounded but carries the gram ARRAYS, and the
     # planner's size estimate for the persisted join output sits far
@@ -7636,8 +7655,7 @@ def minhash_recall_eval(spark, sf_dir):
     doc length), never corpus²); the LSH side shuffles band keys; the
     final LEFT join keys on (doc_a, doc_b) over two candidate-bounded
     relations."""
-    from ..functions.text import word_shingles
-    from ..operators.dedup import minhash_candidate_pairs
+    from ..operators.dedup import gram_sets, minhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     truth = simhash_hamming_pairs(spark, sf_dir).persist(
@@ -7648,11 +7666,11 @@ def minhash_recall_eval(spark, sf_dir):
         .union(truth.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    g = (
-        d.select("doc_id", word_shingles(F.col("text"), 2).alias("grams"))
-        .join(ids, "doc_id")
-        .withColumn("n_grams", F.size("grams"))
-    )
+    # candidate cut first, then Arrow-batched shingling — the same
+    # word_shingles -> gram_sets rewrite as _minhash_eval_frame (r12):
+    # the interpreted JVM transform chain was the single largest CPU
+    # block of the eval family's wall, and it ran on the scan's one task.
+    g = gram_sets(d.join(ids, "doc_id"), "doc_id", "text", 2)
     # SHUFFLE_HASH pinned — same broadcast-OOM cause as _minhash_eval_frame
     # (found by the r9 sf10 run): the gram relations are candidate-bounded
     # in ROWS but carry shingle arrays, so a planner-estimated broadcast
