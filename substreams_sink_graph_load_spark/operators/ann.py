@@ -114,7 +114,11 @@ def topk_matmul(
                     }
                 )
 
-    partials = fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
+    # no fan-out (r12 re-measure): one streaming BLAS pass — the round-
+    # robin exchange of the embedding arrays costs more than the
+    # single-task matmul it spreads (fan_out_narrow stays only on the
+    # persisted Lloyd-fit frames, where one exchange feeds many rounds)
+    partials = corpus.select(id_col, emb_col).mapInPandas(
         partial, _PARTIAL_SCHEMA
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
@@ -167,7 +171,8 @@ def ivf_assign_dot(
         [f for f in df.select(id_col, vec_col).schema.fields]
         + [StructField("cid", LongType())]
     )
-    return fan_out_narrow(df).mapInPandas(assign, schema)
+    # single streaming pass: no fan-out (r12 re-measure; see topk_matmul)
+    return df.mapInPandas(assign, schema)
 
 
 def sample_queries(

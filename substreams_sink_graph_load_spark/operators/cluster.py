@@ -168,8 +168,10 @@ def kmeans_sse(
         if seen:
             yield pd.DataFrame({"sse": [s]})
 
-    from .ann import fan_out_narrow
-
-    part = fan_out_narrow(df.select(vec_col)).mapInPandas(partials, "sse double")
+    # no fan-out here (r12): a SINGLE streaming pass over a narrow scan
+    # loses more to the round-robin exchange + extra Arrow workers than
+    # the parallelism returns — fan_out_narrow pays only where the
+    # fanned frame is persisted and re-read per Lloyd round (kmeans_fit)
+    part = df.select(vec_col).mapInPandas(partials, "sse double")
     row = part.agg(F.sum("sse").alias("sse")).collect()[0]
     return float(row["sse"] or 0.0)

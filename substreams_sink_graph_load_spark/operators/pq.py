@@ -193,11 +193,10 @@ def pq_encode(
                 }
             )
 
-    from .ann import fan_out_narrow
-
-    return fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
-        encode, _CODES_SCHEMA
-    )
+    # no fan-out (r12 re-measure): encode is one streaming pass; the
+    # round-robin exchange costs more than the single-task compute saved
+    # (the kept fan-outs are the pre-persist Lloyd-fit frames only)
+    return corpus.select(id_col, emb_col).mapInPandas(encode, _CODES_SCHEMA)
 
 
 def pq_search(
