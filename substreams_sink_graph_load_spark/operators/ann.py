@@ -39,10 +39,42 @@ _PARTIAL_SCHEMA = StructType(
 )
 
 
-def fan_out_narrow(df: DataFrame) -> DataFrame:
+def vec_block(col) -> "np.ndarray":
+    """(n, d) ndarray view of an Arrow ``list<numeric>`` column.
+
+    The numeric operators' dominant per-task cost was NOT the linear
+    algebra but the row-wise pandas conversion (r12, measured:
+    ``np.stack(pdf[c].to_numpy())`` over a 20k x 64 list column is
+    ~440 ms per pass; Arrow flatten+reshape of the same batch is
+    ~0.05 ms — the values already sit in ONE contiguous buffer, guide
+    §4.2).  Valid because these columns are rectangular and null-free;
+    reshape raises loudly on ragged input.
+    """
+    import numpy as np
+
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 1)
+
+
+def list_array(mat: "np.ndarray", value_type=None):
+    """Arrow ``list<value_type>`` column from a rectangular (n, d)
+    ndarray — one values buffer + an arithmetic offsets array, the
+    zero-copy inverse of ``vec_block``."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, d = mat.shape
+    values = pa.array(np.ascontiguousarray(mat).ravel(), type=value_type)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+def fan_out_narrow(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
     the plan's current partitioning is narrower — otherwise pass through
-    untouched (zero shuffle where it matters).
+    untouched (zero shuffle where it matters).  ``min_bytes`` gates the
+    fan on the planner's input-size estimate (see inline comment).
 
     The simhash_sketch/gram_sets fan-out rule shared by the numeric
     mapInPandas operators (r12): a small-SF embeddings.parquet is ONE
@@ -51,6 +83,18 @@ def fan_out_narrow(df: DataFrame) -> DataFrame:
     3 of the 4 largest stages of ann_pq_topk/ann_ivf_pq_topk).  At
     production scale the scan already yields far more splits than cores
     and this branch never fires."""
+    if min_bytes:
+        # scale-adaptive gate (r12, measured): below this input size the
+        # round-robin exchange + task fan-in costs more than the
+        # parallelism returns (pq_fit on the 0.8 MB sf0.1 scan: 2.6s
+        # un-fanned vs 4.6s fanned; on the 5.9 MB sf1 scan the fan wins
+        # 4.0s vs 6.2s).  The planner estimate is file bytes for scans —
+        # ~50 ms to read, far cheaper than the .rdd probe it skips.
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if est < min_bytes:
+            return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
         return df.repartition(cores)

@@ -101,25 +101,41 @@ def pq_fit(
 
     # fan out a narrower-than-cluster scan before the Lloyd rounds (r12):
     # every round streams this frame through mapInPandas, and a one-row-
-    # group parquet otherwise serializes all of them on a single task
+    # group parquet otherwise serializes all of them on a single task.
+    # A caller that hands in an ALREADY-persisted corpus (the IVF-PQ
+    # path persists the residual frame once for seeds+fit+encode) keeps
+    # ownership: reuse its cache, add no second persist, unpersist
+    # nothing (r12, measured: the registry IVF-PQ pipeline re-ran the
+    # residual map three times — the seed pass, this persist's fill and
+    # the encode chain each recomputed it).
     from .ann import fan_out_narrow
 
-    data = fan_out_narrow(
-        corpus.select(F.col(emb_col).cast("array<double>").alias("_v"))
-    ).persist()
+    sel = corpus.select(F.col(emb_col).cast("array<double>").alias("_v"))
+    owned = not corpus.is_cached
+    data = (
+        fan_out_narrow(sel, min_bytes=2 << 20).persist() if owned else sel
+    )
     try:
         for _ in range(iters):
             cur = books
 
-            def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def partials(batches):
+                # mapInArrow + flatten/reshape: the pandas row-wise
+                # conversion dominated this pass (see ann.vec_block)
+                import pyarrow as pa
+
+                from .ann import list_array, vec_block
+
                 acc_n = np.zeros((m, ks), dtype=np.int64)
                 acc_s = np.zeros_like(cur)
                 seen = False
-                for pdf in it:
-                    if not len(pdf):
+                for batch in batches:
+                    if not batch.num_rows:
                         continue
                     seen = True
-                    block = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    block = vec_block(batch.column(0)).astype(
+                        np.float64, copy=False
+                    )
                     for s in range(m):
                         sub = block[:, s * dsub : (s + 1) * dsub]
                         d2 = (cur[s] ** 2).sum(axis=1)[None, :] - 2.0 * (
@@ -129,16 +145,21 @@ def pq_fit(
                         acc_n[s] += np.bincount(a, minlength=ks)
                         np.add.at(acc_s[s], a, sub)
                 if seen:
-                    yield pd.DataFrame(
-                        {
-                            "sub": np.repeat(np.arange(m), ks).astype("int32"),
-                            "code": np.tile(np.arange(ks), m).astype("int32"),
-                            "n": acc_n.ravel(),
-                            "vsum": list(acc_s.reshape(m * ks, dsub)),
-                        }
+                    yield pa.record_batch(
+                        [
+                            pa.array(
+                                np.repeat(np.arange(m), ks).astype("int32")
+                            ),
+                            pa.array(
+                                np.tile(np.arange(ks), m).astype("int32")
+                            ),
+                            pa.array(acc_n.ravel()),
+                            list_array(acc_s.reshape(m * ks, dsub)),
+                        ],
+                        names=["sub", "code", "n", "vsum"],
                     )
 
-            rows = data.mapInPandas(
+            rows = data.mapInArrow(
                 partials, "sub int, code int, n long, vsum array<double>"
             ).collect()
             tot_n = np.zeros((m, ks), dtype=np.int64)
@@ -151,7 +172,8 @@ def pq_fit(
                 nz[:, :, None], tot_s / np.maximum(tot_n, 1)[:, :, None], books
             )
     finally:
-        data.unpersist()
+        if owned:
+            data.unpersist()
     return books
 
 
@@ -172,11 +194,15 @@ def pq_encode(
     books = np.asarray(codebooks, dtype=np.float64)
     m, ks, dsub = books.shape
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
+    def encode(batches):
+        import pyarrow as pa
+
+        from .ann import list_array, vec_block
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            block = vec_block(batch.column(1)).astype(np.float64, copy=False)
             codes = np.empty((len(block), m), dtype=np.int64)
             for s in range(m):
                 sub = block[:, s * dsub : (s + 1) * dsub]
@@ -186,17 +212,18 @@ def pq_encode(
                     sub @ books[s].T
                 )
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                }
+            yield pa.record_batch(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    list_array(codes.astype(np.int32)),
+                ],
+                names=["vec_id", "codes"],
             )
 
     # no fan-out (r12 re-measure): encode is one streaming pass; the
     # round-robin exchange costs more than the single-task compute saved
     # (the kept fan-outs are the pre-persist Lloyd-fit frames only)
-    return corpus.select(id_col, emb_col).mapInPandas(encode, _CODES_SCHEMA)
+    return corpus.select(id_col, emb_col).mapInArrow(encode, _CODES_SCHEMA)
 
 
 def pq_search(
@@ -226,13 +253,20 @@ def pq_search(
         "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, dsub), books
     )
 
-    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial(batches):
+        import pyarrow as pa
+
+        from .ann import vec_block
+
         sub_idx = np.arange(m)
-        for pdf in it:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            cmat = vec_block(batch.column(1)).astype(np.int64, copy=False)
+            # one output batch per input batch (the per-query pandas
+            # frames this replaces cost a conversion each, r12)
+            out_q, out_id, out_s = [], [], []
             for qi in range(len(q_ids)):
                 scores = lut[qi][sub_idx[None, :], cmat].sum(axis=1)
                 mask = ids != q_ids[qi]
@@ -240,15 +274,22 @@ def pq_search(
                 if not len(cand):
                     continue
                 top = _topk_tiesafe(cand, cand_ids, k)
-                yield pd.DataFrame(
-                    {
-                        "q_id": q_ids[qi],
-                        "neighbor_id": cand_ids[top],
-                        "score": cand[top],
-                    }
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_id.append(cand_ids[top])
+                out_s.append(cand[top])
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_s)),
+                    ],
+                    names=["q_id", "neighbor_id", "score"],
                 )
 
-    partials = codes.mapInPandas(partial, _PARTIAL_SCHEMA)
+    partials = codes.select("vec_id", "codes").mapInArrow(
+        partial, _PARTIAL_SCHEMA
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -340,18 +381,23 @@ def ivfpq_residuals(
 
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def rez(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
+    def rez(batches):
+        import pyarrow as pa
+
+        from .ann import list_array, vec_block
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            block = vec_block(batch.column(1)).astype(np.float64, copy=False)
             cell = np.argmin(_dist2(block, cents), axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": cell.astype("int32"),
-                    "residual": list(block - cents[cell]),
-                }
+            yield pa.record_batch(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    pa.array(cell.astype(np.int32)),
+                    list_array(block - cents[cell]),
+                ],
+                names=["vec_id", "cell", "residual"],
             )
 
     schema = StructType(
@@ -365,7 +411,7 @@ def ivfpq_residuals(
 
     # residuals feed the PQ fit AND the encode pass — fanning out here
     # parallelizes both (and pq_fit's own fan-out becomes a no-op)
-    return fan_out_narrow(corpus.select(id_col, emb_col)).mapInPandas(
+    return fan_out_narrow(corpus.select(id_col, emb_col)).mapInArrow(
         rez, schema
     )
 
@@ -417,11 +463,15 @@ def ivfpq_encode(
     books = np.asarray(codebooks, dtype=np.float64)
     m, ks, dsub = books.shape
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
+    def encode(batches):
+        import pyarrow as pa
+
+        from .ann import list_array, vec_block
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            block = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+            block = vec_block(batch.column(2)).astype(np.float64, copy=False)
             codes = np.empty((len(block), m), dtype=np.int64)
             for s in range(m):
                 sub = block[:, s * dsub : (s + 1) * dsub]
@@ -429,15 +479,16 @@ def ivfpq_encode(
                     sub @ books[s].T
                 )
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": pdf["cell"].to_numpy(),
-                    "codes": list(codes),
-                }
+            yield pa.record_batch(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    batch.column(1).cast(pa.int32()),
+                    list_array(codes.astype(np.int32)),
+                ],
+                names=["vec_id", "cell", "codes"],
             )
 
-    return residuals.select("vec_id", "cell", "residual").mapInPandas(
+    return residuals.select("vec_id", "cell", "residual").mapInArrow(
         encode, _IVFPQ_CODES_SCHEMA
     )
 
@@ -487,15 +538,22 @@ def ivfpq_search(
 
     pruned = codes.where(F.col("cell").isin([int(c) for c in all_cells]))
 
-    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial(batches):
+        import pyarrow as pa
+
+        from .ann import vec_block
+
         sub_idx = np.arange(m)
-        for pdf in it:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vcells = pdf["cell"].to_numpy(dtype=np.int64)
-            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vcells = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            cmat = vec_block(batch.column(2)).astype(np.int64, copy=False)
             batch_cells = np.unique(vcells)
+            out_q, out_id, out_s = [], [], []
             for qi in range(len(q_ids)):
                 # skip queries whose probe set is disjoint from this batch
                 if not probe_mat[qi, batch_cells].any():
@@ -509,15 +567,22 @@ def ivfpq_search(
                 )
                 cand_ids, cand = ids[mask], scores
                 top = _topk_tiesafe(cand, cand_ids, k)
-                yield pd.DataFrame(
-                    {
-                        "q_id": q_ids[qi],
-                        "neighbor_id": cand_ids[top],
-                        "score": cand[top],
-                    }
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_id.append(cand_ids[top])
+                out_s.append(cand[top])
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_s)),
+                    ],
+                    names=["q_id", "neighbor_id", "score"],
                 )
 
-    partials = pruned.mapInPandas(partial, _PARTIAL_SCHEMA)
+    partials = pruned.select("vec_id", "cell", "codes").mapInArrow(
+        partial, _PARTIAL_SCHEMA
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))

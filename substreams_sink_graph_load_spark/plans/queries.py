@@ -5400,7 +5400,13 @@ def _ivfpq_fit_registry(e: DataFrame):
         e.where(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(256).collect()
     )
     cents = np.array([list(r["embedding"]) for r in seeds], dtype=np.float64)
-    resid = ivfpq_residuals(e, cents)
+    # persist the residual frame ONCE for the whole fit+encode pipeline
+    # (r12, measured): unpersisted, the Python residual map re-ran three
+    # times — pq_fit's seed pass, its internal Lloyd persist fill, and
+    # the encode->search chain.  pq_fit detects the pre-persisted input
+    # and reuses it instead of stacking a second cache; reclaimed by
+    # ContextCleaner when the returned codes plan goes unreachable.
+    resid = ivfpq_residuals(e, cents).persist()
     books = pq_fit(resid, m=16, ks=64, iters=2, emb_col="residual")
     codes = ivfpq_encode(resid, books)
     return cents, books, codes
