@@ -137,32 +137,40 @@ def topk_matmul(
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.array([q[1] for q in queries], dtype=np.float64)  # Q x D
 
-    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
+    def partial(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)  # B x D
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mat = vec_block(batch.column(1)).astype(np.float64, copy=False)
             scores = mat @ q_mat.T  # B x Q, one BLAS call
             # self-matches excluded like the brute-force baseline
+            out_q, out_id, out_d = [], [], []
             for qi in range(len(q_ids)):
                 col = scores[:, qi]
                 mask = ids != q_ids[qi]
                 cand_ids, cand = ids[mask], col[mask]
                 top = _topk_tiesafe(cand, cand_ids, k)
-                yield pd.DataFrame(
-                    {
-                        "q_id": q_ids[qi],
-                        "neighbor_id": cand_ids[top],
-                        "dot": cand[top],
-                    }
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_id.append(cand_ids[top])
+                out_d.append(cand[top])
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_d)),
+                    ],
+                    names=["q_id", "neighbor_id", "dot"],
                 )
 
     # no fan-out (r12 re-measure): one streaming BLAS pass — the round-
     # robin exchange of the embedding arrays costs more than the
     # single-task matmul it spreads (fan_out_narrow stays only on the
     # persisted Lloyd-fit frames, where one exchange feeds many rounds)
-    partials = corpus.select(id_col, emb_col).mapInPandas(
+    partials = corpus.select(id_col, emb_col).mapInArrow(
         partial, _PARTIAL_SCHEMA
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
@@ -197,18 +205,17 @@ def ivf_assign_dot(
         raise ValueError("centroid_ids must be strictly ascending")
     cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
 
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
+    def assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = vec_block(batch.column(1)).astype(np.float64, copy=False)
             best = np.argmax(mat @ cents, axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cid": ids[best],
-                }
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), pa.array(ids[best])],
+                names=[id_col, vec_col, "cid"],
             )
 
     schema = StructType(
@@ -216,7 +223,7 @@ def ivf_assign_dot(
         + [StructField("cid", LongType())]
     )
     # single streaming pass: no fan-out (r12 re-measure; see topk_matmul)
-    return df.mapInPandas(assign, schema)
+    return df.select(id_col, vec_col).mapInArrow(assign, schema)
 
 
 def sample_queries(
@@ -344,19 +351,21 @@ def build_ivf_index(
         data.schema.fields + [StructField("cell", IntegerType())]
     )
 
-    def assign_vec(it):
-        for pdf in it:
-            if not len(pdf):
+    def assign_vec(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            block = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf["cell"] = np.argmin(_dist2(block, cents), axis=1).astype(
-                "int32"
+            block = vec_block(batch.column(1)).astype(np.float64, copy=False)
+            cell = np.argmin(_dist2(block, cents), axis=1).astype(np.int32)
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), pa.array(cell)],
+                names=[id_col, emb_col, "cell"],
             )
-            yield pdf
 
     (
-        data.mapInPandas(assign_vec, out_schema)
+        data.mapInArrow(assign_vec, out_schema)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_dir}/vectors")
@@ -402,14 +411,19 @@ def ivf_search(
         F.col("cell").isin(all_cells)
     )
 
-    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
+    def partial(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            vcells = pdf["cell"].to_numpy(dtype=np.int64)
-            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mat = vec_block(batch.column(1)).astype(np.float64, copy=False)
+            vcells = batch.column(2).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
             dots = mat @ q_mat.T  # B x Q
+            out_q, out_id, out_d = [], [], []
             for qi in range(len(q_ids)):
                 mask = (ids != q_ids[qi]) & np.isin(
                     vcells, list(probe_sets[qi])
@@ -418,15 +432,22 @@ def ivf_search(
                 if not len(cand):
                     continue
                 top = _topk_tiesafe(cand, cand_ids, k)
-                yield pd.DataFrame(
-                    {
-                        "q_id": q_ids[qi],
-                        "neighbor_id": cand_ids[top],
-                        "dot": cand[top],
-                    }
+                out_q.append(np.full(len(top), q_ids[qi]))
+                out_id.append(cand_ids[top])
+                out_d.append(cand[top])
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_d)),
+                    ],
+                    names=["q_id", "neighbor_id", "dot"],
                 )
 
-    partials = vectors.mapInPandas(partial, _PARTIAL_SCHEMA)
+    partials = vectors.select(id_col, emb_col, "cell").mapInArrow(
+        partial, _PARTIAL_SCHEMA
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))

@@ -45,21 +45,22 @@ def kmeans_assign(
     """
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
+    def assign(batches):
+        import pyarrow as pa
+
+        from .ann import vec_block
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            block = np.stack(pdf[vec_col].to_numpy())
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cluster": np.argmin(_dist2(block, cents), axis=1).astype(
-                        "int32"
-                    ),
-                }
+            block = vec_block(batch.column(1))
+            cluster = np.argmin(_dist2(block, cents), axis=1).astype(np.int32)
+            yield pa.record_batch(
+                [batch.column(0).cast(pa.int64()), pa.array(cluster)],
+                names=[id_col, "cluster"],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         assign, f"{id_col} long, cluster int"
     )
 
@@ -93,7 +94,12 @@ def kmeans_fit(
     # parquet otherwise runs every round's partials on a single task.
     from .ann import fan_out_narrow
 
-    data = fan_out_narrow(df.select(id_col, vec_col)).persist()
+    # size-gated like pq_fit (r12, measured post-Arrow-conversion: with
+    # the row-wise pandas cost gone, the exchange no longer pays for
+    # sub-MB inputs)
+    data = fan_out_narrow(
+        df.select(id_col, vec_col), min_bytes=2 << 20
+    ).persist()
     try:
         cents = _lloyd_rounds(data, cents, iters, vec_col)
     finally:
@@ -107,29 +113,36 @@ def _lloyd_rounds(
     for _ in range(iters):
         cur = cents
 
-        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches):
+            import pyarrow as pa
+
+            from .ann import list_array, vec_block
+
             acc_n = np.zeros(len(cur), dtype=np.int64)
             acc_s = np.zeros_like(cur)
             seen = False
-            for pdf in it:
-                if not len(pdf):
+            for batch in batches:
+                if not batch.num_rows:
                     continue
                 seen = True
-                block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                block = vec_block(batch.column(1)).astype(
+                    np.float64, copy=False
+                )
                 a = np.argmin(_dist2(block, cur), axis=1)
                 acc_n += np.bincount(a, minlength=len(cur))
                 for c in np.unique(a):
                     acc_s[c] += block[a == c].sum(axis=0)
             if seen:
-                yield pd.DataFrame(
-                    {
-                        "cluster": np.arange(len(cur), dtype="int32"),
-                        "n": acc_n,
-                        "vsum": list(acc_s),
-                    }
+                yield pa.record_batch(
+                    [
+                        pa.array(np.arange(len(cur), dtype=np.int32)),
+                        pa.array(acc_n),
+                        list_array(acc_s),
+                    ],
+                    names=["cluster", "n", "vsum"],
                 )
 
-        rows = data.mapInPandas(
+        rows = data.mapInArrow(
             partials, "cluster int, n long, vsum array<double>"
         ).collect()
         n = np.zeros(len(cents), dtype=np.int64)
@@ -156,22 +169,26 @@ def kmeans_sse(
     the global mean, both theorems independent of the data vintage)."""
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches):
+        import pyarrow as pa
+
+        from .ann import vec_block
+
         s = 0.0
         seen = False
-        for pdf in it:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
             seen = True
-            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            block = vec_block(batch.column(0)).astype(np.float64, copy=False)
             s += float(_dist2(block, cents).min(axis=1).sum())
         if seen:
-            yield pd.DataFrame({"sse": [s]})
+            yield pa.record_batch([pa.array([s])], names=["sse"])
 
     # no fan-out here (r12): a SINGLE streaming pass over a narrow scan
     # loses more to the round-robin exchange + extra Arrow workers than
     # the parallelism returns — fan_out_narrow pays only where the
     # fanned frame is persisted and re-read per Lloyd round (kmeans_fit)
-    part = df.select(vec_col).mapInPandas(partials, "sse double")
+    part = df.select(vec_col).mapInArrow(partials, "sse double")
     row = part.agg(F.sum("sse").alias("sse")).collect()[0]
     return float(row["sse"] or 0.0)

@@ -633,58 +633,82 @@ def embedding_neardup_pairs(
     planes = hyperplane_weights(dim, n_planes)
     band_bits = (1 << np.arange(planes_per_band, dtype=np.int64))
 
-    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
+    def bucketize(batches):
+        import pyarrow as pa
+
+        from .ann import vec_block
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            mat = np.stack(pdf["e"].to_numpy())  # B x D
+            mat = vec_block(batch.column(1))  # B x D
             signs = (mat @ planes) >= 0  # B x n_planes
-            out = []
             for b in range(n_bands):
                 sl = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
                 buckets = (sl * band_bits).sum(axis=1)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "e": pdf["e"],
-                            "band_idx": b,
-                            "bucket": buckets,
-                        }
-                    )
+                yield pa.record_batch(
+                    [
+                        batch.column(0),
+                        batch.column(1),
+                        pa.array(np.full(batch.num_rows, b, dtype=np.int32)),
+                        pa.array(buckets),
+                    ],
+                    names=["vec_id", "e", "band_idx", "bucket"],
                 )
-            yield pd.concat(out)
 
-    def score_buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_buckets(batches):
         """All-pairs cosine per (band, bucket) group: one G @ G.T BLAS call
         each; only above-threshold pairs leave the task.  Buckets
         accumulate per PARTITION (explicit repartition below) rather than
         via groupBy().applyInPandas — AQE coalesces a small-bytes shuffle
         to ~1 partition (its cost model can't see Python CPU), which would
-        serialize every matmul; an explicit partition count is honored."""
-        acc: dict[tuple[int, int], list] = {}
-        for pdf in it:
-            for b, bk, vid, e in zip(
-                pdf["band_idx"], pdf["bucket"], pdf["vec_id"], pdf["e"]
-            ):
-                acc.setdefault((int(b), int(bk)), []).append((int(vid), e))
-        for (_, _), rows in acc.items():
-            rows.sort(key=lambda r: r[0])
-            ids = np.array([r[0] for r in rows], dtype=np.int64)
-            mat = np.stack([r[1] for r in rows])
-            norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ mat.T) / np.outer(norms, norms)
-            ia, ib = np.triu_indices(len(ids), k=1)
+        serialize every matmul; an explicit partition count is honored.
+        Grouping is a numpy lexsort over the partition's batches (r12:
+        the per-row Python dict fill this replaces was the pass's
+        dominant cost)."""
+        import pyarrow as pa
+
+        from .ann import vec_block
+
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        ids = tbl.column("vec_id").to_numpy()
+        band = tbl.column("band_idx").to_numpy()
+        bucket = tbl.column("bucket").to_numpy()
+        mat = vec_block(tbl.column("e").combine_chunks())
+        order = np.lexsort((ids, bucket, band))
+        b_s, k_s = band[order], bucket[order]
+        id_s, m_s = ids[order], mat[order]
+        change = (
+            np.flatnonzero((np.diff(b_s) != 0) | (np.diff(k_s) != 0)) + 1
+        )
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(b_s)]))
+        out_a, out_b, out_p = [], [], []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            gids, g = id_s[s0:e0], m_s[s0:e0]
+            norms = np.linalg.norm(g, axis=1)
+            cos = (g @ g.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(len(gids), k=1)
             ppm = np.floor(1_000_000.0 * cos[ia, ib]).astype(np.int64)
             keep = ppm >= min_cos_ppm
             if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "vec_a": ids[ia[keep]],
-                        "vec_b": ids[ib[keep]],
-                        "cos_ppm": ppm[keep],
-                    }
-                )
+                out_a.append(gids[ia[keep]])
+                out_b.append(gids[ib[keep]])
+                out_p.append(ppm[keep])
+        if out_a:
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_a)),
+                    pa.array(np.concatenate(out_b)),
+                    pa.array(np.concatenate(out_p)),
+                ],
+                names=["vec_a", "vec_b", "cos_ppm"],
+            )
 
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
@@ -692,10 +716,10 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("e"),
     )
-    g = base.mapInPandas(
+    g = base.mapInArrow(
         bucketize, "vec_id long, e array<double>, band_idx int, bucket long"
     )
-    scored = g.repartition(n_parts, "band_idx", "bucket").mapInPandas(
+    scored = g.repartition(n_parts, "band_idx", "bucket").mapInArrow(
         score_buckets, "vec_a long, vec_b long, cos_ppm long"
     )
     # collapse multi-band collisions (same cos from any band)
