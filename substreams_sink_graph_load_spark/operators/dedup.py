@@ -121,8 +121,10 @@ def minhash_sketch(
     src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
     # inherit the scan's partitioning; fan out only when the small-SF
     # scan is narrower than the cluster (see simhash_sketch)
+    from .ann import narrower_than_cores
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(src):
         src = src.repartition(cores)
     schema = ", ".join(
         [f"{id_col} {id_type}", "sig array<long>"]
@@ -283,8 +285,10 @@ def simhash_sketch(
     # in that case — at production scale the scan already yields far
     # more splits than cores and the repartition branch never fires, so
     # the operator stays zero-shuffle where it matters.
+    from .ann import narrower_than_cores
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(src):
         src = src.repartition(cores)
     return src.mapInArrow(fold, f"{id_col} {id_type}, simhash long")
 
@@ -356,8 +360,10 @@ def gram_sets(
             )
 
     src = df.select(*cols, text_col).where(F.col(text_col).isNotNull())
+    from .ann import narrower_than_cores
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(src):
         src = src.repartition(cores)
     elem = "long" if hashed else "string"
     schema = ", ".join(
@@ -1004,8 +1010,10 @@ def winnow_fingerprints(
             )
 
     src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    from .ann import narrower_than_cores
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(src):
         src = src.repartition(cores)
     return src.mapInArrow(
         winnow, f"{id_col} {id_type}, fp_pos int, fp_hash long"

@@ -145,8 +145,10 @@ def heavy_hitters_text_grams(
     src = df.select(F.col(text_col).alias("t")).where(
         F.col(text_col).isNotNull()
     )
+    from .ann import narrower_than_cores
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(src):
         src = src.repartition(cores)
 
     # exact total occurrences: one whole-stage-codegen aggregate

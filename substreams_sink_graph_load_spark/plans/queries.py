@@ -3579,8 +3579,10 @@ def quality_repetition(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("text").isNotNull()
     )
+    from ..operators.ann import narrower_than_cores
+
     cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(d):
         d = d.repartition(cores)
     return d.mapInArrow(
         fold,
@@ -5186,8 +5188,10 @@ def dedup_substring_remove(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("text").isNotNull()
     )
+    from ..operators.ann import narrower_than_cores
+
     cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < cores:
+    if narrower_than_cores(d):
         d = d.repartition(cores)
     # two consumers (dup aggregate + the positional join) — persist, a
     # mapInArrow relation has no exchange for Catalyst to reuse; cache
