@@ -288,19 +288,40 @@ def classify_sf1_ratios(
 
 
 def loadavg_sample() -> dict:
-    """One ``/proc/loadavg`` sample with a wall-clock stamp.
+    """One ``/proc/loadavg`` + ``/proc/stat`` steal sample, wall-stamped.
 
     Host-load evidence belongs IN the bench artifact (r11 verdict
     item 3): two rounds of drift adjudications turned on "what was the
     host doing", and the answer lived in PLANS.md narrative instead of
     the record.  A sample per pass (and per sf1 query) makes the
-    artifact-vs-regression call data-in-record."""
+    artifact-vs-regression call data-in-record.
+
+    ``loadavg`` alone is ambiguous during a pass — the bench's own 32
+    executor threads ARE load — so the sample also carries the guest's
+    cumulative CPU counters from ``/proc/stat``: ``steal_jiffies``
+    (time the hypervisor ran someone else while this guest had work)
+    and ``cpu_jiffies`` (sum of all fields, the denominator).  The
+    delta between two samples gives the steal share of the interval;
+    steal is the one signal the bench cannot have caused itself.  (r12
+    measured 13-19% interval steal shares during passes whose walls ran
+    2-6x the quiet records, on untouched code — the adjudication that
+    used to need an interleaved A/B now reads off the record.)"""
     try:
         with open("/proc/loadavg") as fh:
             load = [float(x) for x in fh.read().split()[:3]]
     except (OSError, ValueError):
         load = []
-    return {"t": round(time.time(), 1), "loadavg": load}
+    sample = {"t": round(time.time(), 1), "loadavg": load}
+    try:
+        with open("/proc/stat") as fh:
+            cpu = [int(x) for x in fh.readline().split()[1:]]
+        # user nice system idle iowait irq softirq steal [guest ...]
+        if len(cpu) >= 8:
+            sample["steal_jiffies"] = cpu[7]
+            sample["cpu_jiffies"] = sum(cpu[:8])
+    except (OSError, ValueError, IndexError):
+        pass
+    return sample
 
 
 def _prior_record() -> dict:

@@ -118,6 +118,23 @@ def test_loadavg_sample_shape():
     assert all(isinstance(x, float) and x >= 0.0 for x in s["loadavg"])
 
 
+def test_loadavg_sample_carries_steal_counters():
+    # r12: loadavg is ambiguous during a pass (the bench IS load); the
+    # cumulative /proc/stat steal counter is the one signal the bench
+    # cannot have caused itself.  On Linux with >= 8 cpu fields the
+    # sample must carry both counters; deltas between samples give the
+    # interval's steal share.
+    s = loadavg_sample()
+    assert "steal_jiffies" in s and "cpu_jiffies" in s
+    assert isinstance(s["steal_jiffies"], int)
+    assert isinstance(s["cpu_jiffies"], int)
+    assert 0 <= s["steal_jiffies"] <= s["cpu_jiffies"]
+    # cumulative counters are monotone non-decreasing across samples
+    s2 = loadavg_sample()
+    assert s2["steal_jiffies"] >= s["steal_jiffies"]
+    assert s2["cpu_jiffies"] >= s["cpu_jiffies"]
+
+
 def test_cross_round_drift_carries_load_evidence():
     out = compare_sf1_cross_round(
         {"graph_pagerank": 48.0},
