@@ -73,6 +73,30 @@ def curate(
        sizes output files (and bounds any downstream per-shard
        sequential work, see ``pack_sequences``).
     """
+    # The scrub + gate pipeline is the CPU of the whole job (three regex
+    # passes + split + array_distinct per doc), and it inherits the scan's
+    # parallelism: a small-SF documents.parquet is 1-2 row groups, so at
+    # sf1 the 15s-CPU scrub stage ran on 2 of 32 cores (r12 stage profile:
+    # two 2-task 7.5s stages were 97% of the 9.3s wall).  Fan the scan out
+    # before the heavy codegen — same size-gated, scale-adaptive helper as
+    # the PQ/KMeans fits; at production scan widths the branch never fires,
+    # and below the gate (sf0.1 is 0.6 MB) the exchange isn't worth it.
+    # Round-robin placement is results-invariant here: every downstream
+    # decision keys on content (md5/h60), never on partition or order.
+    #
+    # The repartition alone is NOT enough: the quality-gate filter below
+    # is deterministic, so Catalyst pushes it back through the exchange
+    # and the whole scrub+split+distinct re-evaluates on the narrow scan
+    # side just to decide the gate (r12 re-profile: a 2-task 5.6s stage
+    # reappeared under the 32-task one).  A lazy localCheckpoint pins the
+    # fanned rows as an ExistingRDD — an absolute pushdown barrier — and
+    # costs one local materialization of the raw docs, only on the
+    # narrow-scan branch that production widths never take.
+    from .ann import fan_out_narrow
+
+    fanned = fan_out_narrow(df, min_bytes=2_000_000)
+    if fanned is not df:
+        df = fanned.localCheckpoint(eager=False)
     scrubbed = df.select(
         "doc_id",
         "lang",

@@ -2722,8 +2722,16 @@ def tfidf_top_terms(spark, sf_dir):
     the grouped tf relation (tiny) rather than re-exploding the text;
     then hash(term) for the DF join and hash(doc_id) for the top-3
     window.  Scores round to 6dp so libm ln() ulp differences can't
-    break ties; the (score, term) ordering makes top-3 deterministic."""
-    d = _t(spark, sf_dir, "documents")
+    break ties; the (score, term) ordering makes top-3 deterministic.
+
+    The tokenize+partial-agg map stage is the query's CPU and inherits
+    the scan's 1-2 row-group parallelism at small SFs (r12 sf1 profile:
+    two 2-task stages, 5.5s of 6.3s wall) — fan the scan out behind the
+    same size gate as the PQ fits; every downstream op keys on
+    (doc_id/term), so round-robin placement is results-invariant."""
+    from ..operators.ann import fan_out_narrow
+
+    d = fan_out_narrow(_t(spark, sf_dir, "documents"), min_bytes=2_000_000)
     toks = d.select(
         "doc_id",
         F.explode(
@@ -6464,8 +6472,17 @@ def dsir_importance(spark, sf_dir):
     columns come out of that already-reduced relation in one 4096-group
     agg (a broadcast-sized constant at any corpus size); the join-back
     attaches 4096 rows by broadcast and the per-doc sum is the second
-    and last data-scaled shuffle."""
-    d = _t(spark, sf_dir, "documents").select(
+    and last data-scaled shuffle.
+
+    The explode+md5+partial-agg map stage inherits the scan's 1-2
+    row-group parallelism at small SFs (r12 sf1 profile: one 2-task
+    3.3s stage was 70% of the wall) — fan the scan out behind the PQ
+    fits' size gate; everything downstream is key-based, order-free."""
+    from ..operators.ann import fan_out_narrow
+
+    d = fan_out_narrow(
+        _t(spark, sf_dir, "documents"), min_bytes=2_000_000
+    ).select(
         "doc_id",
         (F.col("lang") == "en").alias("is_target"),
         F.explode(F.split("text", " ")).alias("w"),
@@ -7110,8 +7127,15 @@ def bpe_pair_counts(spark, sf_dir):
     merge of K×20 rows) — no single-partition window.  The descending
     `sequence(1, len-1)` trap for 1-char words is guarded on both
     engines (DuckDB's `range(0)` is empty; Spark's `sequence(1, 0)`
-    DESCENDS, so the guard is explicit)."""
-    d = _t(spark, sf_dir, "documents")
+    DESCENDS, so the guard is explicit).
+
+    The explode+pair+partial-agg map stage inherits the scan's 1-2
+    row-group parallelism at small SFs (r12 sf1 profile: one 2-task
+    3.8s stage was 93% of the wall) — fan the scan out behind the PQ
+    fits' size gate; the pair counts are key-based, order-free."""
+    from ..operators.ann import fan_out_narrow
+
+    d = fan_out_narrow(_t(spark, sf_dir, "documents"), min_bytes=2_000_000)
     pairs = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") >= 2)

@@ -63,6 +63,57 @@ def test_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_curate_fan_out_is_result_invariant(spark, tmp_path):
+    # r12: curate fans a narrow input out before the scrub (size-gated,
+    # with a lazy localCheckpoint pushdown barrier so the quality-gate
+    # filter cannot re-evaluate the scrub below the exchange).  The fan
+    # path must be byte-identical regardless of incoming partitioning:
+    # write a corpus whose parquet file clears the 2 MB gate as ONE
+    # narrow scan (the production small-SF shape), run curate on the
+    # scan vs a pre-widened copy, compare full outputs.
+    from substreams_sink_graph_load_spark.operators.ann import (
+        narrower_than_cores,
+    )
+
+    import hashlib
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india jul "
+
+    def _tail(i: int) -> str:
+        # incompressible distinct words so the parquet file clears the
+        # size gate (repetitive text compresses below it)
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(4)
+        )
+
+    rows = [
+        (i, "en" if i % 4 else "fr", f"s{i % 3}", base * 3 + _tail(i))
+        for i in range(60_000)
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    import os
+
+    n_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert n_bytes > 2_000_000  # clears the gate
+    assert narrower_than_cores(df)  # the branch under test actually fires
+    a = sorted(curate(df, n_shards=8).collect())
+    b = sorted(
+        curate(
+            df.repartition(spark.sparkContext.defaultParallelism),
+            n_shards=8,
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_export_manifest_rederives_from_files(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = str(tmp_path / "export")
