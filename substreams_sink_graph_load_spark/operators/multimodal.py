@@ -155,6 +155,12 @@ def attach_png(
             )
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    # size-gated fan-out before the Python codec stage — the narrow-scan
+    # mechanism and the invariance argument are documented at the
+    # attach_avi site (the family's costliest codec)
+    from .ann import fan_out_narrow
+
+    src = fan_out_narrow(src, min_bytes=2_000_000)
     return src.mapInPandas(batches, schema)
 
 
@@ -1003,6 +1009,19 @@ def attach_avi(
             )
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    # The per-frame JPEG encode here — and the from-spec decode in the
+    # chained sample_video_frames stage, which inherits this stage's
+    # partitioning — is by far the costliest per-row compute in the
+    # multimodal family, and a small-SF documents.parquet is 1-2 row
+    # groups, so at sf1 the whole 45s codec wall ran on 2 of 32 cores
+    # (r12; same narrow-scan mechanism as the PQ fits and the text
+    # scrub).  Size-gated fan-out: never fires at production scan
+    # widths, and below the gate the exchange isn't worth it.  Row
+    # placement is results-invariant — every output is a per-doc
+    # function of (doc_id, text).
+    from .ann import fan_out_narrow
+
+    src = fan_out_narrow(src, min_bytes=2_000_000)
     return src.mapInPandas(batches, schema)
 
 
@@ -1277,6 +1296,12 @@ def attach_wav(
             )
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    # size-gated fan-out before the Python codec stage — the narrow-scan
+    # mechanism and the invariance argument are documented at the
+    # attach_avi site (the family's costliest codec)
+    from .ann import fan_out_narrow
+
+    src = fan_out_narrow(src, min_bytes=2_000_000)
     return src.mapInPandas(batches, schema)
 
 
@@ -1349,6 +1374,12 @@ def attach_mp4(
             )
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    # size-gated fan-out before the Python codec stage — the narrow-scan
+    # mechanism and the invariance argument are documented at the
+    # attach_avi site (the family's costliest codec)
+    from .ann import fan_out_narrow
+
+    src = fan_out_narrow(src, min_bytes=2_000_000)
     return src.mapInPandas(batches, schema)
 
 
@@ -1468,6 +1499,12 @@ def attach_mp3(
             )
 
     src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    # size-gated fan-out before the Python codec stage — the narrow-scan
+    # mechanism and the invariance argument are documented at the
+    # attach_avi site (the family's costliest codec)
+    from .ann import fan_out_narrow
+
+    src = fan_out_narrow(src, min_bytes=2_000_000)
     return src.mapInPandas(batches, schema)
 
 
