@@ -148,9 +148,11 @@ SF1_SUBSET = [
     "dedup_ngram_jaccard",
     "dedup_substring_stats",
     "fuzzy_pairs",
-    # similarity_topk is the documented brute-force BASELINE (interpreted
-    # JVM fold, O(corpus x queries)); the scale path measured here is the
-    # BLAS partial-top-k. The baseline stays in the headline set.
+    # similarity_topk computes the exact all-pairs top-k result; since r13
+    # it shares the single-scan blocked-matmul + in-partial fold-rescore
+    # shape with ann_topk_matmul (same rows the crossJoin baseline
+    # produced — r12 verdict item 2 replaced the O(n^2) plan, not the
+    # contract).
     "ann_topk_matmul",
     "ann_ivf_topk",
     "dedup_clusters",
@@ -203,9 +205,10 @@ SF1_SUBSET = [
 # bounded_contract (r10 advice item 1).
 BOUNDED_CONTRACT = {
     "similarity_topk": {
-        "contract": "exact brute-force cosine baseline: O(64 queries x "
-        "corpus) interpreted-JVM fold, the declared accuracy yardstick the "
-        "ANN tiers are measured against",
+        "contract": "exact all-pairs top-k: O(64 queries x corpus) BLAS "
+        "matmul by declaration (single-scan blocked top-k with fold-exact "
+        "in-partial rescore since r13; the crossJoin plan it replaced "
+        "produced the identical rows)",
         "sf1_wall_ceiling": 30.0,  # worst record 12.4s (r10 driver run)
     },
     "ann_topk_matmul": {

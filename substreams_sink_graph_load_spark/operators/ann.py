@@ -2,9 +2,10 @@
 
 Three tiers (SURVEY §2.12):
 
-1. ``similarity_topk`` (plans/queries.py) — brute force as broadcast
-   crossJoin + JVM fold dot product.  Exact, oracle-checkable, but the
-   per-pair lambda fold is the scan bottleneck at scale.
+1. ``similarity_topk`` (plans/queries.py) — exact all-pairs top-k.
+   Since r13 it shares the ``topk_matmul(fold_rescore=True)`` shape
+   below (the crossJoin + JVM-fold baseline it replaced produced the
+   identical rows but materialized O(|corpus| x 64) pairs).
 2. ``ann_ivf_topk`` (plans/queries.py) — IVF cells, nprobe=1; prunes the
    scored set, still JVM-fold scoring.
 3. ``topk_matmul`` (here) — the 100 TB shape: Arrow batches → numpy
@@ -70,7 +71,19 @@ def list_array(mat: "np.ndarray", value_type=None):
     return pa.ListArray.from_arrays(offsets, values)
 
 
-def narrower_than_cores(df: DataFrame) -> bool:
+def plan_size_estimate(df: DataFrame) -> int:
+    """The planner's size-in-bytes estimate for the frame's optimized
+    plan (file bytes for scans) — the ONE place that touches the private
+    ``_jdf.queryExecution()`` API.  ~50 ms of driver time per read, so
+    callers that need the estimate more than once must read it once and
+    pass it through (r12 verdict item 4: the gated fan-out sites were
+    planning the same frame twice inside the timed region)."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+
+
+def narrower_than_cores(df: DataFrame, est: int | None = None) -> bool:
     """True when the frame's scan would yield fewer partitions than the
     cluster has cores — WITHOUT the ``df.rdd`` probe, whose RDD
     conversion costs 0.3-1.1s of planning per call inside the timed
@@ -81,12 +94,14 @@ def narrower_than_cores(df: DataFrame) -> bool:
     predicate modulo small-file packing (a many-tiny-file scan may
     already be wide and take a harmless extra exchange here — at
     production scale est is far above the bound and nothing fires).
+
+    ``est`` lets a caller that already read the plan estimate reuse it
+    instead of planning the frame a second time.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    est = int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+    if est is None:
+        est = plan_size_estimate(df)
     mpb = int(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         .lower()
@@ -108,20 +123,17 @@ def fan_out_narrow(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     3 of the 4 largest stages of ann_pq_topk/ann_ivf_pq_topk).  At
     production scale the scan already yields far more splits than cores
     and this branch never fires."""
-    if min_bytes:
-        # scale-adaptive gate (r12, measured): below this input size the
-        # round-robin exchange + task fan-in costs more than the
-        # parallelism returns (pq_fit on the 0.8 MB sf0.1 scan: 2.6s
-        # un-fanned vs 4.6s fanned; on the 5.9 MB sf1 scan the fan wins
-        # 4.0s vs 6.2s).  The planner estimate is file bytes for scans —
-        # ~50 ms to read, far cheaper than the .rdd probe it skips.
-        est = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-        if est < min_bytes:
-            return df
+    # ONE plan-stats read per call (r13): the size gate and the width
+    # check share the same estimate of the same frame.  The gate itself
+    # (r12, measured): below min_bytes the round-robin exchange + task
+    # fan-in costs more than the parallelism returns (pq_fit on the
+    # 0.8 MB sf0.1 scan: 2.6s un-fanned vs 4.6s fanned; on the 5.9 MB
+    # sf1 scan the fan wins 4.0s vs 6.2s).
+    est = plan_size_estimate(df)
+    if min_bytes and est < min_bytes:
+        return df
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if narrower_than_cores(df):
+    if narrower_than_cores(df, est):
         return df.repartition(cores)
     return df
 
@@ -150,12 +162,28 @@ def topk_matmul(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pad: int = 0,
+    fold_rescore: bool = False,
 ) -> DataFrame:
     """Exact dot-product top-k via batched matmul + partial top-k merge.
 
     ``queries`` is a driver-side list (the query set is small by contract —
     it broadcasts inside the Arrow batches closure).  Returns
     (q_id, neighbor_id, rank) with rank 1..k by (dot desc, neighbor_id).
+
+    ``fold_rescore=True`` replaces the whole shortlist→``exact_rerank``
+    second corpus scan (r13): each batch still shortlists top-(k+pad) by
+    the BLAS score, but emits the FOLD dot for those candidates —
+    ``np.cumsum(row * q, axis=1)[:, -1]`` accumulates strictly
+    left-to-right, so the value is bit-identical to the JVM
+    ``aggregate(zip_with(...))`` fold and to DuckDB's
+    ``list_inner_product`` (same float64 products, same addition order;
+    a BLAS dot's SIMD/pairwise accumulation differs in the last ulps).
+    The global merge then ranks by exact fold scores directly and the
+    corpus is scanned ONCE.  Exactness needs the per-batch BLAS
+    top-(k+pad) to contain the per-batch fold top-k — violated only if
+    > pad candidates sit within float-accumulation noise (~1e-15
+    relative) of the k-th score, impossible on continuous data.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -176,11 +204,17 @@ def topk_matmul(
             for qi in range(len(q_ids)):
                 col = scores[:, qi]
                 mask = ids != q_ids[qi]
-                cand_ids, cand = ids[mask], col[mask]
-                top = _topk_tiesafe(cand, cand_ids, k)
+                keep = np.flatnonzero(mask)
+                cand_ids, cand = ids[keep], col[keep]
+                top = _topk_tiesafe(cand, cand_ids, k + pad)
+                if fold_rescore:
+                    rows = mat[keep[top]]
+                    dots = np.cumsum(rows * q_mat[qi], axis=1)[:, -1]
+                else:
+                    dots = cand[top]
                 out_q.append(np.full(len(top), q_ids[qi]))
                 out_id.append(cand_ids[top])
-                out_d.append(cand[top])
+                out_d.append(dots)
             if out_q:
                 yield pa.record_batch(
                     [

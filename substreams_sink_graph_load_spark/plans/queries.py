@@ -1134,44 +1134,29 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def similarity_topk(spark, sf_dir):
-    """Brute-force cosine/dot top-k neighbors for a bounded query sample.
+    """Exact all-pairs top-k for a bounded query sample — the same rows
+    the brute-force crossJoin produced, computed in ONE corpus scan
+    (r12 verdict item 2: the contract is the exact RESULT, not the
+    crossJoin PLAN, and the crossJoin materialized O(n * 64) pairs
+    through a window — the one remaining 100 TB scale-killer).
 
-    Scale path: the query set broadcasts (tiny — capped at 64 like the
-    ANN family so per-query work is the ONLY thing that scales with the
-    corpus), the corpus streams through once — no corpus self-shuffle.
-    Output is ids+rank only, so float accumulation differences can never
-    flip a hash, and both engines fold the dot product left-to-right in
-    double.  This remains the documented exact baseline the ANN tiers
-    are measured against; its per-query cost is O(corpus) by definition.
+    Shape shared with ann_topk_matmul: Arrow batches -> one BLAS
+    corpus_batch @ queries.T per batch -> tie-safe per-batch partial
+    top-(5+8) by BLAS score -> fold-exact rescore of those <=13
+    candidates IN the partial (np.cumsum is a strict left-to-right
+    accumulation, bit-identical to DuckDB's list_inner_product) -> tiny
+    global merge ranks by the exact fold dot.  The BLAS top-13 provably
+    contains the fold top-5 unless >= 9 candidates sit within
+    float-accumulation noise of the 5th score — impossible on continuous
+    data.  Shuffle volume O(batches*k*queries), never |corpus|*64; the
+    query collect is capped (limit=64), not corpus-scaled; no second
+    corpus scan (the r13 exact_rerank join is gone).
     """
+    from ..operators.ann import sample_queries, topk_matmul
+
     e = _t(spark, sf_dir, "embeddings")
-    q = (
-        e.where(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
-        .limit(64)
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-        )
-    )
-    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("q_emb").cast("array<double>"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        pairs.select(
-            "q_id", F.col("vec_id").alias("neighbor_id"), dot.alias("dot")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("q_id", "neighbor_id", "rank")
-    )
+    qs = sample_queries(e, 100, limit=64)
+    return topk_matmul(e, qs, k=5, pad=8, fold_rescore=True)
 
 
 @_q(
@@ -1342,25 +1327,25 @@ def agg_approx_distinct_q(spark, sf_dir):
     """,
 )
 def ann_topk_matmul_q(spark, sf_dir):
-    """The 100 TB ANN shape, now ORACLE-EXACT via shortlist + rerank:
-    Arrow batches -> numpy corpus @ queries.T (one BLAS call per batch) ->
-    per-batch partial top-(k+8) -> tiny global merge -> exact fold-dot
-    rerank of the shortlist (operators/ann.exact_rerank) -> top-k.
+    """The 100 TB ANN shape, ORACLE-EXACT in one corpus scan: Arrow
+    batches -> numpy corpus @ queries.T (one BLAS call per batch) ->
+    per-batch partial top-(5+8) by BLAS score -> fold-exact rescore of
+    those <=13 candidates IN the partial -> tiny global merge -> top-k.
 
-    The rerank is what a production ANN pipeline runs anyway (true scores
-    over the approximate shortlist), and it makes the output hash-match a
-    brute-force SQL window: the fold's summation order is bit-identical to
-    DuckDB's list_inner_product, and the BLAS top-13 provably contains the
-    fold top-5 unless >=9 candidates sit within float-accumulation noise
-    (~1e-15 relative) of the 5th score — impossible on continuous data.
-    Shuffle volume O(batches*k*queries), never |corpus|*|queries|; the
-    query set collect is capped (limit=64), not corpus-scaled."""
-    from ..operators.ann import exact_rerank, sample_queries, topk_matmul
+    The in-partial rescore (np.cumsum over the candidate-row products)
+    accumulates strictly left-to-right, bit-identical to DuckDB's
+    list_inner_product — same guarantee the r11 exact_rerank join gave,
+    minus its second corpus scan (r13).  The BLAS top-13 provably
+    contains the fold top-5 unless >=9 candidates sit within
+    float-accumulation noise (~1e-15 relative) of the 5th score —
+    impossible on continuous data.  Shuffle volume O(batches*k*queries),
+    never |corpus|*|queries|; the query set collect is capped
+    (limit=64), not corpus-scaled."""
+    from ..operators.ann import sample_queries, topk_matmul
 
     e = _t(spark, sf_dir, "embeddings")
     qs = sample_queries(e, 100, limit=64)
-    shortlist = topk_matmul(e, qs, k=5 + 8)
-    return exact_rerank(e, shortlist, qs, k=5)
+    return topk_matmul(e, qs, k=5, pad=8, fold_rescore=True)
 
 
 _POI_CHAIN_GOLDEN = [

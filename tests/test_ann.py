@@ -159,6 +159,45 @@ def test_exact_rerank_refines_shortlist(spark, sf_dir, emb):
     assert got == brute
 
 
+def test_fold_rescore_matches_rerank_and_left_fold(spark, sf_dir, emb):
+    """r13: topk_matmul(fold_rescore=True) replaces the shortlist +
+    exact_rerank second corpus scan.  Its output must equal the rerank
+    pipeline's exactly — and the cumsum rescore must be BIT-identical to
+    a strict left-to-right Python fold (the property that makes it a
+    valid stand-in for DuckDB's list_inner_product)."""
+    import numpy as np
+
+    from substreams_sink_graph_load_spark.operators.ann import (
+        exact_rerank,
+        topk_matmul,
+    )
+
+    qs = sample_queries(emb, 100, limit=8)
+    shortlist = topk_matmul(emb, qs, k=5 + 8)
+    rerank = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in exact_rerank(emb, shortlist, qs, k=5).collect()
+    }
+    fused = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_matmul(emb, qs, k=5, pad=8, fold_rescore=True).collect()
+    }
+    assert fused == rerank
+
+    # bit-exactness of the rescore primitive on association-sensitive
+    # values: cumsum's sequential accumulation == a Python left fold,
+    # while a numpy dot (pairwise/SIMD) differs on this input
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((4, 257)) * np.logspace(-12, 12, 257)
+    q = rng.standard_normal(257)
+    got = np.cumsum(rows * q, axis=1)[:, -1]
+    for r, g in zip(rows, got):
+        acc = 0.0
+        for x, y in zip(r, q):
+            acc = acc + x * y
+        assert acc == g  # exact float equality, not approx
+
+
 def test_sample_queries_limit_bounds_collect(spark, emb):
     """limit=n caps the driver collect at the n lowest matching ids —
     the registry contract that keeps driver memory O(chosen), not

@@ -85,3 +85,24 @@ def test_fan_out_min_bytes_gate(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     gated = fan_out_narrow(emb, min_bytes=1 << 40)
     assert gated is emb
+
+
+def test_fan_out_single_plan_read(spark, sf_dir, monkeypatch):
+    # r12 verdict item 4: the gated fan-out planned the frame TWICE (the
+    # min_bytes gate read optimizedPlan().stats(), then
+    # narrower_than_cores re-read the same estimate) — ~50 ms of driver
+    # time each inside the timed region.  Pin: exactly ONE
+    # plan_size_estimate call per fan_out_narrow call, gated or not.
+    from substreams_sink_graph_load_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    calls = []
+    real = ann.plan_size_estimate
+    monkeypatch.setattr(
+        ann, "plan_size_estimate", lambda df: calls.append(1) or real(df)
+    )
+    ann.fan_out_narrow(emb, min_bytes=2_000_000)
+    assert len(calls) == 1
+    calls.clear()
+    ann.fan_out_narrow(emb)
+    assert len(calls) == 1

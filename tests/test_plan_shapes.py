@@ -448,3 +448,21 @@ def test_pagerank_bucketed_edges_elide_iteration_exchanges(
     assert buck_rows == plain_rows
     assert plain_ex == 5, plain_ex
     assert buck_ex == 3, buck_ex
+
+
+def test_similarity_topk_no_cartesian(spark, sf_dir):
+    """r12 verdict item 2: similarity_topk computes the exact all-pairs
+    top-k WITHOUT materializing the n x 64 cross product — blocked
+    matmul partials with the fold-exact rescore inside them.  No
+    cartesian/nested-loop node may reappear, no join at all (the r13
+    in-partial rescore removed the exact_rerank broadcast join and its
+    second corpus scan), and the corpus must flow through Arrow batches
+    exactly once."""
+    plan = plan_of(spark, sf_dir, "similarity_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan  # single corpus scan, no rerank attach
+    # ONE scan node (formatted explain prints each node twice: once in
+    # the tree, once in the numbered details section)
+    assert plan.count("Scan parquet") == 2
