@@ -52,6 +52,7 @@ inherited partitioning, declared fan-out) holds as-is.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 
 import pandas as pd
 
@@ -388,7 +389,18 @@ class _JpegBitReader:
 
 
 def _jpeg_huff_table(counts: list[int], values: bytes) -> dict:
-    """Canonical Huffman table (ITU T.81 Annex C): {(length, code): value}."""
+    """Canonical Huffman table (ITU T.81 Annex C): {(length, code): value}.
+
+    Construction is memoized on the raw (counts, values) definition —
+    tiny-image workloads (the 8x8 MJPEG frames) decode hundreds of
+    thousands of frames that share a handful of table definitions, and
+    rebuilding the dict per frame was ~10% of the per-frame decode
+    (r13 profile).  The cached dict is shared read-only."""
+    return _jpeg_huff_table_cached(bytes(counts), bytes(values))
+
+
+@_lru_cache(maxsize=64)
+def _jpeg_huff_table_cached(counts: bytes, values: bytes) -> dict:
     table = {}
     code = 0
     k = 0
@@ -416,6 +428,21 @@ def _jpeg_extend(v: int, s: int) -> int:
     if s == 0:
         return 0
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+@_lru_cache(maxsize=1)
+def _jpeg_idct_basis():
+    """Orthonormal 8x8 DCT-III basis for the IDCT (T.81 A.3.3), built
+    once per process — rebuilding the cos grid per decode_jpeg call was
+    pure fixed overhead on tiny (one-block) images."""
+    import numpy as np
+
+    k = np.arange(8)
+    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)
+    basis *= 0.5
+    basis.setflags(write=False)
+    return basis
 
 
 _JPEG_ZIGZAG = [
@@ -534,11 +561,7 @@ def decode_jpeg(data: bytes) -> bytes:
         c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
         c["pred"] = 0
 
-    # orthonormal 8x8 DCT-III basis for the IDCT (T.81 A.3.3)
-    k = np.arange(8)
-    basis = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
-    basis[:, 0] *= 1 / np.sqrt(2)
-    basis *= 0.5
+    basis = _jpeg_idct_basis()
 
     br = _JpegBitReader(data, pos)
     mcu_count = 0
@@ -609,9 +632,13 @@ def decode_wav(data: bytes) -> bytes:
         return wf.readframes(wf.getnframes())
 
 
+@_lru_cache(maxsize=256)
 def encode_const_jpeg(value: int) -> bytes:
     """Minimal valid baseline JPEG: one 8x8 grayscale block, every pixel
-    ``value`` — built by direct integer construction (no float DCT).  A
+    ``value`` — built by direct integer construction (no float DCT).
+    Memoized over its whole 256-value domain (pure int -> immutable
+    bytes): the AVI attach stage calls it once per text byte, so each
+    task pays each distinct byte's construction once.  A
     constant block's DCT is a single DC coefficient ``8*(value-128)``
     (exactly integral) with all AC exactly zero, so with an all-ones
     quantization table the encode/decode pair is LOSSLESS — the property
@@ -1182,8 +1209,9 @@ def encode_mp3_stub(
             (0b11 if mono else 0b01) << 6,  # mono / joint stereo
         ]
     )
-    for _ in range(n_frames):
-        out += hdr + bytes(frame_len - 4)
+    # frames are identical (header + zero payload): one C-level bytes
+    # repeat instead of n_frames bytearray appends
+    out += (hdr + bytes(frame_len - 4)) * n_frames
     return bytes(out)
 
 
@@ -1556,6 +1584,8 @@ def sample_video_frames(
         raise ValueError("every_n must be positive")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             ids, idxs, npix, first, sums = [], [], [], [], []
 
@@ -1564,7 +1594,14 @@ def sample_video_frames(
                 idxs.append(i)
                 npix.append(len(px))
                 first.append(px[0] if px else -1)
-                sums.append(int(sum(px)))
+                # C-speed byte sum — a Python sum() over a decoded
+                # frame's w*h*channels pixel bytes was O(pixels) of
+                # interpreter work per frame (guide §4.2)
+                sums.append(
+                    int(np.frombuffer(px, dtype=np.uint8).sum())
+                    if px
+                    else 0
+                )
 
             for doc_id, payload, mime in zip(
                 pdf["doc_id"], pdf["payload"], pdf["mime"]
@@ -1589,3 +1626,283 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# Fused encode -> probe pipelines (r13, guide §8 / §4.2)
+#
+# The chained form of each multimodal query ran its attach_* writer and its
+# probe/sample/feature reader as TWO Python stages, so every payload byte
+# crossed JVM<->Python twice (out of attach, back into the probe) just to
+# produce a few numeric columns — at sf1 the mp3 pair moved ~850 MB of
+# synthetic stream bytes through pandas object columns to emit 5 longs per
+# row.  The fused operators below run the SAME writer and the SAME
+# independent reader back to back inside one mapInArrow stage: both codec
+# halves still execute per row (the writer/walker cross-check the oracle
+# relies on is intact), but the payload never leaves the Python worker and
+# the attach-side meta struct (md5 checksum) that no fused query outputs is
+# dead-column-eliminated — the cross-operator pruning Catalyst cannot do
+# through opaque Python functions.  The chained operators stay for
+# composition and are pinned equivalent by tests/test_multimodal_fused.py.
+# ---------------------------------------------------------------------------
+
+
+def _fused_src(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared prologue of every fused pipeline: pruned 2-column scan,
+    empty-text drop, and the same size-gated fan-out the attach_* stages
+    use (narrow small-SF scans spread across cores; never fires at
+    production scan widths)."""
+    from .ann import fan_out_narrow
+
+    src = df.select(id_col, text_col).where(F.length(F.col(text_col)) > 0)
+    return fan_out_narrow(src, min_bytes=2_000_000)
+
+
+def mp3_probe_fused(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frames: int = 32,
+) -> DataFrame:
+    """attach_mp3 -> probe_mp3_metadata in one Arrow stage: encode the
+    real MPEG-1 Layer III stream per row, then walk its frame headers
+    with the independent parser — identical output rows, zero payload
+    boundary crossings."""
+
+    def stage(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column(0)
+            brs, srs, chs, nfs = [], [], [], []
+            for t in batch.column(1).to_pylist():
+                raw = t.encode("utf-8")
+                mp3 = encode_mp3_stub(
+                    n_frames=min(len(raw), max_frames),
+                    bitrate_idx=(raw[0] % 14) + 1,
+                    mono=bool(raw[0] % 2),
+                    tag=raw,
+                )
+                m = parse_mp3_meta(mp3)
+                brs.append(m["bitrate_kbps"])
+                srs.append(m["sample_rate"])
+                chs.append(m["channels"])
+                nfs.append(m["n_frames"])
+            yield pa.record_batch(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(brs, pa.int64()),
+                    pa.array(srs, pa.int64()),
+                    pa.array(chs, pa.int64()),
+                    pa.array(nfs, pa.int64()),
+                ],
+                names=[
+                    "doc_id", "bitrate_kbps", "sample_rate", "channels",
+                    "n_frames",
+                ],
+            )
+
+    return _fused_src(df, id_col, text_col).mapInArrow(
+        stage, MP3_PROBE_SCHEMA
+    )
+
+
+def mp4_probe_fused(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """attach_mp4 -> probe_video_metadata in one Arrow stage: write the
+    real ISO-BMFF skeleton per row, then box-walk it with the
+    independent parser."""
+
+    def stage(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column(0)
+            ws, hs, ns, durs, codecs = [], [], [], [], []
+            for t in batch.column(1).to_pylist():
+                raw = t.encode("utf-8")
+                mp4 = encode_mp4_stub(
+                    w=16 * ((raw[0] % 16) + 1),
+                    h=144,
+                    n_samples=len(raw),
+                    duration_ms=40 * len(raw),
+                )
+                m = parse_mp4_meta(mp4)
+                ws.append(m["width"])
+                hs.append(m["height"])
+                ns.append(m["n_samples"])
+                durs.append(m["duration_ms"])
+                codecs.append(m["codec"])
+            yield pa.record_batch(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(ws, pa.int64()),
+                    pa.array(hs, pa.int64()),
+                    pa.array(ns, pa.int64()),
+                    pa.array(durs, pa.int64()),
+                    pa.array(codecs, pa.string()),
+                ],
+                names=[
+                    "doc_id", "width", "height", "n_samples", "duration_ms",
+                    "codec",
+                ],
+            )
+
+    return _fused_src(df, id_col, text_col).mapInArrow(stage, PROBE_SCHEMA)
+
+
+def png_features_fused(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """attach_png -> extract_features(fake=False) in one Arrow stage:
+    encode the real PNG per row, decode it back through the from-spec
+    reader, emit the byte features."""
+
+    def stage(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column(0)
+            nbs, firsts, heads = [], [], []
+            for t in batch.column(1).to_pylist():
+                raw = t.encode("utf-8")
+                dec = decode_png(encode_png(raw, len(raw), 1, 1))
+                nbs.append(len(dec))
+                firsts.append(dec[0] if dec else -1)
+                heads.append(sum(dec[:16]))
+            yield pa.record_batch(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(["image/png"] * len(nbs), pa.string()),
+                    pa.array(nbs, pa.int64()),
+                    pa.array(firsts, pa.int64()),
+                    pa.array(heads, pa.int64()),
+                ],
+                names=["doc_id", "mime", "n_bytes", "first_byte", "head_sum"],
+            )
+
+    return _fused_src(df, id_col, text_col).mapInArrow(stage, FEATURE_SCHEMA)
+
+
+def avi_frame_sample_fused(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frames: int = 24,
+    every_n: int = 3,
+) -> DataFrame:
+    """attach_avi -> sample_video_frames(fake=False) in one Arrow stage:
+    write the real MJPEG AVI per row, walk the RIFF container with the
+    independent reader, and decode every ``every_n``-th frame through
+    the from-spec JPEG path.  1->N fan-out preserved."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def stage(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            doc_ids = batch.column(0).to_pylist()
+            ids, idxs, npix, first, sums = [], [], [], [], []
+            for doc_id, t in zip(doc_ids, batch.column(1).to_pylist()):
+                raw = t.encode("utf-8")[:max_frames]
+                avi = encode_avi_mjpeg(
+                    [encode_const_jpeg(b) for b in raw], 8, 8
+                )
+                _, _, frames = decode_avi_mjpeg(avi)
+                for i in range(0, len(frames), every_n):
+                    px = decode_jpeg(frames[i])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    npix.append(len(px))
+                    first.append(px[0] if px else -1)
+                    sums.append(
+                        int(np.frombuffer(px, dtype=np.uint8).sum())
+                        if px
+                        else 0
+                    )
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(idxs, pa.int64()),
+                    pa.array(npix, pa.int64()),
+                    pa.array(first, pa.int64()),
+                    pa.array(sums, pa.int64()),
+                ],
+                names=["doc_id", "frame_idx", "n_pix", "pix_first", "pix_sum"],
+            )
+
+    return _fused_src(df, id_col, text_col).mapInArrow(
+        stage, VIDEO_FRAME_SCHEMA
+    )
+
+
+def wav_windows_fused(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_bytes: int = 16,
+    hop_bytes: int = 8,
+) -> DataFrame:
+    """attach_wav -> audio_windows(fake=False) in one Arrow stage: write
+    the real 8-bit PCM WAV per row, decode it back through the stdlib
+    RIFF reader, emit the overlapping-window features.  The window's
+    BYTES never cross (the query only outputs win_idx / win_bytes /
+    energy); 1->N fan-out preserved."""
+    if hop_bytes <= 0 or window_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+
+    def stage(batches):
+        import io
+        import wave
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            doc_ids = batch.column(0).to_pylist()
+            ids, idxs, nbs, energies = [], [], [], []
+            for doc_id, t in zip(doc_ids, batch.column(1).to_pylist()):
+                raw_in = t.encode("utf-8")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(16000)
+                    wf.writeframes(raw_in)
+                raw = decode_wav(buf.getvalue())
+                starts = list(
+                    range(0, max(len(raw) - window_bytes, 0) + 1, hop_bytes)
+                ) or [0]
+                if starts[-1] + window_bytes < len(raw):
+                    starts.append(starts[-1] + hop_bytes)
+                for wi, start in enumerate(starts):
+                    chunk = raw[start : start + window_bytes]
+                    ids.append(doc_id)
+                    idxs.append(wi)
+                    nbs.append(len(chunk))
+                    energies.append(int(sum(chunk)))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(idxs, pa.int64()),
+                    pa.array(nbs, pa.int64()),
+                    pa.array(energies, pa.int64()),
+                ],
+                names=["doc_id", "win_idx", "win_bytes", "energy"],
+            )
+
+    return _fused_src(df, id_col, text_col).mapInArrow(
+        stage,
+        "doc_id long, win_idx long, win_bytes long, energy long",
+    )

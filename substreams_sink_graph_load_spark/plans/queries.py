@@ -2064,14 +2064,16 @@ def multimodal_png_roundtrip(spark, sf_dir):
     points, Spark indexes bytes: valid under the enforced ASCII-corpus
     assumption — see the section comment above multimodal_features.)
 
-    Scale: two chained Arrow-batched mapInPandas stages (encode, then
-    decode+extract), 1:1 rows, partitioning inherited, no shuffle; the
-    binary payload crosses Python batches — the documented unavoidable
-    step the whole multimodal family declares."""
-    from ..operators.multimodal import attach_png, extract_features
+    Scale: ONE Arrow stage (r13 fusion of attach_png ->
+    extract_features): both codec halves run back to back per row inside
+    the same Python worker, so the PNG bytes never cross JVM<->Python at
+    all and the attach-side md5 this query never outputs is eliminated —
+    the cross-operator pruning Catalyst cannot do through opaque Python.
+    1:1 rows, partitioning inherited, no shuffle."""
+    from ..operators.multimodal import png_features_fused
 
     d = _t(spark, sf_dir, "documents")
-    return extract_features(attach_png(d, "doc_id", "text"), fake=False)
+    return png_features_fused(d, "doc_id", "text")
 
 
 @_q(
@@ -2100,16 +2102,17 @@ def multimodal_avi_frame_sample(spark, sf_dir):
     any corruption in the container writer, the walker, or either JPEG
     half breaks the driver hash.
 
-    Scale: two chained Arrow-batched mapInPandas stages (encode, then
-    sample+decode), partitioning inherited, no shuffle; sampling decodes
-    only the kept 1/3 of frames — the codec-cost contract that makes
-    video feasible at 100 TB.  The payload crosses Python batches once
-    per stage, the multimodal family's documented unavoidable step."""
-    from ..operators.multimodal import attach_avi, sample_video_frames
+    Scale: ONE Arrow stage (r13 fusion of attach_avi ->
+    sample_video_frames): the container writer, the RIFF walker, and the
+    per-kept-frame JPEG decode run back to back per row, so the AVI
+    bytes never cross JVM<->Python; sampling still decodes only the kept
+    1/3 of frames — the codec-cost contract that makes video feasible at
+    100 TB.  1->N fan-out, partitioning inherited, no shuffle."""
+    from ..operators.multimodal import avi_frame_sample_fused
 
     d = _t(spark, sf_dir, "documents")
-    return sample_video_frames(
-        attach_avi(d, "doc_id", "text", max_frames=24), every_n=3, fake=False
+    return avi_frame_sample_fused(
+        d, "doc_id", "text", max_frames=24, every_n=3
     )
 
 
@@ -2148,19 +2151,18 @@ def multimodal_wav_windows(spark, sf_dir):
     partial window librosa-style padding keeps) is property-matched
     against the Python operator for every length.
 
-    Scale: two chained Arrow-batched mapInPandas stages (encode, then
-    decode+window), declared 1->N fan-out, partitioning inherited — no
-    shuffle; pruned 2-column scan."""
-    from ..operators.multimodal import attach_wav, audio_windows
+    Scale: ONE Arrow stage (r13 fusion of attach_wav -> audio_windows):
+    the stdlib wave writer and reader run back to back per row, so
+    neither the WAV payload nor the window bytes ever cross JVM<->Python
+    (the query only outputs win_idx / win_bytes / energy — the window
+    binary the chained form shipped back was dead weight).  Declared
+    1->N fan-out, partitioning inherited — no shuffle; pruned 2-column
+    scan."""
+    from ..operators.multimodal import wav_windows_fused
 
     d = _t(spark, sf_dir, "documents")
-    return audio_windows(
-        attach_wav(d, "doc_id", "text"), window_bytes=16, hop_bytes=8, fake=False
-    ).select(
-        "doc_id",
-        "win_idx",
-        F.octet_length("win").cast("long").alias("win_bytes"),
-        "energy",
+    return wav_windows_fused(
+        d, "doc_id", "text", window_bytes=16, hop_bytes=8
     )
 
 
@@ -2193,12 +2195,14 @@ def multimodal_mp4_probe(spark, sf_dir):
     under the enforced ASCII-corpus assumption, see the section comment
     above multimodal_features.)
 
-    Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
+    Scale: ONE Arrow stage (r13 fusion of attach_mp4 ->
+    probe_video_metadata): writer and box-walker run back to back per
+    row, so the ISO-BMFF bytes never cross JVM<->Python.  1:1 rows, no
     shuffle; pruned 2-column scan."""
-    from ..operators.multimodal import attach_mp4, probe_video_metadata
+    from ..operators.multimodal import mp4_probe_fused
 
     d = _t(spark, sf_dir, "documents")
-    return probe_video_metadata(attach_mp4(d, "doc_id", "text"))
+    return mp4_probe_fused(d, "doc_id", "text")
 
 
 @_q(
@@ -2230,12 +2234,16 @@ def multimodal_mp3_probe(spark, sf_dir):
     ASCII-corpus assumption, see above multimodal_features.)  Frame decode (hybrid filterbank/huffman) stays behind the
     documented stub boundary — triage is the 100 TB operation.
 
-    Scale: two chained Arrow-batched mapInPandas stages, 1:1 rows, no
-    shuffle; pruned 2-column scan."""
-    from ..operators.multimodal import attach_mp3, probe_mp3_metadata
+    Scale: ONE Arrow stage (r13 fusion of attach_mp3 ->
+    probe_mp3_metadata): writer and header-walker run back to back per
+    row, so the ~17 KB/row synthetic stream never crosses JVM<->Python
+    (the chained form moved ~850 MB of payload through pandas object
+    columns at sf1 to emit 5 longs per row).  1:1 rows, no shuffle;
+    pruned 2-column scan."""
+    from ..operators.multimodal import mp3_probe_fused
 
     d = _t(spark, sf_dir, "documents")
-    return probe_mp3_metadata(attach_mp3(d, "doc_id", "text"))
+    return mp3_probe_fused(d, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
