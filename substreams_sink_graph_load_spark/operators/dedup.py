@@ -25,6 +25,28 @@ from ..functions.hashing import PRIME31, h60, memoized_h60
 from ..functions.text import word_shingles
 
 
+def _persist_hot(df: DataFrame, level=None) -> DataFrame:
+    """Persist a frame consumed by several downstream branches.
+
+    Default LAZY: the first action fills the cache (r12 A/B on this
+    idle-core host: an eager fill lost on 13 of 15 LSH queries — the
+    fill pass serializes a stage the lazy path overlaps with downstream
+    work).  ``SPARK_GRAFT_EAGER_PERSIST=1`` forces materialization
+    before the consumers run — the r12 verdict's item 5 concern is that
+    at full-utilization production the lazy path's concurrent first
+    actions can compute the frame twice; this knob exists so that trade
+    is A/B-measurable under load (r13 item 6) without editing call
+    sites.  count() over the persisted frame fills the FULL
+    InMemoryRelation (all columns), not a pruned one.  ``level=None``
+    keeps DataFrame.persist()'s default storage level."""
+    import os
+
+    df = df.persist() if level is None else df.persist(level)
+    if os.environ.get("SPARK_GRAFT_EAGER_PERSIST"):
+        df.count()
+    return df
+
+
 def minhash_sketch(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -174,7 +196,7 @@ def minhash_candidate_pairs(
     # at any scale; Spark evicts LRU under pressure.
     from pyspark import StorageLevel
 
-    sk2 = sk2.persist(StorageLevel.MEMORY_AND_DISK)
+    sk2 = _persist_hot(sk2, StorageLevel.MEMORY_AND_DISK)
     a = sk2.alias("a")
     b = sk2.alias("b")
     # The signature-agreement count evaluates IN the join's output
@@ -448,7 +470,7 @@ def ngram_jaccard_pairs(
     # The cache is reclaimed by ContextCleaner once the returned plan is
     # unreachable — callers that keep many pair-plans alive should
     # collect and drop references rather than holding them.
-    g = g.persist()
+    g = _persist_hot(g)
     if length_band:
         left = g.withColumn("_k", F.col("_band"))
         right = g.select(
@@ -1110,16 +1132,17 @@ def winnow_remove(
     stats are unreliable (the r9 broadcast-OOM lesson); a bucketed
     doc_id layout elides it entirely.
     """
-    from pyspark import StorageLevel
-
     import pyarrow as pa
 
     # two consumers (dupv aggregate + the marks fold) and the winnower's
     # mapInArrow relation has no exchange for Catalyst to reuse —
     # persist or the Python selection runs twice per action; cache
     # reclaimed by ContextCleaner when the returned plan is unreachable
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from pyspark import StorageLevel
+
+    fps = _persist_hot(
+        winnow_fingerprints(df, id_col, text_col, k, w),
+        StorageLevel.MEMORY_AND_DISK,
     )
     dupv = (
         fps.select(id_col, "fp_hash")

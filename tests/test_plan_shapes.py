@@ -466,3 +466,24 @@ def test_similarity_topk_no_cartesian(spark, sf_dir):
     # ONE scan node (formatted explain prints each node twice: once in
     # the tree, once in the numbered details section)
     assert plan.count("Scan parquet") == 2
+
+
+def test_scan_catalog_memoizes_per_session(spark, sf_dir):
+    """r13 (verdict item 4): _t resolves a table to ONE analyzed scan
+    relation per (session, sf_dir, table) — spark.read.parquet costs
+    ~80 ms of driver time per call and the bench pays plan construction
+    inside the timed region.  The memo holds plan objects only (nothing
+    executed); invalidation drops it."""
+    from substreams_sink_graph_load_spark.plans import queries as q
+
+    q._scan_catalog_invalidate()
+    a = q._t(spark, sf_dir, "lineitem")
+    b = q._t(spark, sf_dir, "lineitem")
+    assert a is b
+    e1 = q._events(spark, sf_dir)
+    e2 = q._events(spark, sf_dir)
+    assert e1 is e2
+    q._scan_catalog_invalidate()
+    c = q._t(spark, sf_dir, "lineitem")
+    assert c is not a
+    assert c.schema == a.schema

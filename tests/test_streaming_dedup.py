@@ -75,6 +75,7 @@ def test_streaming_dedup_first_seen(spark, doc_files, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_dedup_with_ttl_same_within_horizon(spark, doc_files, tmp_path):
     """With a TTL far beyond the run, output matches the exact mode (no
     premature eviction); the state store runs the ProcessingTimeTimeout

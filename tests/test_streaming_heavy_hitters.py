@@ -37,7 +37,10 @@ def _grams(spark):
     ).select(F.col("gram").alias("term"))
 
 
-@pytest.mark.parametrize("n_files", [1, 3, 5])
+@pytest.mark.parametrize(
+    "n_files",
+    [1, 3, pytest.param(5, marks=pytest.mark.slow)],
+)
 def test_streaming_equals_batch(spark, tmp_path, n_files):
     grams = _grams(spark)
     threshold = 20
@@ -80,6 +83,7 @@ def test_streaming_equals_batch(spark, tmp_path, n_files):
         assert threshold <= row["cum_count"] <= totals[row["term"]]
 
 
+@pytest.mark.slow
 def test_ttl_mode_matches_exact_within_horizon(spark, tmp_path):
     # TTL far beyond the run: burst mode must equal the plain mode (no
     # premature eviction) while exercising the ProcessingTimeTimeout

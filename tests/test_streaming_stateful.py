@@ -98,6 +98,7 @@ def test_stateful_versions_stream(spark, change_files, tmp_path):
     assert len(rows) == 3
 
 
+@pytest.mark.slow
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     # micro-timestamped events parquet as a file stream
     batch = spark.createDataFrame(
@@ -142,6 +143,7 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert len(got) >= len(expected) - 6
 
 
+@pytest.mark.slow
 def test_session_windows_stream_equals_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -191,6 +193,7 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
     assert len(got) >= len(expected) - 9
 
 
+@pytest.mark.slow
 def test_stream_static_join(spark, tmp_path):
     """Stream-static join: streaming events enrich against a static
     (broadcastable) dimension — the standard streaming-ETL shape; static
@@ -232,6 +235,7 @@ def test_stream_static_join(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stateful_fuzz_matches_reference_fold(spark, tmp_path):
     """Randomized multi-trigger streams: the state-store fold must agree
     with the sequential reference replay on every closed/FINAL row (open

@@ -88,7 +88,10 @@ def _run(spark, df, ckpt, name):
     return spark.sql(f"select * from {name}").collect()
 
 
-@pytest.mark.parametrize("ttl_minutes", [None, 60])
+@pytest.mark.parametrize(
+    "ttl_minutes",
+    [None, pytest.param(60, marks=pytest.mark.slow)],
+)
 def test_tws_dedup_matches_batch(spark, tmp_path, ttl_minutes):
     src = _write_jsonl(tmp_path, "docs", [BATCH1, BATCH2],
                        ["doc_id", "text"])
@@ -118,6 +121,7 @@ def test_tws_dedup_matches_batch(spark, tmp_path, ttl_minutes):
     assert {d for d, _ in got} == {1, 3, 5}
 
 
+@pytest.mark.slow
 def test_tws_map_counts_match_batch_groupby(spark, tmp_path):
     src = _write_jsonl(tmp_path, "events", [EV_BATCH1, EV_BATCH2],
                        ["user_id", "event_type"])
@@ -169,6 +173,7 @@ R_BATCH1 = [(1, 10, 0), (1, 11, 1), (2, 50, 2), (1, 12, 3)]
 R_BATCH2 = [(1, 13, 0), (1, 14, 1), (3, 90, 2), (2, 51, 3), (1, 15, 4)]
 
 
+@pytest.mark.slow
 def test_tws_list_recent_items_window(spark, tmp_path):
     from substreams_sink_graph_load_spark.streaming.recent import (
         streaming_recent_items_tws,
@@ -221,6 +226,7 @@ T_BATCH1 = [(1,), (1,), (2,)]
 T_BATCH2 = [(1,)]
 
 
+@pytest.mark.slow
 def test_tws_timers_idle_flush(spark, tmp_path):
     from substreams_sink_graph_load_spark.streaming.timers import (
         streaming_idle_flush_tws,
@@ -262,6 +268,7 @@ S_BATCH3 = [(99, _B + 10_000)]
 S_BATCH4 = [(98, _B + 20_000)]
 
 
+@pytest.mark.slow
 def test_tws_eventtime_sessionize_matches_session_window(spark, tmp_path):
     from substreams_sink_graph_load_spark.streaming.timers import (
         streaming_sessionize_tws,
@@ -320,6 +327,7 @@ def test_tws_eventtime_sessionize_matches_session_window(spark, tmp_path):
     assert len(got) == 5
 
 
+@pytest.mark.slow
 def test_tws_eventtime_sessionize_late_events_merge_backward(spark, tmp_path):
     """With watermark_delay > 0, admissible late events merge by INTERVAL
     semantics: a late event within gap of the open session's start extends
@@ -376,6 +384,7 @@ def test_tws_eventtime_sessionize_late_events_merge_backward(spark, tmp_path):
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_tws_listtimers_twin_matches_statecolumn_variant(spark, tmp_path):
     """The ListTimers variant recovers the armed deadline from the timer
     service instead of a state column — identical behavior on the same
